@@ -1,0 +1,348 @@
+"""The extraction kernel: operators T2–T10 fused into one pure function.
+
+Reproduces, byte-for-byte, the observable text output of the reference's
+stage-2 core ``HTMLProcessor.convert_html_to_markdown_enhanced``
+(``app/core/html_processor.py:32-126``) as a self-contained
+``convert_text(str) -> ExtractionResult``:
+
+  parse (T3, :65) → special-element protect (T7, :344-422) with
+  table→pipe-table (T4/T5, :154-274) and math→LaTeX (T6, :276-342) →
+  body linearization (T8, :77-83) → placeholder restore (T9, :447-480) →
+  markdown cleanup regex chain (T10, :482-509).
+
+Reference quirks intentionally reproduced, not fixed:
+
+- ``<math class="…math…">`` elements are matched by BOTH find_all passes
+  (:373-374); the second ``replace_with`` on the already-detached element
+  raises ``ValueError`` inside bs4, failing the whole document (caught by the
+  outer handler :123-126 → error result).  We raise and catch identically.
+- blockquote stripping (:493) and 4-space-indent stripping (:497) apply to
+  *all* content, destroying real blockquotes/code indents.
+- table rows whose cell count mismatches the header are dropped (:210-211).
+- in-table images never get placeholders (placeholder='' :258) and so are
+  never "restored"; they are inlined in the cell text (T5) but still counted.
+- standalone-image placeholder numbering continues after in-table images
+  (``len(image_list)`` :407).
+
+Scale note: this module is imported on executors and invoked through
+``convert_batch`` over whole Arrow record batches (``pd.Series`` in,
+``pd.DataFrame`` out) — the per-row loop lives here, inside the batch,
+amortized by Arrow transfer; Spark never dispatches per-row Python.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from dataclasses import dataclass, field
+
+from .dom import Element, parse_html
+from .linearize import linearize
+
+# Mirrors MAX_FILE_SIZE (reference app/config.py:24): 50 MB per unit of work.
+MAX_TEXT_CHARS = 50 * 1024 * 1024
+
+_MATH_DELIM_RE = re.compile(r"[\\$]+")
+
+
+@dataclass
+class ExtractionResult:
+    extracted_text: str | None
+    spans: list = field(default_factory=list)
+    tables_count: int = 0
+    math_count: int = 0
+    images_count: int = 0
+    output_length: int = 0
+    error: str | None = None
+
+
+def _basename(src: str) -> str:
+    # Path(src).name equivalent for URL-ish/POSIX paths.
+    return posixpath.basename(src.rstrip("/")) if src else ""
+
+
+def _image_markdown(alt: str, src: str, title: str) -> str:
+    # Reference app/core/html_processor.py:246-249,401-404.
+    if title:
+        return f'![{alt}]({src} "{title}")'
+    return f"![{alt}]({src})"
+
+
+def _process_table_cell(cell: Element) -> tuple[str, list[dict]]:
+    """T5 (reference :220-274): inline images → markdown, then stripped text."""
+    cell_images = []
+    for img in cell.find_all("img"):
+        src = img.get("src", "")
+        alt = img.get("alt", "")
+        title = img.get("title", "")
+        markdown_img = _image_markdown(alt, src, title)
+        cell_images.append(
+            {
+                "src": src,
+                "alt": alt,
+                "title": title,
+                "filename": _basename(src),
+                "markdown": markdown_img,
+                "placeholder": "",  # in-table images get none (reference :258)
+                "in_table": True,
+            }
+        )
+        img.replace_with(markdown_img)
+    return cell.get_text(strip=True), cell_images
+
+
+def _convert_table_to_markdown(table: Element) -> tuple[str, list[dict]]:
+    """T4 (reference :154-218): HTML table → pipe table; arity-mismatched rows
+    dropped; first row is always the header; trailing blank line."""
+    rows = table.find_all("tr")
+    if not rows:
+        return "", []
+    table_images: list[dict] = []
+
+    header_cells: list[str] = []
+    for cell in rows[0].find_all(["th", "td"]):
+        content, imgs = _process_table_cell(cell)
+        header_cells.append(content)
+        table_images.extend(imgs)
+
+    data_rows: list[list[str]] = []
+    for row in rows[1:] if header_cells else rows:
+        row_cells = []
+        for cell in row.find_all(["th", "td"]):
+            content, imgs = _process_table_cell(cell)
+            row_cells.append(content)
+            table_images.extend(imgs)
+        if row_cells:
+            data_rows.append(row_cells)
+
+    if not header_cells and not data_rows:
+        return "", []
+
+    lines: list[str] = []
+    if header_cells:
+        lines.append("| " + " | ".join(header_cells) + " |")
+        lines.append("| " + " | ".join(["---"] * len(header_cells)) + " |")
+        all_rows = data_rows
+        arity = len(header_cells)
+    else:
+        # No first row at all but data rows exist (reference :203-208):
+        # promote the first data row to header.
+        lines.append("| " + " | ".join(data_rows[0]) + " |")
+        lines.append("| " + " | ".join(["---"] * len(data_rows[0])) + " |")
+        arity = len(data_rows[0])
+        all_rows = data_rows[1:]
+
+    for row in all_rows:
+        if len(row) == arity:  # mismatched-arity rows silently dropped (:211)
+            lines.append("| " + " | ".join(row) + " |")
+
+    return "\n".join(lines) + "\n\n", table_images
+
+
+def _convert_math_to_markdown(el: Element) -> str:
+    """T6 (reference :276-342): LaTeX extraction + delimiter wrapping."""
+    latex = ""
+    for attr in ("data-latex", "data-tex", "latex", "tex"):
+        if attr in el.attrs:
+            latex = el.attrs[attr]
+            break
+    if not latex:
+        text = el.get_text(strip=True)
+        if text:
+            latex = _MATH_DELIM_RE.sub("", text).strip()
+    if not latex:
+        ann = el.find("annotation", encoding="application/x-tex")
+        if ann is not None:
+            latex = ann.get_text(strip=True)
+    if latex:
+        latex = latex.strip()
+        if latex.startswith("$$") or latex.endswith("$$"):
+            return latex
+        if latex.startswith("$") or latex.endswith("$"):
+            return latex
+        if "\n" in latex or len(latex) > 50:
+            return f"$$\n{latex}\n$$"
+        return f"${latex}$"
+    return str(el)  # fallback: original HTML (:338)
+
+
+def _math_class_filter(token) -> bool:
+    # reference :373 — lambda x: x and 'math' in str(x).lower()
+    return bool(token) and "math" in str(token).lower()
+
+
+def _extract_special_elements(
+    doc: Element, correct_image_path: str = "images"
+) -> tuple[dict, dict, list]:
+    """T7 (reference :344-422). Mutates *doc* in place."""
+    table_placeholders: dict[str, str] = {}
+    math_placeholders: dict[str, str] = {}
+    image_list: list[dict] = []
+
+    for i, table in enumerate(doc.find_all("table")):
+        placeholder = f"___TABLE_PLACEHOLDER_{i}___"
+        markdown_table, table_images = _convert_table_to_markdown(table)
+        table_placeholders[placeholder] = markdown_table
+        image_list.extend(table_images)
+        table.replace_with(placeholder)
+
+    # Dual-pass math find (reference :373-374): class-matched math/span first,
+    # then ALL <math> tags — a <math class="…math…"> appears twice and the
+    # second replace_with raises (quirk documented in the module docstring).
+    math_elements = doc.find_all(["math", "span"], class_filter=_math_class_filter)
+    math_elements.extend(doc.find_all("math"))
+    for i, math in enumerate(math_elements):
+        placeholder = f"___MATH_PLACEHOLDER_{i}___"
+        math_placeholders[placeholder] = _convert_math_to_markdown(math)
+        math.replace_with(placeholder)
+
+    for img in doc.find_all("img"):
+        src = img.get("src", "")
+        if correct_image_path and src:
+            src = f"{correct_image_path}/{_basename(src)}"  # T2 path normalize
+        alt = img.get("alt", "")
+        title = img.get("title", "")
+        markdown_img = _image_markdown(alt, src, title)
+        placeholder = f"___IMAGE_PLACEHOLDER_{len(image_list)}___"
+        image_list.append(
+            {
+                "src": src,
+                "alt": alt,
+                "title": title,
+                "filename": _basename(src),
+                "markdown": markdown_img,
+                "placeholder": placeholder,
+            }
+        )
+        img.replace_with(placeholder)
+
+    return table_placeholders, math_placeholders, image_list
+
+
+def _restore_special_elements(
+    markdown: str, tables: dict, maths: dict, images: list
+) -> str:
+    """T9 (reference :447-480)."""
+    for placeholder, table_md in tables.items():
+        markdown = markdown.replace(placeholder, f"\n{table_md}")
+    for placeholder, math_md in maths.items():
+        markdown = markdown.replace(placeholder, math_md)
+    for info in images:
+        if info.get("placeholder") and info.get("markdown"):
+            markdown = markdown.replace(info["placeholder"], info["markdown"])
+    return markdown
+
+
+_CLEANUP_STEPS = (
+    (re.compile(r"^>\s*", re.MULTILINE), ""),
+    (re.compile(r"^\t+", re.MULTILINE), ""),
+    (re.compile(r"^    ", re.MULTILINE), ""),
+    (re.compile(r"\n{4,}"), "\n\n\n"),
+    (re.compile(r"\n{3}(?=\n)"), "\n\n"),
+    (re.compile(r"\n+(<table)"), r"\n\1"),
+    (re.compile(r"(</table>)\n+"), r"\1\n\n"),
+    (re.compile(r"\n+(<math)"), r"\n\1"),
+    (re.compile(r"(</math>)\n+"), r"\1\n"),
+)
+
+
+def clean_markdown(content: str) -> str:
+    """T10 (reference :482-509) — the ordered cleanup regex chain, verbatim.
+
+    This sub-operator is SQL-expressible (chained regexp_replace + trim);
+    see ``__spark_entry__.oracle_sql``'s ``t10_markdown_cleanup``.
+    """
+    for pattern, repl in _CLEANUP_STEPS:
+        content = pattern.sub(repl, content)
+    return content.strip()
+
+
+def _compute_spans(text: str, tables: dict, maths: dict, images: list) -> list:
+    """Character-span offsets of each restored element in the final text.
+
+    Duplicate snippets are matched left-to-right (per-snippet cursor), so two
+    identical math elements get two distinct spans.  Elements whose snippet
+    was destroyed by cleanup (or never surfaced) are skipped.
+    """
+    spans: list[dict] = []
+    cursor: dict[str, int] = {}
+
+    def locate(kind: str, snippet: str) -> None:
+        needle = snippet.strip()
+        if not needle:
+            return
+        start = text.find(needle, cursor.get(needle, 0))
+        if start < 0:
+            return
+        cursor[needle] = start + len(needle)
+        spans.append({"kind": kind, "start": start, "end": start + len(needle)})
+
+    for table_md in tables.values():
+        locate("table", table_md)
+    for math_md in maths.values():
+        locate("math", math_md)
+    for info in images:
+        if info.get("placeholder"):
+            locate("image", info["markdown"])
+    spans.sort(key=lambda s: (s["start"], s["end"]))
+    return spans
+
+
+def convert_text(text: str | None, max_chars: int = MAX_TEXT_CHARS) -> ExtractionResult:
+    """Full T2–T10 pipeline over one turn's text. Never raises (O4)."""
+    if text is None:
+        return ExtractionResult(None, error="null_input")
+    if len(text) > max_chars:  # F3 size predicate → quarantine row
+        return ExtractionResult(None, error=f"size_exceeded:{len(text)}")
+    try:
+        doc = parse_html(text)
+        tables, maths, images = _extract_special_elements(doc)
+        markdown = linearize(doc)
+        markdown = _restore_special_elements(markdown, tables, maths, images)
+        markdown = clean_markdown(markdown)
+        return ExtractionResult(
+            extracted_text=markdown,
+            spans=_compute_spans(markdown, tables, maths, images),
+            tables_count=len(tables),
+            math_count=len(maths),
+            images_count=len(images),
+            output_length=len(markdown),
+        )
+    except Exception as exc:  # mirrors reference :123-126 error containment
+        return ExtractionResult(
+            None, error=f"Error converting HTML to Markdown: {exc}"
+        )
+
+
+def convert_batch(texts, max_chars: int = MAX_TEXT_CHARS):
+    """Arrow-batch kernel: ``pd.Series[str] -> pd.DataFrame`` (one call per
+    record batch inside ``mapInPandas`` — zero per-row Python dispatch from
+    Spark's side)."""
+    import pandas as pd
+
+    rows = []
+    for value in texts:
+        r = convert_text(None if value is None or value is pd.NA else value, max_chars)
+        rows.append(
+            (
+                r.extracted_text,
+                r.spans,
+                r.tables_count,
+                r.math_count,
+                r.images_count,
+                r.output_length,
+                r.error,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "extracted_text",
+            "spans",
+            "tables_count",
+            "math_count",
+            "images_count",
+            "output_length",
+            "error",
+        ],
+    )

@@ -1,0 +1,230 @@
+"""HTML → markdown body linearizer (operator T8).
+
+Reproduces the observable output of ``html2text.HTML2Text().handle`` under the
+reference's pinned configuration (``app/core/html_processor.py:20-30`` +
+defaults ``app/config.py:38-41``)::
+
+    body_width=0  unicode_snob=True  ignore_images=True  ignore_links=False
+    skip_internal_links=True  mark_code=True  wrap_links=False
+    wrap_list_items=False  ignore_emphasis=False
+
+for the HTML subset that reaches this stage (tables/math/images have already
+been replaced by placeholders in T7, so this stage only ever sees prose
+markup).  html2text itself is not available in this environment; this module
+*is* the pinned specification, and the golden fixtures in ``fixtures/`` pin
+its byte-exact behavior.
+
+Covered mapping (html2text-compatible):
+
+- ``h1..h6``        → ``#``·n + space + inline content
+- ``p`` / ``div``   → paragraph (blank line separated)
+- ``br``            → hard break: two trailing spaces + newline
+- ``hr``            → ``* * *``
+- ``ul li``         → ``  * item`` (two-space indent, 4 more per nesting level)
+- ``ol li``         → ``  1. item`` (sequential numbering)
+- ``blockquote``    → ``> `` line prefix (nested: ``> > ``)
+- ``pre``           → ``[code]`` / 4-space-indented lines / ``[/code]``
+                       (mark_code=True)
+- inline ``code``   → `` `code` ``
+- ``strong``/``b``  → ``**bold**``
+- ``em``/``i``      → ``_emph_``
+- ``a[href]``       → ``[text](href)``; internal ``#anchor`` links → bare text
+                       (skip_internal_links); href==text → ``<href>``
+- ``img``           → dropped (ignore_images=True; normally pre-extracted)
+- whitespace        → runs collapsed to one space outside ``pre``
+                       (body_width=0: no re-wrapping, lines never folded)
+- unknown inline tags (``span`` etc.) are transparent; unknown block tags
+  (``section``/``article``/…) are transparent block containers
+- ``script``/``style``/``head`` contents are dropped
+
+Plain non-HTML text therefore passes through as whitespace-normalized
+paragraphs — exactly what a transcript turn of prose should do.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .dom import Element
+
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
+        "blockquote", "pre", "hr", "table", "section", "article", "header",
+        "footer", "main", "nav", "aside", "figure", "figcaption", "form",
+        "fieldset", "address", "details", "summary", "dl", "dt", "dd",
+        "body", "html", "[document]",
+    }
+)
+_DROP_TAGS = frozenset({"script", "style", "head", "title", "meta", "link", "base"})
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+def _collapse(text: str) -> str:
+    return _WS_RE.sub(" ", text)
+
+
+class _Writer:
+    """Accumulates finished blocks; each block is a list of lines."""
+
+    def __init__(self):
+        self.blocks: list[str] = []
+
+    def emit(self, block: str) -> None:
+        if block:
+            self.blocks.append(block)
+
+    def result(self) -> str:
+        return "\n\n".join(self.blocks) + "\n\n" if self.blocks else ""
+
+
+def _render_inline(node: Element, parts: list[str]) -> None:
+    """Render inline content of *node* into *parts* (pre-collapse)."""
+    for child in node.children:
+        if isinstance(child, str):
+            parts.append(child)
+            continue
+        tag = child.tag
+        if tag in _DROP_TAGS:
+            continue
+        if tag == "br":
+            parts.append("\x00BR\x00")
+        elif tag in ("strong", "b"):
+            inner = _inline_text(child)
+            parts.append(f"**{inner}**" if inner else "")
+        elif tag in ("em", "i"):
+            inner = _inline_text(child)
+            parts.append(f"_{inner}_" if inner else "")
+        elif tag == "code":
+            inner = _inline_text(child)
+            parts.append(f"`{inner}`" if inner else "")
+        elif tag == "a":
+            inner = _inline_text(child)
+            href = child.get("href", "")
+            if not href or href.startswith("#"):
+                parts.append(inner)  # skip_internal_links
+            elif inner == href:
+                parts.append(f"<{href}>")
+            else:
+                parts.append(f"[{inner}]({href})")
+        elif tag == "img":
+            continue  # ignore_images=True
+        else:
+            _render_inline(child, parts)  # transparent inline (span, u, ...)
+
+
+def _inline_text(node: Element) -> str:
+    parts: list[str] = []
+    _render_inline(node, parts)
+    return _collapse("".join(parts)).strip()
+
+
+def _finish_paragraph(parts: list[str], writer: _Writer, prefix: str = "") -> None:
+    raw = _collapse("".join(parts)).strip()
+    parts.clear()
+    if not raw:
+        return
+    # Hard breaks: html2text writes two trailing spaces + newline.
+    raw = re.sub(r" ?\x00BR\x00 ?", "  \n", raw)
+    raw = raw.strip("\n")
+    if prefix:
+        raw = "\n".join(prefix + line for line in raw.split("\n"))
+    writer.emit(raw)
+
+
+def _render_block(node: Element, writer: _Writer, quote_depth: int = 0) -> None:
+    prefix = "> " * quote_depth
+    pending: list[str] = []
+
+    for child in node.children:
+        if isinstance(child, str):
+            pending.append(child)
+            continue
+        tag = child.tag
+        if tag in _DROP_TAGS:
+            continue
+        if tag not in _BLOCK_TAGS:
+            _render_inline(child, pending) if tag != "br" else pending.append(
+                "\x00BR\x00"
+            )
+            if tag == "br":
+                continue
+            continue
+
+        # A block child: flush any pending inline run first.
+        _finish_paragraph(pending, writer, prefix)
+
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            level = int(tag[1])
+            inner = _inline_text(child)
+            if inner:
+                writer.emit(prefix + "#" * level + " " + inner)
+        elif tag in ("ul", "ol"):
+            lines = _render_list(child, ordered=(tag == "ol"), depth=0)
+            if lines:
+                writer.emit("\n".join(prefix + line for line in lines))
+        elif tag == "blockquote":
+            _render_block(child, writer, quote_depth + 1)
+        elif tag == "pre":
+            text = child.get_text().strip("\n")
+            lines = ["[code]"]
+            lines += ["    " + line for line in text.split("\n")]
+            lines += ["[/code]"]
+            writer.emit("\n".join(prefix + line for line in lines))
+        elif tag == "hr":
+            writer.emit(prefix + "* * *")
+        else:
+            # p / div / section / ... : if it contains nested blocks, recurse;
+            # otherwise it is a leaf paragraph.
+            if any(
+                isinstance(c, Element) and c.tag in _BLOCK_TAGS for c in child.children
+            ):
+                _render_block(child, writer, quote_depth)
+            else:
+                inner_parts: list[str] = []
+                _render_inline(child, inner_parts)
+                _finish_paragraph(inner_parts, writer, prefix)
+
+    _finish_paragraph(pending, writer, prefix)
+
+
+def _render_list(node: Element, ordered: bool, depth: int) -> list[str]:
+    lines: list[str] = []
+    indent = " " * (2 + 4 * depth)
+    counter = 0
+    for child in node.children:
+        if not isinstance(child, Element) or child.tag != "li":
+            continue
+        counter += 1
+        marker = f"{counter}. " if ordered else "* "
+        item_parts: list[str] = []
+        nested: list[tuple[Element, bool]] = []
+        for sub in child.children:
+            if isinstance(sub, Element) and sub.tag in ("ul", "ol"):
+                nested.append((sub, sub.tag == "ol"))
+            elif isinstance(sub, Element) and sub.tag in ("p", "div"):
+                item_parts.append(" " + _inline_text(sub) + " ")
+            elif isinstance(sub, str):
+                item_parts.append(sub)
+            else:
+                _render_inline_single(sub, item_parts)
+        text = _collapse("".join(item_parts)).strip()
+        text = re.sub(r" ?\x00BR\x00 ?", "  \n" + indent + " " * len(marker), text)
+        if text:
+            lines.append(indent + marker + text)
+        for sub, sub_ordered in nested:
+            lines.extend(_render_list(sub, sub_ordered, depth + 1))
+    return lines
+
+
+def _render_inline_single(el: Element, parts: list[str]) -> None:
+    holder = Element("span")
+    holder.children = [el]
+    _render_inline(holder, parts)
+
+
+def linearize(document: Element) -> str:
+    """Render a parsed document to the markdown body (pre-restore stage)."""
+    writer = _Writer()
+    _render_block(document, writer)
+    return writer.result()
