@@ -1,0 +1,52 @@
+"""SparkSession builder with the engine's scale-oriented defaults.
+
+Local mode here is a stand-in for a multi-executor cluster; every knob is
+chosen to survive a 1000-executor / 100 TB deployment:
+
+- AQE on (runtime coalescing + skew-join splitting) — the safety net for the
+  skewed conversation-length distribution.
+- Arrow batch size lowered from the 10k default: transcript turns can be long
+  strings; 10k-row batches of 50 KB turns = 500 MB per batch per core.  1024
+  keeps per-batch memory bounded (SURVEY.md §4 "Arrow memory for long turns").
+- shuffle partitions sized to cores in local mode; on a real cluster this is
+  overridden per job (or left to AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 1024
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "extraction-engine",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cpus if n in ("", "*") else int(n)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

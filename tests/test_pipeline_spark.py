@@ -1,0 +1,93 @@
+"""Kernel ≡ pipeline equivalence + partitioning/ordering invariants
+(SURVEY.md §5.2, §5.5): the distribution layer must never change text."""
+
+import pytest
+
+from extractor.kernel import convert_text
+from extractor.pipeline import extract_transcripts, lineage_manifest
+from extractor.transcripts import generate_conversation, transcripts_df
+
+N_CONVS = 40
+MEAN_TURNS = 10
+SEED = 42
+
+
+def _expected_rows():
+    expected = {}
+    for conv_index in range(N_CONVS):
+        for conv_id, turn_idx, role, text, tool, ts in generate_conversation(
+            SEED, conv_index, MEAN_TURNS
+        ):
+            r = convert_text(text)
+            expected[(conv_id, turn_idx)] = (r.extracted_text, r.error)
+    return expected
+
+
+@pytest.fixture(scope="module")
+def expected():
+    return _expected_rows()
+
+
+@pytest.mark.parametrize("mode", ["map_only", "hash_conv"])
+def test_pipeline_matches_kernel(spark, expected, mode):
+    df = transcripts_df(spark, n_convs=N_CONVS, mean_turns=MEAN_TURNS, seed=SEED)
+    out = extract_transcripts(
+        df, partition_mode=mode, salt_threshold=30, salt_buckets=4
+    ).collect()
+    assert len(out) == len(expected)
+    for row in out:
+        exp_text, exp_err = expected[(row["conv_id"], row["turn_idx"])]
+        assert row["extracted_text"] == exp_text, (row["conv_id"], row["turn_idx"])
+        assert row["error"] == exp_err
+
+
+def test_output_sorted_within_conversations(spark):
+    df = transcripts_df(spark, n_convs=N_CONVS, mean_turns=MEAN_TURNS, seed=SEED)
+    out = extract_transcripts(df, partition_mode="hash_conv", salt_threshold=30)
+    # Within every Spark output partition, rows are clustered by conv_id and
+    # sorted by turn_idx (stable secondary sort under salting).
+    def check(iterator):
+        prev = None
+        seen_convs = set()
+        for row in iterator:
+            key = (row.conv_id, row.turn_idx)
+            if prev is None or row.conv_id != prev[0]:
+                assert row.conv_id not in seen_convs, "conv split within partition"
+                seen_convs.add(row.conv_id)
+            else:
+                assert row.turn_idx > prev[1], f"order broken at {key}"
+            prev = key
+        return iter([len(seen_convs)])
+
+    totals = out.rdd.mapPartitions(check).collect()
+    assert sum(totals) == N_CONVS
+
+
+def test_determinism_across_parallelism(spark, expected):
+    """Same input, different partitioning → identical result set."""
+    df = transcripts_df(spark, n_convs=N_CONVS, mean_turns=MEAN_TURNS, seed=SEED)
+    a = extract_transcripts(df.repartition(2), partition_mode="map_only")
+    b = extract_transcripts(df.repartition(16), partition_mode="hash_conv",
+                            salt_threshold=20, salt_buckets=8)
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    rows_a = sorted(
+        ((r["conv_id"], r["turn_idx"], r["extracted_text"], r["error"]) for r in a.collect())
+    )
+    rows_b = sorted(
+        ((r["conv_id"], r["turn_idx"], r["extracted_text"], r["error"]) for r in b.collect())
+    )
+    assert rows_a == rows_b
+
+
+def test_lineage_manifest(spark):
+    df = transcripts_df(spark, n_convs=N_CONVS, mean_turns=MEAN_TURNS, seed=SEED)
+    out = extract_transcripts(df, sort_output=False)
+    manifest = lineage_manifest(out).collect()
+    assert manifest
+    total_turns = sum(m["turns"] for m in manifest)
+    assert total_turns == df.count()
+    for m in manifest:
+        assert m["kernel_secs"] >= 0
+        assert 0.0 <= m["null_extraction_rate"] <= 1.0
+    # The corpus includes NULL-text turns, so some nulls must be reported.
+    assert sum(m["null_rows"] for m in manifest) > 0
