@@ -1,38 +1,397 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data op suite); each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-runnable SQL oracle per SQL-expressible query;
+kernel-backed ops (T3–T9 extraction, simhash, LSH-ANN) are rows-only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from extractor.ops import dedup, relational, similarity, textops
+from extractor.pipeline import extract_transcripts, lineage_manifest
+from extractor.transcripts import transcripts_df
+
+
+# ---------------------------------------------------------------------------
+# Extraction-pipeline queries (kernel-backed → rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel over the documents corpus (docs as single-turn transcripts)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    turns = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("text"),
+    )
+    out = extract_transcripts(turns, sort_output=False)
+    return out.select(
+        "conv_id", "turn_idx", "extracted_text", "tables_count",
+        "math_count", "images_count", "output_length", "error",
+    )
+
+
+def _extract_synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over the deterministic synthetic transcripts corpus
+    (input_hint shape; HTML/math/table payload mix) with salting."""
+    df = transcripts_df(spark, n_convs=120, mean_turns=10, seed=42)
+    out = extract_transcripts(
+        df, partition_mode="hash_conv", salt_threshold=200, salt_buckets=4
+    )
+    return out.select(
+        "conv_id", "turn_idx", "role", "extracted_text",
+        "tables_count", "math_count", "images_count", "error",
+    )
+
+
+def _extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage/metrics rows for the documents extraction.
+    Partition composition varies with parallelism → aggregate to one
+    stable corpus-level row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    turns = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("text"),
+    )
+    manifest = lineage_manifest(extract_transcripts(turns, sort_output=False))
+    return manifest.select(
+        F.sum("turns").alias("turns"),
+        F.sum("null_rows").alias("null_rows"),
+        F.sum("error_rows").alias("error_rows"),
+        F.sum("bytes_in").alias("bytes_in"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction over sf0.001 documents + per-source rollup."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    turns = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("text"),
+        F.col("source"),
+    )
+    extracted = extract_transcripts(
+        turns.drop("source"), sort_output=False
+    ).join(
+        F.broadcast(turns.select("conv_id", "source")), "conv_id"
+    )
+    return (
+        extracted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("extracted_text").isNull().cast("long")).alias("null_rows"),
+            F.round(F.avg("output_length"), 2).alias("avg_output_len"),
+            F.sum("bytes_in").alias("bytes_in"),
+        )
+        .orderBy("source")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction core (kernel-backed, rows-only)
+        "extract_documents": _extract_documents,
+        "extract_transcripts_pipeline": _extract_synth_transcripts,
+        "extraction_lineage": _extraction_lineage,
+        # T10 + text-analysis suite (oracle-checked)
+        "t10_markdown_cleanup": textops.t10_markdown_cleanup,
+        "token_stats": textops.token_stats,
+        "quality_score": textops.quality_score,
+        "lang_id": textops.lang_id,
+        "doc_fingerprint": textops.doc_fingerprint,
+        # relational operators (oracle-checked)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q_regional_revenue": relational.q_regional_revenue,
+        "f_filters_quarantine": relational.f_filters_quarantine,
+        "a4_batch_rollup": relational.a4_batch_rollup,
+        "o1_turn_ordering": relational.o1_turn_ordering,
+        "a6_collision_suffix": relational.a6_collision_suffix,
+        "o3_sessionize": relational.o3_sessionize,
+        "hourly_event_stats": relational.hourly_event_stats,
+        "a2_array_aggregate": relational.a2_array_aggregate,
+        # dedup suite
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_lsh": dedup.minhash_lsh_buckets,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_adjacent,
+        "dedup_simhash": dedup.simhash,  # rows-only
+        # similarity suite
+        "similarity_cosine_topk": similarity.cosine_topk,
+        "similarity_embedding_neardup": similarity.embedding_cosine_neardup,
+        "similarity_lsh_ann": similarity.lsh_ann_buckets,  # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh_mins = ",\n            ".join(
+        f"min(md5('seed{i}:' || tok)) AS mh_{i}" for i in range(dedup.N_HASHES)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws('|', mh_{b * dedup.BAND_SIZE}, mh_{b * dedup.BAND_SIZE + 1})) AS bucket FROM sig"
+        for b in range(dedup.N_HASHES // dedup.BAND_SIZE)
+    )
+    return {
+        "t10_markdown_cleanup": r"""
+            SELECT doc_id,
+                   trim(
+                     regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       '> ' || substring(text, 1, 40) ||
+                       chr(10)||chr(10)||chr(10)||chr(10)||chr(10)||chr(9)||chr(9) ||
+                       substring(text, 41, 30) ||
+                       chr(10)||'    indented tail'||chr(10)||chr(10)||chr(10)||
+                       '<table>t</table>'||chr(10)||chr(10)||chr(10)||
+                       '<math>m</math>'||chr(10)||chr(10)||chr(10)||'done',
+                       '(?m)^>\s*', '', 'g'),
+                       '(?m)^\t+', '', 'g'),
+                       '(?m)^    ', '', 'g'),
+                       '\n{4,}', chr(10)||chr(10)||chr(10), 'g'),
+                       '\n{3}(?=\n)', chr(10)||chr(10), 'g'),
+                       '\n+(<table)', chr(10)||'\1', 'g'),
+                       '(</table>)\n+', '\1'||chr(10)||chr(10), 'g'),
+                       '\n+(<math)', chr(10)||'\1', 'g'),
+                       '(</math>)\n+', '\1'||chr(10), 'g')
+                   ) AS cleaned
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+                   length(text) AS chars
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(len(list_filter(toks, x -> x IN
+                     ('the','a','and','of','to','in','is','for','on','with')))
+                     / len(toks), 4) AS stopword_ratio,
+                   round(len(regexp_extract_all(text, '[^\w\s]'))
+                     / length(text), 4) AS punct_density,
+                   round(length(regexp_replace(text, '\s+', '', 'g'))
+                     / len(toks), 4) AS mean_word_len,
+                   (len(toks) >= 10
+                    AND length(regexp_replace(text, '\s+', '', 'g')) / len(toks) < 15)
+                     AS passes_quality
+            FROM t
+        """,
+        "lang_id": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '\s+') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), s AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('the','and','of'))) AS score_en,
+                     len(list_filter(toks, x -> x IN ('der','und','das'))) AS score_de,
+                     len(list_filter(toks, x -> x IN ('le','et','les'))) AS score_fr
+              FROM t
+            )
+            SELECT doc_id, score_en, score_de, score_fr,
+                   CASE WHEN score_en >= score_de AND score_en >= score_fr
+                             AND score_en > 0 THEN 'en'
+                        WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+                        WHEN score_fr > 0 THEN 'fr'
+                        ELSE 'unknown' END AS pred_lang
+            FROM s
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+                   CAST(floor(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) / 100) * 100 AS BIGINT) AS len_bucket
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q_regional_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "f_filters_quarantine": """
+            SELECT doc_id, lang, n_chars,
+                   (text IS NOT NULL AND text NOT LIKE '~$%'
+                    AND n_chars <= 52428800) AS accepted
+            FROM documents
+        """,
+        "a4_batch_rollup": """
+            WITH agg AS (
+              SELECT event_type,
+                     count(*) AS total,
+                     CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+                     CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS failed
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, total, completed, failed,
+                   CASE WHEN completed = 0 THEN 'FAILED'
+                        WHEN failed = 0 THEN 'COMPLETED'
+                        ELSE 'PARTIAL' END AS status
+            FROM agg
+        """,
+        "o1_turn_ordering": """
+            SELECT user_id, rn, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "a6_collision_suffix": """
+            SELECT event_id,
+                   printf('%s_%d', event_type,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id)) AS unique_name
+            FROM events
+        """,
+        "o3_sessionize": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_id
+            FROM g
+        """,
+        "hourly_event_stats": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "a2_array_aggregate": """
+            SELECT event_id,
+                   round(0.0 + round(value, 2) + round(value * 2, 2) + 1.0, 2)
+                     AS total_duration
+            FROM events
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash,
+                   count(*) AS n_copies,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY md5(text) HAVING count(*) >= 1
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+              FROM documents WHERE text IS NOT NULL
+            ), sig AS (
+              SELECT doc_id,
+            {mh_mins}
+              FROM toks GROUP BY doc_id
+            ), bands AS (
+        {band_selects}
+            )
+            SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc_id
+            FROM bands GROUP BY band, bucket HAVING count(*) >= 2
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.toks, b.toks))
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard,
+                   (len(list_intersect(a.toks, b.toks))
+                     / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8) AS is_near_dup
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        "similarity_cosine_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < {similarity.N_QUERIES}
+            ), pairs AS (
+              SELECT q.query_id, e.vec_id,
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * qe[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+                          i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, vec_id, cosine FROM (
+              SELECT query_id, vec_id, round(cos, 4) AS cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY round(cos, 4) DESC, vec_id) AS rank
+              FROM pairs
+            ) WHERE rank <= {similarity.TOP_K}
+        """,
+        "similarity_embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                          i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                          i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 4) AS cosine,
+                   (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                          i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                          i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+                     >= 0.95) AS is_near_dup
+            FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        """,
+    }

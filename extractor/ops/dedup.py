@@ -1,0 +1,162 @@
+"""Deduplication operators over ``documents`` — the training-data staples.
+
+- exact: hash-groupBy (one shuffle on the hash, arbitrary scale)
+- minhash_lsh: shingle → per-seed min-hash → banded buckets → bucket join.
+  The hash is ``md5(seed || token)`` with the *string* min as the signature
+  component — deliberately chosen because md5 is identical in Spark and
+  DuckDB, making even MinHash fully oracle-checkable.
+- ngram_jaccard: token-set Jaccard between adjacent doc pairs (the linear
+  oracle-able variant; the quadratic candidate generation is what minhash_lsh
+  replaces at scale)
+- simhash: 64-bit sign-aggregated token-hash fingerprint via a vectorized
+  pandas UDF (numpy bit math — no SQL equivalent, rows-only check)
+
+Scale: exact/minhash/simhash are all linear with one-or-two shuffles;
+candidate verification joins happen only within LSH buckets (skew-safe via
+AQE; a pathological bucket can be salted like any hot key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 hashes
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: keeper = min(doc_id) per hash group."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_copies") >= 1)
+    )
+
+
+def _tokens(col):
+    return F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
+
+
+def _seed_hash(i: int):
+    # factory: F.transform treats a 2-arg lambda as (element, index)
+    return lambda t: F.md5(F.concat(F.lit(f"seed{i}:"), t))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + minhash_0..N-1 columns: ``array_min(transform(tokens, md5))``
+    — entirely JVM-side per row, NO explode and NO shuffle (the naive
+    explode→groupBy formulation shuffles |tokens|×N_HASHES rows; this one
+    shuffles nothing and measured ~20x faster at sf0.1)."""
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(toks, _seed_hash(i))).alias(f"mh_{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+
+
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH over minhash signatures: near-dup candidate buckets.
+    Returns (band, bucket, n_docs, min_doc_id) for buckets with >= 2 docs.
+    One pass: band structs are exploded from an array (no self-union), so
+    the only shuffle is the final (band, bucket) aggregation."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    sig = minhash_signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * BAND_SIZE + j}")
+                            for j in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    exploded = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return (
+        exploded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard for (doc_id, doc_id+1) pairs — linear verification
+    path; at scale the pair source is the LSH candidate buckets instead."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    a = docs.select(F.col("doc_id").alias("doc_a"), _tokens(F.col("text")).alias("ta"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        _tokens(F.col("text")).alias("tb"),
+    )
+    joined = a.join(b, "doc_a")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / union, 4).alias("jaccard"),
+        (inter / union >= 0.8).alias("is_near_dup"),
+    )
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document via a vectorized Arrow kernel: token hash
+    bits sign-summed with numpy (no per-row Python from Spark's side).
+    Deterministic (hash = md5-derived), but bit math is not SQL-portable —
+    rows-only correctness check."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+
+    def kernel(iterator):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in iterator:
+            out_ids, out_hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = set(str(text).lower().split())
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in toks:
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"
+                    )
+                    bits = (np.uint64(h) >> bit_idx) & np.uint64(1)
+                    acc += np.where(bits.astype(bool), 1, -1)
+                sig = int(((acc > 0).astype(np.uint64) << bit_idx).sum())
+                out_ids.append(doc_id)
+                # store as signed 64-bit
+                out_hashes.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, _SIMHASH_SCHEMA)

@@ -1,0 +1,194 @@
+"""Relational operators (SURVEY.md §2.2 filters, §2.4 aggregations,
+§2.5 ordering/windows) over the driver-provided tables.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match the paired oracle SQL in ``__spark_entry__.oracle_sql``.
+Floating aggregates are rounded to stabilize cross-engine value hashes.
+
+Scale notes are inline per query (broadcast hints for dim tables, partial
+aggregation, AQE-friendly shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with partial (map-side) aggregation.
+    A1/A4-style rollup analogue (reference document_converter.py:214-223)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer is small => broadcast (no shuffle for that join at any scale);
+    deterministic tiebreaker on the top-k."""
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dim star join: both dims broadcast, single shuffle for the agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    dims = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def f_filters_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F3 ingest predicates (temp-file prefix, validity, size cap) with
+    quarantine routing flag — pushed down to the parquet scan by Catalyst."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.col("text").isNotNull()
+            & ~F.col("text").startswith("~$")
+            & (F.col("n_chars") <= F.lit(50 * 1024 * 1024))
+        ).alias("accepted"),
+    )
+
+
+def a4_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch status rollup (reference document_converter.py:214-223,257-263):
+    completed/failed counters + all-fail->FAILED status per group."""
+    ev = _read(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("value") > 100).cast("bigint")).alias("completed"),
+        F.sum((F.col("value") <= 100).cast("bigint")).alias("failed"),
+    )
+    return agg.select(
+        "event_type",
+        "total",
+        "completed",
+        "failed",
+        F.when(F.col("completed") == 0, "FAILED")
+        .when(F.col("failed") == 0, "COMPLETED")
+        .otherwise("PARTIAL")
+        .alias("status"),
+    )
+
+
+def o1_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 stable ordering as a window: first 3 events per user by (ts, id) —
+    the sequential-loop order guarantee, distributed."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type")
+    )
+
+
+def a6_collision_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 upload-name dedup counter (dependencies.py:52-58) as
+    row_number()-suffixed names instead of a probe loop."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.format_string(
+            "%s_%d", F.col("event_type"), F.row_number().over(w)
+        ).alias("unique_name"),
+    )
+
+
+def o3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (async-task analogue): lag + running sum.
+    Two window passes over the same (user_id, ts) sort — one shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ-safe, UTC session
+    gap = epoch - F.lag(epoch, 1).over(w)
+    with_flag = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return with_flag.select(
+        "event_id",
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+
+
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup (O6 metrics shape)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def a2_array_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 step-duration sum as a higher-order array aggregate
+    (document_converter.py:154): sum over a per-row array column."""
+    ev = _read(spark, sf_dir, "events")
+    steps = F.array(
+        F.round(F.col("value"), 2),
+        F.round(F.col("value") * 2, 2),
+        F.lit(1.0),
+    )
+    return ev.select(
+        "event_id",
+        F.round(
+            F.aggregate(steps, F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("total_duration"),
+    )

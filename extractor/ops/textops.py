@@ -1,0 +1,133 @@
+"""Text-analysis operators over the ``documents`` table: the SQL-expressible
+extraction sub-operator (T10 cleanup) plus the training-data-pipeline text
+suite (token counting, quality scoring, language-ID heuristic,
+fingerprinting).  All JVM-side (`pyspark.sql.functions` only — codegen'd,
+no Python in the hot path); each has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+# Marker-word lists for the n-gram/keyword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def t10_markdown_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The T10 cleanup regex chain (html_processor.py:482-509) verbatim, as
+    chained regexp_replace — the reference core transform with a clean SQL
+    oracle.  A newline-/indent-heavy column is synthesized from the document
+    text first so every rule actually fires."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    messy = F.concat(
+        F.lit("> "),
+        F.substring("text", 1, 40),
+        F.lit("\n\n\n\n\n\t\t"),
+        F.substring("text", 41, 30),
+        F.lit("\n    indented tail\n\n\n<table>t</table>\n\n\n<math>m</math>\n\n\ndone"),
+    )
+    cleaned = messy
+    for pattern, repl in (
+        (r"(?m)^>\s*", ""),
+        (r"(?m)^\t+", ""),
+        (r"(?m)^    ", ""),
+        (r"\n{4,}", "\n\n\n"),
+        (r"\n{3}(?=\n)", "\n\n"),
+        (r"\n+(<table)", "\n$1"),
+        (r"(</table>)\n+", "$1\n\n"),
+        (r"\n+(<math)", "\n$1"),
+        (r"(</math>)\n+", "$1\n"),
+    ):
+        cleaned = F.regexp_replace(cleaned, pattern, repl)
+    return docs.select("doc_id", F.trim(cleaned).alias("cleaned"))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (word pieces and standalone punctuation)."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean word length, stopword ratio,
+    punctuation density — the jusText/C4-style heuristic family."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    tokens = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0))
+    mean_wl = F.length(F.regexp_replace("text", r"\s+", "")) / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_punct / F.length("text"), 4).alias("punct_density"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        (
+            (n_tokens >= 10)
+            & (n_stop / n_tokens >= 0.0)
+            & (mean_wl < 15)
+        ).alias("passes_quality"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-marker language-ID heuristic: per-language marker hit counts,
+    argmax via a deterministic greatest/CASE chain."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    tokens = F.split(F.lower("text"), r"\s+")
+
+    def _contains(arr):  # single-arg lambda: F.filter treats 2-arg as (x, i)
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {
+        lang: F.size(
+            F.filter(tokens, _contains(F.array(*[F.lit(x) for x in markers])))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    en, de, fr = scores["en"], scores["de"], scores["fr"]
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("score_en"),
+        de.alias("score_de"),
+        fr.alias("score_fr"),
+        pred.alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase text
+    (stable across engines), plus a coarse length bucket."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        (F.floor(F.length(normalized) / 100) * 100).cast("long").alias("len_bucket"),
+    )

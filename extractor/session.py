@@ -5,11 +5,17 @@ chosen to survive a 1000-executor / 100 TB deployment:
 
 - AQE on (runtime coalescing + skew-join splitting) — the safety net for the
   skewed conversation-length distribution.
-- Arrow batch size lowered from the 10k default: transcript turns can be long
-  strings; 10k-row batches of 50 KB turns = 500 MB per batch per core.  1024
-  keeps per-batch memory bounded (SURVEY.md §4 "Arrow memory for long turns").
+- Arrow batch size 8192: measured sweet spot on this box (1024 costs 3-4x in
+  per-batch overhead; 32k+ hurts memory locality).  For corpora with much
+  longer texts (50 KB+ turns), lower it so batch bytes stay ~tens of MB —
+  batch *bytes*, not rows, are what must stay bounded per core
+  (SURVEY.md §4 "Arrow memory for long turns").
 - shuffle partitions sized to cores in local mode; on a real cluster this is
   overridden per job (or left to AQE coalescing from a high initial value).
+- driver memory high: local mode = driver-only; Arrow batches of text from
+  32 concurrent tasks live on the JVM heap, and an undersized heap turns
+  into GC thrash that *inverts* scaling (measured: 8g heap made local[32]
+  2x slower than local[8]).
 """
 
 from __future__ import annotations
@@ -18,7 +24,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 1024
+ARROW_BATCH_ROWS = 8192
 
 
 def get_spark(
@@ -43,7 +49,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,127 @@
+"""Checkpoint/resume + bounded-retry tests, modeled on the reference's
+``test_retry_mechanism.py:75-164`` (deterministic fault injection, exact
+final-state assertions), lifted to partition level (SURVEY.md §5.3)."""
+
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from extractor.checkpoint import run_with_checkpoint, with_bucket
+from extractor.pipeline import extract_transcripts
+from extractor.transcripts import transcripts_df
+
+N_BUCKETS = 8
+
+
+def _make_hook(state_dir: str, fail_twice: set, fail_always: set):
+    """Executor-side hook: bucket in *fail_twice* raises on its first two
+    sightings (filesystem counter — shared state in local mode); bucket in
+    *fail_always* always raises."""
+
+    def hook(bucket: int) -> None:
+        if bucket in fail_always:
+            raise RuntimeError(f"injected permanent failure bucket={bucket}")
+        if bucket in fail_twice:
+            marker = Path(state_dir) / f"b{bucket}"
+            seen = len(list(Path(state_dir).glob(f"b{bucket}.*")))
+            if seen < 2:
+                (Path(state_dir) / f"b{bucket}.{seen}.{os.getpid()}").touch()
+                raise RuntimeError(f"injected transient failure bucket={bucket}")
+
+    return hook
+
+
+@pytest.fixture()
+def corpus(spark):
+    return transcripts_df(spark, n_convs=30, mean_turns=8, seed=7)
+
+
+def _clean_rows(spark, corpus):
+    out = extract_transcripts(corpus, sort_output=False)
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["error"])
+        for r in out.collect()
+    )
+
+
+def test_retry_rounds_recover_transient_failures(spark, corpus, tmp_path):
+    state = tmp_path / "state"
+    state.mkdir()
+    hook = _make_hook(str(state), fail_twice={0, 3}, fail_always=set())
+    summary = run_with_checkpoint(
+        corpus,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_buckets=N_BUCKETS,
+        groups_per_round=N_BUCKETS,  # one bucket per group -> per-bucket jobs
+        max_retries=3,
+        failure_hook=hook,
+    )
+    assert summary["status"] == "COMPLETED"
+    assert summary["buckets_failed"] == 0
+    assert len(summary["rounds"]) >= 2  # needed retries
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["error"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == _clean_rows(spark, corpus)
+
+
+def test_resume_processes_only_unfinished(spark, corpus, tmp_path):
+    state = tmp_path / "state"
+    state.mkdir()
+    # Run 1: bucket 2 always fails -> job ends FAILED with bucket 2 pending.
+    hook = _make_hook(str(state), fail_twice=set(), fail_always={2})
+    s1 = run_with_checkpoint(
+        corpus,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_buckets=N_BUCKETS,
+        groups_per_round=N_BUCKETS,
+        max_retries=2,
+        failure_hook=hook,
+    )
+    assert s1["status"] == "FAILED"
+    assert s1["buckets_failed"] == 1
+
+    # Run 2: no injection. Must process ONLY the unfinished bucket.
+    s2 = run_with_checkpoint(
+        corpus,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_buckets=N_BUCKETS,
+        groups_per_round=N_BUCKETS,
+        max_retries=2,
+    )
+    assert s2["status"] == "COMPLETED"
+    assert s2["buckets_already_completed"] == N_BUCKETS - 1
+    assert s2["rounds"][0]["processed"] == 1
+
+    # Final output identical to a clean full run.
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["error"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == _clean_rows(spark, corpus)
+
+    # Run 3: everything checkpointed -> nothing to do.
+    s3 = run_with_checkpoint(
+        corpus,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_buckets=N_BUCKETS,
+        groups_per_round=N_BUCKETS,
+    )
+    assert s3["buckets_already_completed"] == N_BUCKETS
+    assert s3["rounds"] == []
+
+
+def test_bucket_assignment_stable(spark, corpus):
+    a = with_bucket(corpus, N_BUCKETS).select("conv_id", "bucket").distinct()
+    b = with_bucket(corpus.repartition(13), N_BUCKETS).select(
+        "conv_id", "bucket"
+    ).distinct()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.groupBy("conv_id").count().where(F.col("count") > 1).count() == 0
