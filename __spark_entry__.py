@@ -123,6 +123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_sessionize": relational.o3_sessionize,
         "hourly_event_stats": relational.hourly_event_stats,
         "a2_array_aggregate": relational.a2_array_aggregate,
+        "s7_point_lookup": relational.s7_point_lookup,
+        "f5_existence_gate": relational.f5_existence_gate,
+        "set_op_retry_merge": relational.set_op_retry_merge,
+        "t14_lineage_stamp": relational.t14_lineage_stamp,
+        "rollup_event_hierarchy": relational.rollup_event_hierarchy,
         # dedup suite
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_buckets,
@@ -317,6 +322,39 @@ def oracle_sql() -> dict[str, str]:
                    round(0.0 + round(value, 2) + round(value * 2, 2) + 1.0, 2)
                      AS total_duration
             FROM events
+        """,
+        "s7_point_lookup": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42
+        """,
+        "f5_existence_gate": """
+            SELECT o_orderkey, o_orderstatus FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "set_op_retry_merge": """
+            WITH merged AS (
+              SELECT event_id, 1 AS round, 'failed' AS status
+              FROM events WHERE value <= 100
+              UNION ALL
+              SELECT event_id, 2 AS round, 'completed' AS status
+              FROM events WHERE value <= 100 AND value > 30
+            )
+            SELECT event_id, round, status FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_id
+                                           ORDER BY round DESC) AS rn
+              FROM merged
+            ) WHERE rn = 1
+        """,
+        "t14_lineage_stamp": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d %H.%M.%S') || '_AI Race' AS lineage_tag
+            FROM events
+        """,
+        "rollup_event_hierarchy": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash,

@@ -1,0 +1,173 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The image/audio codec libraries are not available in this environment, so
+the *decode* step is stubbed (deterministic fake for our synthetic payloads;
+``NotImplementedError`` for real ones) — but everything Spark-side is real
+and tested: the binary-column schema, the Arrow batch shape through
+``mapInPandas`` (bytes round-trip), partition-size control for large blobs,
+and the feature-extraction output schema.
+
+Synthetic payload format (deterministic, self-describing):
+    b"FAKEIMG|<width>|<height>|<fmt>|" + pseudo-random pixel bytes
+so the "decoder" can be exercised end-to-end without codecs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def synth_media_df(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table — generated on executors, like
+    ``extractor.transcripts`` (no driver-side data)."""
+
+    def gen(iterator):
+        import pandas as pd
+
+        kinds = ("image", "audio", "video")
+        fmts = ("png", "jpg", "bmp")
+        rows = []
+        for pdf in iterator:
+            for i in pdf["id"]:
+                i = int(i)
+                h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+                width = 16 + h[0] % 64
+                height = 16 + h[1] % 64
+                fmt = fmts[h[2] % 3]
+                body = (h * ((width * height) // len(h) + 1))[: width * height]
+                payload = f"FAKEIMG|{width}|{height}|{fmt}|".encode() + body
+                rows.append(
+                    (
+                        i,
+                        kinds[h[3] % 3],
+                        payload,
+                        {
+                            "width": width,
+                            "height": height,
+                            "format": fmt,
+                            "n_bytes": len(payload),
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+            rows = []
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
+    """STUB decode (clearly marked): real image decoding needs a codec
+    library not present in this container.  Synthetic payloads decode for
+    real; anything else raises — callers convert that to an error row."""
+    if payload is None:
+        raise ValueError("null payload")
+    if not payload.startswith(b"FAKEIMG|"):
+        raise NotImplementedError(
+            "real image decoding requires a codec library (PIL/libjpeg) "
+            "not available in this environment"
+        )
+    _, w, h, _fmt, body = payload.split(b"|", 4)
+    return int(w), int(h), body
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode → fixed-dim feature vector, as an Arrow-batched kernel.
+    Per-row errors are contained (O4 semantics), never failing the batch.
+
+    Scale: blobs make rows heavy — pair with a LOW arrow batch size and
+    ``spark.sql.files.maxPartitionBytes`` sized so (batch rows × blob size)
+    fits executor memory; the kernel itself is O(batch bytes)."""
+
+    def kernel(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, body = decode_payload(
+                        bytes(payload) if payload is not None else None
+                    )
+                    arr = np.frombuffer(body, dtype=np.uint8).astype(np.float32)
+                    # deterministic pooled "embedding": mean over strided bins
+                    pad = (-len(arr)) % FEATURE_DIM
+                    if pad:
+                        arr = np.pad(arr, (0, pad))
+                    feats = arr.reshape(FEATURE_DIM, -1).mean(axis=1) / 255.0
+                    out.append(
+                        (media_id, w, h, [float(x) for x in feats], None)
+                    )
+                except Exception as exc:
+                    out.append((media_id, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "features", "error"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def resize_meta(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize planning — pure metadata math, fully JVM-side: target dims
+    preserving aspect ratio (the byte-level resample is the stubbed part)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side)
+        / F.greatest(F.col("meta.width"), F.col("meta.height")).cast("double"),
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.round(F.col("meta.width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("meta.height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: explode frame indices 0..n step
+    every_n (n proxied from byte length).  Shows the explode-side-table
+    pattern for frame-level work without decoding."""
+    video = media.where(F.col("kind") == "video")
+    n_frames = (F.col("meta.n_bytes") / 256).cast("int")
+    return video.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames, F.lit(every_n))).alias("frame_idx"),
+    )

@@ -192,3 +192,66 @@ def a2_array_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(steps, F.lit(0.0), lambda acc, x: acc + x), 2
         ).alias("total_duration"),
     )
+
+
+def s7_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 download-one-doc point lookup (routes.py:226-244): predicate
+    pushed to the parquet scan (PushedFilters in the physical plan)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") == 42).select("doc_id", "lang", "n_chars")
+
+
+def f5_existence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 existence/validity gate (dependencies.py:75-102) as a left ANTI
+    join: orders with no lineitems — the 'empty directory -> 404' analogue.
+    Also the checkpoint-resume join shape (O2)."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(li, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+def set_op_retry_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-round result merge (watermark.py:277-279) as unionByName +
+    dedup-by-key keeping the latest round (row_number over rounds)."""
+    ev = _read(spark, sf_dir, "events")
+    round1 = ev.where(F.col("value") <= 100).select(
+        "event_id", F.lit(1).alias("round"), F.lit("failed").alias("status")
+    )
+    round2 = ev.where((F.col("value") <= 100) & (F.col("value") > 30)).select(
+        "event_id", F.lit(2).alias("round"), F.lit("completed").alias("status")
+    )
+    merged = round1.unionByName(round2)
+    w = Window.partitionBy("event_id").orderBy(F.col("round").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "round", "status")
+    )
+
+
+def t14_lineage_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 watermark stamp (watermark.py:55-141 '{ts}_AI Race' header) as a
+    provenance column: deterministic per-row tag, idempotent by construction
+    (re-running produces the same tag -> overwrite-by-key semantics)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.format_string(
+            "%s_AI Race", F.date_format("ts", "yyyy-MM-dd HH.mm.ss")
+        ).alias("lineage_tag"),
+    )
+
+
+def rollup_event_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup over (event_type, hour): subtotals + grand total
+    in one pass (partial-agg friendly)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
