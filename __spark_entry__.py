@@ -13,9 +13,90 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from extractor.boilerplate import strip_boilerplate_batch
+from extractor.layout import parse_layout_batch, synth_layout_doc
 from extractor.ops import dedup, relational, similarity, textops
 from extractor.pipeline import extract_transcripts, lineage_manifest
 from extractor.transcripts import transcripts_df
+
+
+def _boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText/readability-style main-content extraction (north-star DOM
+    heuristics): documents wrapped in deterministic page chrome, kernel
+    strips nav/footer/link-farm blocks.  Rows-only (DOM heuristic kernel)."""
+    from pyspark.sql import types as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<nav><a href="/">Home</a> <a href="/a">About</a> '
+                '<a href="/c">Contact</a></nav><h1>Document</h1><p>'
+            ),
+            F.col("text"),
+            F.lit(
+                '</p><div><a href="/x">Rel1</a> <a href="/y">Rel2</a></div>'
+                '<footer><a href="/p">Privacy</a></footer>'
+            ),
+        ).alias("html"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("main_text", T.StringType()),
+            T.StructField("n_blocks", T.IntegerType()),
+            T.StructField("n_good", T.IntegerType()),
+            T.StructField("boilerplate_ratio", T.DoubleType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def kernel(iterator):
+        for pdf in iterator:
+            out = strip_boilerplate_batch(pdf["html"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return wrapped.mapInPandas(kernel, schema)
+
+
+def _layout_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout-parse axis: deterministic synthetic layout docs linearized
+    to text + reading-order spans.  Rows-only (geometry kernel)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_pages", T.IntegerType()),
+            T.StructField("n_blocks", T.IntegerType()),
+            T.StructField("text_len", T.IntegerType()),
+            T.StructField("n_spans", T.IntegerType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def kernel(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            payloads = pd.Series(
+                [synth_layout_doc(42, int(i)) for i in pdf["id"]], dtype=object
+            )
+            out = parse_layout_batch(payloads)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"].values,
+                    "n_pages": out["n_pages"],
+                    "n_blocks": out["n_blocks"],
+                    "text_len": out["text"].str.len().fillna(0).astype("int32"),
+                    "n_spans": out["spans"].map(len),
+                    "error": out["error"],
+                }
+            )
+
+    return spark.range(300).mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -106,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_documents": _extract_documents,
         "extract_transcripts_pipeline": _extract_synth_transcripts,
         "extraction_lineage": _extraction_lineage,
+        "boilerplate_strip": _boilerplate_strip,
+        "layout_linearize": _layout_linearize,
         # T10 + text-analysis suite (oracle-checked)
         "t10_markdown_cleanup": textops.t10_markdown_cleanup,
         "token_stats": textops.token_stats,
