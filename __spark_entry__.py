@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_buckets,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_adjacent,
         "dedup_simhash": dedup.simhash,  # rows-only
+        "dedup_simhash_pairs": dedup.simhash_neardup_pairs,  # rows-only
         # similarity suite
         "similarity_cosine_topk": similarity.cosine_topk,
         "similarity_embedding_neardup": similarity.embedding_cosine_neardup,

@@ -160,3 +160,53 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
 
     return docs.select("doc_id", "text").mapInPandas(kernel, _SIMHASH_SCHEMA)
+
+
+SIMHASH_BANDS = 4  # 16 bits each; near-dups (hamming<=3) collide in >=1 band
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate candidate pairs: band the 64-bit fingerprint
+    into 4x16-bit keys (pigeonhole: hamming<=3 => at least one band equal),
+    self-join within band buckets only, verify with bit_count(xor) — the
+    classic Manku/Jain/Sarma web-dedup topology, all JVM-side after the
+    fingerprint kernel.  Rows-only check (bit math not oracle-portable)."""
+    sig = simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    left = bands.select(
+        "band", "key",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+    )
+    right = bands.select(
+        "band", "key",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= 12)

@@ -1,0 +1,58 @@
+"""Property-based robustness tests (hypothesis): the kernels must never
+raise and must keep their invariants on arbitrary adversarial input —
+the 100 TB posture where every malformed document WILL occur."""
+
+from hypothesis import given, settings, strategies as st
+
+from extractor.boilerplate import strip_boilerplate
+from extractor.kernel import convert_text
+from extractor.layout import parse_layout
+
+# text with a bias toward HTML-ish structure and placeholder collisions
+_tags = st.sampled_from(
+    ["<table>", "</table>", "<tr>", "<td>", "<math>", "</math>", "<p>",
+     "</p>", "<img src='x'>", "<span class='math'>", "</span>", "<a href='#'>",
+     "</a>", "<pre>", "</pre>", "<blockquote>", "___MATH_PLACEHOLDER_0___",
+     "___TABLE_PLACEHOLDER_0___", "$", "\\", "\n", "\t", "    ", ">"]
+)
+_html_soup = st.lists(
+    st.one_of(_tags, st.text(max_size=20)), max_size=30
+).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(st.text(max_size=400), _html_soup))
+def test_kernel_total_and_deterministic(text):
+    r1 = convert_text(text)
+    r2 = convert_text(text)
+    assert r1.extracted_text == r2.extracted_text
+    assert r1.error == r2.error
+    assert (r1.extracted_text is None) == (r1.error is not None)
+    if r1.extracted_text is not None:
+        assert r1.output_length == len(r1.extracted_text)
+        # final text never has leading/trailing whitespace (T10 .strip())
+        assert r1.extracted_text == r1.extracted_text.strip()
+        for s in r1.spans:
+            assert 0 <= s["start"] <= s["end"] <= len(r1.extracted_text)
+            snippet = r1.extracted_text[s["start"] : s["end"]]
+            assert snippet == snippet.strip() and snippet
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.one_of(st.text(max_size=300), _html_soup))
+def test_boilerplate_total(text):
+    r = strip_boilerplate(text)
+    assert (r.main_text is None) == (r.error is not None)
+    if r.main_text is not None:
+        assert 0.0 <= r.boilerplate_ratio <= 1.0
+        assert r.n_good <= r.n_blocks
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.one_of(st.binary(max_size=200), st.text(max_size=200)))
+def test_layout_total(payload):
+    r = parse_layout(payload)
+    assert (r.text is None) == (r.error is not None)
+    if r.text is not None:
+        for s in r.spans:
+            assert 0 <= s["start"] <= s["end"] <= len(r.text)
