@@ -131,6 +131,31 @@ def _extract_synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _images_side_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A3 image inventory: explode the kernel's images array to a side
+    table keyed by (conv_id, turn_idx) — the reference's ImageInfo list
+    (app/models.py:52-58) as a relational table.  Rows-only (kernel-fed)."""
+    df = transcripts_df(spark, n_convs=120, mean_turns=10, seed=42)
+    out = extract_transcripts(df, sort_output=False)
+    return (
+        out.where(F.size("images") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.explode("images").alias("img"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("img.src").alias("src"),
+            F.col("img.alt").alias("alt"),
+            F.col("img.title").alias("title"),
+            F.col("img.filename").alias("filename"),
+            F.col("img.in_table").alias("in_table"),
+        )
+    )
+
+
 def _extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage/metrics rows for the documents extraction.
     Partition composition varies with parallelism → aggregate to one
@@ -189,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_lineage": _extraction_lineage,
         "boilerplate_strip": _boilerplate_strip,
         "layout_linearize": _layout_linearize,
+        "images_side_table": _images_side_table,
         # T10 + text-analysis suite (oracle-checked)
         "t10_markdown_cleanup": textops.t10_markdown_cleanup,
         "token_stats": textops.token_stats,
@@ -207,6 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_stats": relational.hourly_event_stats,
         "a2_array_aggregate": relational.a2_array_aggregate,
         "s7_point_lookup": relational.s7_point_lookup,
+        "s8_delete_rewrite": relational.s8_delete_rewrite,
+        "o1_ordered_concat": relational.o1_ordered_concat,
         "f5_existence_gate": relational.f5_existence_gate,
         "set_op_retry_merge": relational.set_op_retry_merge,
         "t14_lineage_stamp": relational.t14_lineage_stamp,
@@ -409,6 +437,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s7_point_lookup": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42
+        """,
+        "s8_delete_rewrite": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
+        "o1_ordered_concat": """
+            SELECT user_id,
+                   string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "f5_existence_gate": """
             SELECT o_orderkey, o_orderstatus FROM orders o

@@ -54,6 +54,9 @@ class ExtractionResult:
     images_count: int = 0
     output_length: int = 0
     error: str | None = None
+    # image inventory (reference ImageInfo, app/models.py:52-58; built at
+    # html_processor.py:250-261,408-415) — explodes to the S6 side table
+    images: list = field(default_factory=list)
 
 
 def _basename(src: str) -> str:
@@ -307,6 +310,16 @@ def convert_text(text: str | None, max_chars: int = MAX_TEXT_CHARS) -> Extractio
             math_count=len(maths),
             images_count=len(images),
             output_length=len(markdown),
+            images=[
+                {
+                    "src": i["src"],
+                    "alt": i["alt"],
+                    "title": i["title"],
+                    "filename": i["filename"],
+                    "in_table": bool(i.get("in_table", False)),
+                }
+                for i in images
+            ],
         )
     except Exception as exc:  # mirrors reference :123-126 error containment
         return ExtractionResult(
@@ -332,6 +345,7 @@ def convert_batch(texts, max_chars: int = MAX_TEXT_CHARS):
                 r.images_count,
                 r.output_length,
                 r.error,
+                r.images,
             )
         )
     return pd.DataFrame(
@@ -344,5 +358,6 @@ def convert_batch(texts, max_chars: int = MAX_TEXT_CHARS):
             "images_count",
             "output_length",
             "error",
+            "images",
         ],
     )

@@ -255,3 +255,32 @@ def rollup_event_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.rollup("event_type", F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+def o1_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-reassembly shape: per-group ordered concatenation
+    (collect_list of (ts, id, value) structs -> sort_array -> concat_ws) —
+    the distributed form of 'join the turns back in order' that validates
+    O1 ordering end-to-end through an aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    packed = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "|", F.transform(packed, lambda s: s["event_type"])
+        ).alias("event_seq"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def s8_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 row-level delete (routes.py:247-265 DELETE endpoint) as a
+    copy-on-write anti-join rewrite — how an Iceberg DELETE FROM executes:
+    keep every row whose key is not in the delete set."""
+    docs = _read(spark, sf_dir, "documents")
+    delete_keys = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    return (
+        docs.join(F.broadcast(delete_keys), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -64,6 +64,20 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("images_count", T.IntegerType()),
         T.StructField("output_length", T.IntegerType()),
         T.StructField("error", T.StringType()),
+        T.StructField(
+            "images",  # S6 inventory: explode() to the image side table
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("src", T.StringType()),
+                        T.StructField("alt", T.StringType()),
+                        T.StructField("title", T.StringType()),
+                        T.StructField("filename", T.StringType()),
+                        T.StructField("in_table", T.BooleanType()),
+                    ]
+                )
+            ),
+        ),
         T.StructField("bytes_in", T.LongType()),
         T.StructField("part_id", T.IntegerType()),
         T.StructField("kernel_secs", T.DoubleType()),

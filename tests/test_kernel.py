@@ -28,6 +28,7 @@ def test_kernel_matches_golden(name):
     assert result.images_count == expected["images_count"]
     assert result.output_length == expected["output_length"]
     assert result.spans == expected["spans"]
+    assert result.images == expected["images"]
 
 
 def test_all_golden_cases_present():
