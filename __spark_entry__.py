@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_event_hierarchy": relational.rollup_event_hierarchy,
         # dedup suite
         "dedup_exact": dedup.exact_dedup,
+        "dedup_apply": dedup.dedup_apply,
+        "corpus_curation": dedup.corpus_curation,
         "dedup_minhash_lsh": dedup.minhash_lsh_buckets,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_adjacent,
         "dedup_simhash": dedup.simhash,  # rows-only
@@ -484,6 +486,31 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc_id
             FROM documents WHERE text IS NOT NULL
             GROUP BY md5(text) HAVING count(*) >= 1
+        """,
+        "dedup_apply": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM documents WHERE text IS NOT NULL
+            ) WHERE rn = 1
+        """,
+        "corpus_curation": r"""
+            WITH gated AS (
+              SELECT doc_id, lang, source, n_chars, text,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     length(regexp_replace(text, '\s+', '', 'g'))
+                       / len(regexp_split_to_array(trim(text), '\s+')) AS mean_wl
+              FROM documents
+              WHERE text IS NOT NULL
+                AND n_chars BETWEEN 100 AND 52428800
+            )
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM gated WHERE n_tokens >= 20 AND mean_wl < 15
+            ) WHERE rn = 1
         """,
         "dedup_minhash_lsh": f"""
             WITH toks AS (

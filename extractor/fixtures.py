@@ -118,6 +118,42 @@ FIXTURE_CASES: dict[str, str | None] = {
     # --- sloppy real-world HTML ------------------------------------------
     "unclosed_tags": "<p>para one<p>para two<ul><li>a<li>b</ul>",
     "entities": "<p>5 &lt; 6 &amp;&amp; 7 &gt; 3 &mdash; &quot;ok&quot;</p>",
+    # --- operator interaction cases --------------------------------------
+    "math_in_table_cell": (
+        # tables extract FIRST (T7 order), so in-cell math is flattened to
+        # its text by get_text, never becoming a math placeholder
+        '<table><tr><th>eq</th><th>name</th></tr>'
+        '<tr><td><span class="math">E=mc^2</span></td><td>einstein</td></tr>'
+        "</table>"
+    ),
+    "list_in_blockquote": (
+        "<blockquote><p>quoth:</p><ul><li>item a</li><li>item b</li></ul>"
+        "</blockquote>"
+    ),
+    "table_after_list": (
+        "<ul><li>first</li><li>second</li></ul>"
+        "<table><tr><th>k</th></tr><tr><td>v</td></tr></table>"
+    ),
+    "link_with_emphasis": (
+        '<p>A <a href="https://x.example"><strong>bold link</strong></a> and '
+        '<em><a href="https://y.example">italic link</a></em>.</p>'
+    ),
+    "entities_in_table": (
+        "<table><tr><th>expr</th></tr><tr><td>a &lt; b &amp;&amp; c</td></tr>"
+        "</table>"
+    ),
+    "dl_definition_list": (
+        "<dl><dt>term</dt><dd>definition text here</dd>"
+        "<dt>term2</dt><dd>second definition</dd></dl>"
+    ),
+    "two_maths_same_latex": (
+        '<p><span class="math">x+y</span> then <span class="math">x+y</span></p>'
+    ),
+    "image_between_paragraphs": (
+        '<p>before</p><img src="a/b.png" alt="mid"><p>after</p>'
+    ),
+    "crlf_newlines": "<p>line1</p>\r\n\r\n\r\n\r\n<p>line2</p>",
+    "only_boilerplate_tags": "<div><span></span><b></b></div>",
 }
 
 

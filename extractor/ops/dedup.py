@@ -210,3 +210,42 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.where(F.col("hamming") <= 12)
+
+
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply exact dedup: keep the lowest doc_id per content hash (the
+    keeper policy of exact_dedup), returning the surviving documents —
+    window row_number, one shuffle on the content hash."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style curation pipeline composed end-to-end: dedup keeper ∘
+    quality gate (token count, mean word length) ∘ size filter — the
+    standard pre-training corpus pass, one declarative plan."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(toks)
+    mean_wl = F.length(F.regexp_replace("text", r"\s+", "")) / n_tokens
+    gated = docs.where(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_chars") <= 50 * 1024 * 1024)
+        & (n_tokens >= 20)
+        & (mean_wl < 15)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

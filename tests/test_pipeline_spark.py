@@ -91,3 +91,33 @@ def test_lineage_manifest(spark):
         assert 0.0 <= m["null_extraction_rate"] <= 1.0
     # The corpus includes NULL-text turns, so some nulls must be reported.
     assert sum(m["null_rows"] for m in manifest) > 0
+
+
+def test_salting_splits_hot_conversations(spark):
+    """A conversation above the salt threshold must actually spread across
+    multiple kernel-stage partitions (the whole point of salting), while
+    output ordering stays (conv_id, turn_idx)-stable."""
+    from pyspark.sql import functions as F
+
+    df = transcripts_df(spark, n_convs=60, mean_turns=20, seed=13)
+    lengths = {r["conv_id"]: r["n"] for r in
+               df.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
+    hot = [c for c, n in lengths.items() if n > 60]
+    assert hot, "corpus must contain at least one hot conversation"
+
+    out = extract_transcripts(
+        df, partition_mode="hash_conv", salt_threshold=60, salt_buckets=4,
+        num_partitions=16, sort_output=False,
+    )
+    spread = (
+        out.groupBy("conv_id")
+        .agg(F.countDistinct("part_id").alias("n_parts"))
+        .collect()
+    )
+    spread = {r["conv_id"]: r["n_parts"] for r in spread}
+    for c in hot:
+        assert spread[c] > 1, f"hot conv {c} ({lengths[c]} turns) not split"
+    # cold conversations stay on one partition (no gratuitous scatter)
+    cold = [c for c, n in lengths.items() if n <= 60]
+    single = sum(1 for c in cold if spread[c] == 1)
+    assert single >= len(cold) * 0.9
