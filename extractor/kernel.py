@@ -291,12 +291,31 @@ def _compute_spans(text: str, tables: dict, maths: dict, images: list) -> list:
     return spans
 
 
+_WS_COLLAPSE = re.compile(r"[ \t\r\n\f\v]+")
+_BQ_PREFIX = re.compile(r">\s*(.*)", re.DOTALL)
+
+
 def convert_text(text: str | None, max_chars: int = MAX_TEXT_CHARS) -> ExtractionResult:
     """Full T2–T10 pipeline over one turn's text. Never raises (O4)."""
     if text is None:
         return ExtractionResult(None, error="null_input")
     if len(text) > max_chars:  # F3 size predicate → quarantine row
         return ExtractionResult(None, error=f"size_exceeded:{len(text)}")
+    if "<" not in text and "&" not in text:
+        # Plain-prose fast path: with no markup and no entities, the full
+        # pipeline reduces to whitespace-collapse (T8 on a bare text node)
+        # followed by the T10 cleanup chain — and on a collapsed single-line
+        # string only T10's leading-"^>\s*" rule can fire (no newlines, no
+        # tabs, no leading 4-space run, no <table>/<math> literals survive
+        # the "<" guard).  Byte-identical to the slow path (equivalence
+        # property-tested); skips DOM parse entirely — the common case in
+        # real transcript corpora.
+        collapsed = _WS_COLLAPSE.sub(" ", text).strip()
+        if collapsed.startswith(">"):
+            collapsed = _BQ_PREFIX.match(collapsed).group(1).strip()
+        return ExtractionResult(
+            extracted_text=collapsed, output_length=len(collapsed)
+        )
     try:
         doc = parse_html(text)
         tables, maths, images = _extract_special_elements(doc)

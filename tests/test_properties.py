@@ -56,3 +56,27 @@ def test_layout_total(payload):
     if r.text is not None:
         for s in r.spans:
             assert 0 <= s["start"] <= s["end"] <= len(r.text)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_characters="<&"), max_size=300))
+def test_fastpath_equals_slowpath(text):
+    """The plain-text fast path must be byte-identical to the full DOM
+    pipeline on markup-free input."""
+    from extractor.dom import parse_html
+    from extractor.kernel import (
+        _extract_special_elements,
+        _restore_special_elements,
+        clean_markdown,
+    )
+    from extractor.linearize import linearize
+
+    fast = convert_text(text)
+
+    # force the slow path
+    doc = parse_html(text)
+    tables, maths, images = _extract_special_elements(doc)
+    slow = clean_markdown(
+        _restore_special_elements(linearize(doc), tables, maths, images)
+    )
+    assert fast.extracted_text == slow
