@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from extractor.boilerplate import strip_boilerplate_batch
 from extractor.layout import parse_layout_batch, synth_layout_doc
 from extractor.ops import dedup, relational, similarity, textops
-from extractor.pipeline import extract_transcripts, lineage_manifest
+from extractor.pipeline import (
+    extract_transcripts,
+    lineage_manifest,
+    stitch_conversations,
+)
 from extractor.transcripts import transcripts_df
 
 
@@ -156,6 +160,14 @@ def _images_side_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conversation_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream-trainer view: one markdown doc per conversation via
+    applyInPandas over hash(conv_id) groups.  Rows-only (kernel-fed)."""
+    df = transcripts_df(spark, n_convs=100, mean_turns=10, seed=42)
+    out = extract_transcripts(df, sort_output=False)
+    return stitch_conversations(out)
+
+
 def _extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage/metrics rows for the documents extraction.
     Partition composition varies with parallelism → aggregate to one
@@ -215,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": _boilerplate_strip,
         "layout_linearize": _layout_linearize,
         "images_side_table": _images_side_table,
+        "conversation_stitch": _conversation_stitch,
         # T10 + text-analysis suite (oracle-checked)
         "t10_markdown_cleanup": textops.t10_markdown_cleanup,
         "token_stats": textops.token_stats,

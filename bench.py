@@ -46,6 +46,8 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     "extract_documents",
+    "boilerplate_strip",
+    "corpus_curation",
 )
 
 
@@ -148,7 +150,11 @@ def _machine_control(n_convs: int = 6000) -> dict:
             return total / (time.monotonic() - t0)
 
     small, large = SCALING_PAIRS[-1]
-    thr_small, thr_large = run(small), run(large)
+    # interleaved best-of-2 (same rationale as the Spark scaling runs)
+    thr_small = thr_large = 0.0
+    for _ in range(2):
+        thr_small = max(thr_small, run(small))
+        thr_large = max(thr_large, run(large))
     return {
         "n_cores": small,
         "4n_cores": large,
@@ -188,9 +194,16 @@ def main() -> None:
     spark.stop()
 
     # --- scaling: same extraction job at two (N, 4N) core pairs -----------
+    # Two interleaved rounds per core count, keep the best: the shared host's
+    # external load swings on a minutes timescale, and noise only ever slows
+    # a run, so per-config best is the machine-limited estimator.
     runs: dict[int, dict] = {}
-    for cores in sorted({c for pair in SCALING_PAIRS for c in pair}):
-        runs[cores] = _extraction_run(cores, corpus_path)
+    all_cores = sorted({c for pair in SCALING_PAIRS for c in pair})
+    for _round in range(2):
+        for cores in all_cores:
+            r = _extraction_run(cores, corpus_path)
+            if cores not in runs or r["turns_per_sec"] > runs[cores]["turns_per_sec"]:
+                runs[cores] = r
     pairs = []
     for small_c, large_c in SCALING_PAIRS:
         small, large = runs[small_c], runs[large_c]

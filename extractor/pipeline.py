@@ -213,3 +213,46 @@ def lineage_manifest(extracted: DataFrame) -> DataFrame:
             "null_extraction_rate", F.col("null_rows") / F.col("turns")
         )
     )
+
+
+STITCH_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.IntegerType()),
+        T.StructField("n_errors", T.IntegerType()),
+        T.StructField("conversation_markdown", T.StringType()),
+    ]
+)
+
+
+def stitch_conversations(extracted: DataFrame) -> DataFrame:
+    """Reassemble one markdown document per conversation from extracted
+    turns — the downstream-trainer view.  ``applyInPandas`` over the
+    conv_id group: each group arrives as one pandas frame, is sorted by
+    turn_idx (stable order regardless of upstream salting), and rendered
+    as ``[role] text`` sections.
+
+    Scale: groups are conversations (bounded by the longest conversation,
+    which the salt threshold caps upstream for the kernel stage; stitching
+    itself must see the whole conversation, so this is the one operator
+    that genuinely requires conv-colocation — exactly what hash(conv_id)
+    partitioning provides, one shuffle)."""
+
+    def stitch(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("turn_idx")
+        parts = []
+        for role, text in zip(pdf["role"], pdf["extracted_text"]):
+            if text:
+                parts.append(f"[{role or 'unknown'}]\n{text}")
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "n_errors": [int(pdf["error"].notna().sum())],
+                "conversation_markdown": ["\n\n".join(parts)],
+            }
+        )
+
+    return extracted.groupBy("conv_id").applyInPandas(stitch, STITCH_SCHEMA)

@@ -121,3 +121,24 @@ def test_salting_splits_hot_conversations(spark):
     cold = [c for c, n in lengths.items() if n <= 60]
     single = sum(1 for c in cold if spread[c] == 1)
     assert single >= len(cold) * 0.9
+
+
+def test_stitch_conversations(spark):
+    from extractor.pipeline import stitch_conversations
+
+    df = transcripts_df(spark, n_convs=20, mean_turns=8, seed=9)
+    out = extract_transcripts(df, sort_output=False)
+    stitched = {r["conv_id"]: r for r in stitch_conversations(out).collect()}
+    assert len(stitched) == 20
+    # order check: rebuild one conversation by hand
+    conv = "conv_00000003"
+    expected_parts = []
+    rows = sorted(
+        (r for r in generate_conversation(9, 3, 8)), key=lambda r: r[1]
+    )
+    for conv_id, turn_idx, role, text, tool, ts in rows:
+        r = convert_text(text)
+        if r.extracted_text:
+            expected_parts.append(f"[{role}]\n{r.extracted_text}")
+    assert stitched[conv]["conversation_markdown"] == "\n\n".join(expected_parts)
+    assert stitched[conv]["n_turns"] == len(rows)
