@@ -154,6 +154,7 @@ FIXTURE_CASES: dict[str, str | None] = {
     ),
     "crlf_newlines": "<p>line1</p>\r\n\r\n\r\n\r\n<p>line2</p>",
     "only_boilerplate_tags": "<div><span></span><b></b></div>",
+    "top_level_inline": "before <strong>bold</strong> and <em>em</em> after",
 }
 
 

@@ -144,11 +144,12 @@ def _render_block(node: Element, writer: _Writer, quote_depth: int = 0) -> None:
         if tag in _DROP_TAGS:
             continue
         if tag not in _BLOCK_TAGS:
-            _render_inline(child, pending) if tag != "br" else pending.append(
-                "\x00BR\x00"
-            )
             if tag == "br":
-                continue
+                pending.append("\x00BR\x00")
+            else:
+                # render the element itself (keeps **strong**/_em_/links for
+                # inline elements sitting directly under a block container)
+                _render_inline_single(child, pending)
             continue
 
         # A block child: flush any pending inline run first.

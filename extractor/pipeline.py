@@ -115,16 +115,30 @@ def _extract_iter(iterator):
 
 
 def salted_partition_key(
-    df: DataFrame, salt_threshold: int, salt_buckets: int
+    df: DataFrame,
+    salt_threshold: int,
+    salt_buckets: int,
+    hot_sample_fraction: float | None = None,
 ) -> DataFrame:
     """Add ``part_key``: xxhash64(conv_id) with per-turn salt for hot convs.
 
     The hot-key set comes from a cheap pre-pass count (map-side partial agg;
     at 10^12 turns this aggregates to ~n_convs rows) broadcast-joined back —
     replaces the reference's absent skew handling (SURVEY.md §4).
+
+    *hot_sample_fraction*: at very large scale the exact pre-pass is a full
+    extra input scan; a seeded sample (e.g. 0.01) finds the same heavy
+    hitters at 1% of the scan cost — salting is a placement hint, so a
+    missed borderline key costs balance, never correctness (the determinism
+    test runs both modes).  The threshold is scaled by the fraction.
     """
-    counts = df.groupBy("conv_id").agg(F.count("*").alias("conv_turns"))
-    hot = counts.filter(F.col("conv_turns") > salt_threshold).select(
+    if hot_sample_fraction:
+        source = df.sample(fraction=hot_sample_fraction, seed=42)
+        threshold = max(int(salt_threshold * hot_sample_fraction), 1)
+    else:
+        source, threshold = df, salt_threshold
+    counts = source.groupBy("conv_id").agg(F.count("*").alias("conv_turns"))
+    hot = counts.filter(F.col("conv_turns") > threshold).select(
         "conv_id", F.lit(True).alias("is_hot")
     )
     return (
@@ -148,6 +162,7 @@ def extract_transcripts(
     salt_threshold: int = 500,
     salt_buckets: int = 8,
     sort_output: bool = True,
+    hot_sample_fraction: float | None = None,
 ) -> DataFrame:
     """Run the extraction kernel over a transcripts DataFrame.
 
@@ -170,7 +185,9 @@ def extract_transcripts(
 
     if partition_mode == "hash_conv":
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-        slim = salted_partition_key(slim, salt_threshold, salt_buckets)
+        slim = salted_partition_key(
+            slim, salt_threshold, salt_buckets, hot_sample_fraction
+        )
         slim = slim.repartition(n, "part_key").drop("salt", "part_key", "conv_turns")
     elif partition_mode != "map_only":
         raise ValueError(f"unknown partition_mode: {partition_mode}")

@@ -142,3 +142,18 @@ def test_stitch_conversations(spark):
             expected_parts.append(f"[{role}]\n{r.extracted_text}")
     assert stitched[conv]["conversation_markdown"] == "\n\n".join(expected_parts)
     assert stitched[conv]["n_turns"] == len(rows)
+
+
+def test_sampled_hot_detection_same_results(spark, expected):
+    """Sample-based hot-key detection is a placement hint only: output must
+    be identical to exact detection."""
+    df = transcripts_df(spark, n_convs=N_CONVS, mean_turns=MEAN_TURNS, seed=SEED)
+    out = extract_transcripts(
+        df, partition_mode="hash_conv", salt_threshold=30, salt_buckets=4,
+        hot_sample_fraction=0.3,
+    ).collect()
+    assert len(out) == len(expected)
+    for row in out:
+        exp_text, exp_err = expected[(row["conv_id"], row["turn_idx"])]
+        assert row["extracted_text"] == exp_text
+        assert row["error"] == exp_err
