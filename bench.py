@@ -187,10 +187,14 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        df = fn(spark, SF_DIR)
-        t0 = time.monotonic()
-        _noop(df)
-        per_query[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2 (shared-host noise)
+            df = fn(spark, SF_DIR)
+            t0 = time.monotonic()
+            _noop(df)
+            wall = time.monotonic() - t0
+            best = wall if best is None else min(best, wall)
+        per_query[name] = round(best, 3)
     spark.stop()
 
     # --- scaling: same extraction job at two (N, 4N) core pairs -----------
