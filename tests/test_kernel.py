@@ -89,3 +89,12 @@ def test_duplicate_math_spans_distinct():
     assert r.math_count == 2
     starts = [s["start"] for s in r.spans]
     assert len(starts) == len(set(starts)) == 2
+
+
+def test_pathological_nesting_contained():
+    """Adversarially deep nesting must yield an error ROW (like the
+    reference's outer handler when bs4 recursion blows), never a crash."""
+    r = convert_text("<div>" * 5000 + "deep" + "</div>" * 5000)
+    assert r.extracted_text is None and "recursion" in r.error
+    r2 = convert_text("<table><tr><td>" * 800 + "x")
+    assert r2.extracted_text is None and r2.error

@@ -157,3 +157,16 @@ def test_sampled_hot_detection_same_results(spark, expected):
         exp_text, exp_err = expected[(row["conv_id"], row["turn_idx"])]
         assert row["extracted_text"] == exp_text
         assert row["error"] == exp_err
+
+
+def test_split_quarantine(spark):
+    from extractor.pipeline import split_quarantine
+
+    df = transcripts_df(spark, n_convs=30, mean_turns=10, seed=17)
+    out = extract_transcripts(df, sort_output=False)
+    good, quarantined = split_quarantine(out)
+    n_good, n_bad, n_all = good.count(), quarantined.count(), out.count()
+    assert n_good + n_bad == n_all
+    assert n_bad > 0  # corpus contains NULL turns
+    assert good.where("error is not null").count() == 0
+    assert quarantined.where("error is null").count() == 0

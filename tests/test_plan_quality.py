@@ -93,3 +93,11 @@ def test_extraction_scan_prunes_unused_columns(spark):
     assert read_schema
     assert "value" not in read_schema[0]
     assert "user_id" not in read_schema[0]
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from extractor.ops import similarity
+
+    plan = _plan(similarity.cosine_topk(spark, SF))
+    # tiny query side must broadcast (nested-loop for the non-equi condition)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
