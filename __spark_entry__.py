@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_sessionize": relational.o3_sessionize,
         "hourly_event_stats": relational.hourly_event_stats,
         "a2_array_aggregate": relational.a2_array_aggregate,
+        "percentile_metrics": relational.percentile_metrics,
         "s7_point_lookup": relational.s7_point_lookup,
         "s8_delete_rewrite": relational.s8_delete_rewrite,
         "o1_ordered_concat": relational.o1_ordered_concat,
@@ -449,6 +450,14 @@ def oracle_sql() -> dict[str, str]:
                    round(0.0 + round(value, 2) + round(value * 2, 2) + 1.0, 2)
                      AS total_duration
             FROM events
+        """,
+        "percentile_metrics": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "s7_point_lookup": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42

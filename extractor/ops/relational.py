@@ -284,3 +284,16 @@ def s8_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(delete_keys), "doc_id", "left_anti")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+def percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (latency-metrics shape, O6 family):
+    continuous-interpolation p50/p90/p99 per group — bit-identical to
+    DuckDB's quantile_cont."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
