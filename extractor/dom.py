@@ -65,11 +65,27 @@ class Element:
         return raw.split() if raw else []
 
     def iter_elements(self):
-        """Depth-first, document-order iteration over descendant Elements."""
-        for child in self.children:
-            if isinstance(child, Element):
-                yield child
-                yield from child.iter_elements()
+        """Depth-first, document-order iteration over descendant Elements
+        (iterative — no recursion, O(1) per element regardless of depth)."""
+        stack = [iter(self.children)]
+        while stack:
+            for child in stack[-1]:
+                if isinstance(child, Element):
+                    yield child
+                    stack.append(iter(child.children))
+                    break
+            else:
+                stack.pop()
+
+    def is_attached_to(self, root: "Element") -> bool:
+        """True if *root* is reachable via the parent chain (i.e. this node
+        has not been detached by replace_with somewhere above)."""
+        node = self
+        while node is not None:
+            if node is root:
+                return True
+            node = node.parent
+        return False
 
     def find_all(self, names, class_filter=None) -> list:
         """Document-order descendants with tag in *names*.
@@ -148,6 +164,14 @@ class Element:
         return f"<{self.tag}{attrs}>{inner}</{self.tag}>"
 
 
+# DOM depth cap: real documents stay < ~50; adversarial nesting beyond this
+# would (a) blow Python's recursion limit in text collection — the same
+# observable failure bs4-based code has — and (b) make nested-table
+# conversion O(depth^3) (measured: depth 480 ≈ 37 s/doc, depth 150 ≈ 1 s).
+# Fail fast at parse time instead (contained as a quarantine error row).
+MAX_DOM_DEPTH = 150
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -155,6 +179,10 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
+        if len(self.stack) > MAX_DOM_DEPTH:
+            raise RecursionError(
+                f"maximum recursion depth exceeded (DOM depth > {MAX_DOM_DEPTH})"
+            )
         closers = _IMPLICIT_CLOSERS.get(tag)
         if closers:
             while len(self.stack) > 1 and self.stack[-1].tag in closers:
@@ -187,7 +215,9 @@ class _TreeBuilder(HTMLParser):
 
 
 def parse_html(text: str) -> Element:
-    """Parse *text* into a document Element (lenient, never raises)."""
+    """Parse *text* into a document Element.  Lenient for malformed markup;
+    raises ``RecursionError`` only past ``MAX_DOM_DEPTH`` (callers contain
+    it as an error row)."""
     builder = _TreeBuilder()
     builder.feed(text)
     builder.close()

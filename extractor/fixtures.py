@@ -155,6 +155,12 @@ FIXTURE_CASES: dict[str, str | None] = {
     "crlf_newlines": "<p>line1</p>\r\n\r\n\r\n\r\n<p>line2</p>",
     "only_boilerplate_tags": "<div><span></span><b></b></div>",
     "top_level_inline": "before <strong>bold</strong> and <em>em</em> after",
+    "nested_table": (
+        # reference quirk: inner table gets a placeholder entry (counted)
+        # that never surfaces — it is flattened into the outer cell's text
+        "<table><tr><th>outer</th></tr><tr><td>"
+        "<table><tr><td>inner</td></tr></table></td></tr></table><p>tail</p>"
+    ),
 }
 
 

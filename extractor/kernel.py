@@ -72,7 +72,16 @@ def _image_markdown(alt: str, src: str, title: str) -> str:
 
 
 def _process_table_cell(cell: Element) -> tuple[str, list[dict]]:
-    """T5 (reference :220-274): inline images → markdown, then stripped text."""
+    """T5 (reference :220-274): inline images → markdown, then stripped text.
+    Mirrors the reference's per-cell containment (:271-274): on error, fall
+    back to bare get_text — which may itself raise, propagating to T4."""
+    try:
+        return _process_table_cell_inner(cell)
+    except Exception:
+        return cell.get_text(strip=True), []
+
+
+def _process_table_cell_inner(cell: Element) -> tuple[str, list[dict]]:
     cell_images = []
     for img in cell.find_all("img"):
         src = img.get("src", "")
@@ -96,7 +105,15 @@ def _process_table_cell(cell: Element) -> tuple[str, list[dict]]:
 
 def _convert_table_to_markdown(table: Element) -> tuple[str, list[dict]]:
     """T4 (reference :154-218): HTML table → pipe table; arity-mismatched rows
-    dropped; first row is always the header; trailing blank line."""
+    dropped; first row is always the header; trailing blank line.  A failing
+    table degrades to empty content (reference :216-218), not a doc error."""
+    try:
+        return _convert_table_to_markdown_inner(table)
+    except Exception:
+        return "", []
+
+
+def _convert_table_to_markdown_inner(table: Element) -> tuple[str, list[dict]]:
     rows = table.find_all("tr")
     if not rows:
         return "", []
@@ -177,12 +194,42 @@ def _math_class_filter(token) -> bool:
 def _extract_special_elements(
     doc: Element, correct_image_path: str = "images"
 ) -> tuple[dict, dict, list]:
-    """T7 (reference :344-422). Mutates *doc* in place."""
+    """T7 (reference :344-422). Mutates *doc* in place.
+
+    Single-walk optimization: the reference performs four full-tree
+    ``find_all`` passes (tables; class-matched math/span; all math; images).
+    We snapshot all candidates in ONE walk, then filter each group by
+    attachment at the moment the reference would have searched — a math/img
+    detached by an earlier replacement (e.g. inside an extracted table) is
+    skipped *before* enumeration, so placeholder numbering is byte-identical
+    to the sequential-search original (pinned by the golden fixtures and the
+    equivalence property test)."""
     table_placeholders: dict[str, str] = {}
     math_placeholders: dict[str, str] = {}
     image_list: list[dict] = []
 
-    for i, table in enumerate(doc.find_all("table")):
+    tables: list[Element] = []
+    math_class_matched: list[Element] = []
+    math_tags: list[Element] = []
+    imgs: list[Element] = []
+    for el in doc.iter_elements():
+        tag = el.tag
+        if tag == "table":
+            tables.append(el)
+        elif tag == "img":
+            imgs.append(el)
+        if tag in ("math", "span"):
+            tokens = el.classes
+            if (
+                any(_math_class_filter(t) for t in tokens)
+                if tokens
+                else _math_class_filter(None)
+            ):
+                math_class_matched.append(el)
+            if tag == "math":
+                math_tags.append(el)
+
+    for i, table in enumerate(tables):
         placeholder = f"___TABLE_PLACEHOLDER_{i}___"
         markdown_table, table_images = _convert_table_to_markdown(table)
         table_placeholders[placeholder] = markdown_table
@@ -192,14 +239,14 @@ def _extract_special_elements(
     # Dual-pass math find (reference :373-374): class-matched math/span first,
     # then ALL <math> tags — a <math class="…math…"> appears twice and the
     # second replace_with raises (quirk documented in the module docstring).
-    math_elements = doc.find_all(["math", "span"], class_filter=_math_class_filter)
-    math_elements.extend(doc.find_all("math"))
+    math_elements = [m for m in math_class_matched if m.is_attached_to(doc)]
+    math_elements.extend(m for m in math_tags if m.is_attached_to(doc))
     for i, math in enumerate(math_elements):
         placeholder = f"___MATH_PLACEHOLDER_{i}___"
         math_placeholders[placeholder] = _convert_math_to_markdown(math)
         math.replace_with(placeholder)
 
-    for img in doc.find_all("img"):
+    for img in (el for el in imgs if el.is_attached_to(doc)):
         src = img.get("src", "")
         if correct_image_path and src:
             src = f"{correct_image_path}/{_basename(src)}"  # T2 path normalize
