@@ -68,3 +68,76 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_conversation_state(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-conversation running progress — cumulative turn count and max
+    turn_idx seen — maintained in Spark's streaming state store across
+    micro-batches AND restarts (state lives under checkpoint_dir).
+
+    This is the task-status registry of the reference
+    (``app/api/routes.py:41,197-203`` — poll task progress while work
+    streams in) as a distributed, fault-tolerant stateful stream.
+    """
+    from pyspark.sql import types as T
+
+    output_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turns_seen", T.LongType()),
+            T.StructField("max_turn_idx", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("turns_seen", T.LongType()),
+            T.StructField("max_turn_idx", T.IntegerType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        turns, max_idx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            turns += len(pdf)
+            if len(pdf):
+                max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((turns, max_idx))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "turns_seen": [turns],
+                "max_turn_idx": [max_idx],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    )
+    progress = stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    # Update-mode stateful output can't go straight to a file sink (append
+    # only); foreachBatch appends each micro-batch's updated rows — the
+    # standard pattern for state snapshots to files.
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(output_dir)
+
+    return (
+        progress.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
