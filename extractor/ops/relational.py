@@ -47,9 +47,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
+    # Dim-reduction order: filter orders through the selective customer
+    # segment FIRST (broadcast; ~1/5 survive), so the expensive join against
+    # the fact table sees a pre-shrunk build side — AQE converts it to a
+    # broadcast join when the surviving set is small enough, and at 100 TB
+    # it degrades gracefully to a shuffle join on the reduced side.
+    building_orders = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(building_orders, li.l_orderkey == building_orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
