@@ -41,6 +41,13 @@ def main() -> int:
     parser.add_argument(
         "--partition-mode", choices=("map_only", "hash_conv"), default="map_only"
     )
+    parser.add_argument(
+        "--stream",
+        action="store_true",
+        help="run as a Structured Streaming job (continuous ingest from "
+        "--input; exactly-once via the streaming checkpoint) instead of the "
+        "batch bucket-checkpoint job",
+    )
     args = parser.parse_args()
 
     # Import AFTER spark-submit has put --py-files on sys.path.
@@ -51,6 +58,21 @@ def main() -> int:
 
     spark = SparkSession.builder.appName("transcript-extraction").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.stream:
+        from extractor.streaming import stream_extract
+
+        query = stream_extract(
+            spark, args.input, args.output, args.checkpoint, available_now=True
+        )
+        query.awaitTermination()
+        extracted = spark.read.parquet(args.output)
+        lineage_manifest(extracted).write.mode("append").parquet(
+            args.output.rstrip("/") + "_lineage"
+        )
+        print(json.dumps({"status": "COMPLETED", "mode": "stream",
+                          "rows": extracted.count()}))
+        return 0
 
     df = spark.read.parquet(args.input)
     summary = run_with_checkpoint(
