@@ -168,6 +168,15 @@ def _conversation_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stitch_conversations(out)
 
 
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media -> Arrow feature kernel
+    (decode stubbed for real codecs).  Rows-only."""
+    from extractor.ops import multimodal as mm
+
+    media = mm.synth_media_df(spark, n=200, seed=42)
+    return mm.extract_features(media)
+
+
 def _extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage/metrics rows for the documents extraction.
     Partition composition varies with parallelism → aggregate to one
@@ -246,6 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_stats": relational.hourly_event_stats,
         "a2_array_aggregate": relational.a2_array_aggregate,
         "percentile_metrics": relational.percentile_metrics,
+        "pivot_event_hours": relational.pivot_event_hours,
+        "argmax_latest_event": relational.argmax_latest_event,
+        "media_features": _media_features,  # rows-only (binary kernel)
         "s7_point_lookup": relational.s7_point_lookup,
         "s8_delete_rewrite": relational.s8_delete_rewrite,
         "o1_ordered_concat": relational.o1_ordered_concat,
@@ -458,6 +470,28 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 4) AS p99,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "pivot_event_hours": """
+            SELECT event_type,
+                   CAST(sum(CASE WHEN day = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(sum(CASE WHEN day = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                   CAST(sum(CASE WHEN day = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+                   CAST(sum(CASE WHEN day = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+                   CAST(sum(CASE WHEN day = 5 THEN 1 ELSE 0 END) AS BIGINT) AS d5
+            FROM (SELECT event_type, date_part('day', ts) AS day FROM events)
+            GROUP BY event_type
+        """,
+        "argmax_latest_event": """
+            WITH t AS (
+              SELECT *, (epoch_us(ts) - 1704067200000000) * 100000 + event_id
+                        AS ord_key
+              FROM events
+            )
+            SELECT user_id,
+                   arg_max(event_type, ord_key) AS last_type,
+                   round(arg_max(value, ord_key), 2) AS last_value,
+                   max(ts) AS last_ts
+            FROM t GROUP BY user_id
         """,
         "s7_point_lookup": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42

@@ -304,3 +304,40 @@ def percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+def pivot_event_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per type across day-of-month columns — the
+    conditional-aggregation form every pivot compiles to (one shuffle)."""
+    ev = _read(spark, sf_dir, "events")
+    days = [1, 2, 3, 4, 5]
+    return (
+        ev.withColumn("day", F.dayofmonth("ts"))
+        .groupBy("event_type")
+        .pivot("day", days)
+        .count()
+        .na.fill(0, [str(d) for d in days])
+        .select(
+            "event_type",
+            *[F.col(str(d)).alias(f"d{d}") for d in days],
+        )
+    )
+
+
+def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max aggregation: each user's latest event type + its value.
+    Deterministic composite key packed into one bigint ((ts µs since the
+    corpus epoch) * 1e5 + event_id) so Spark max_by and DuckDB arg_max
+    agree even on tied timestamps."""
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "ord_key",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000))
+        * 100000
+        + F.col("event_id"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(event_type, ord_key)").alias("last_type"),
+        F.round(F.expr("max_by(value, ord_key)"), 2).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
