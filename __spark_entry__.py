@@ -170,11 +170,35 @@ def _conversation_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> Arrow feature kernel
-    (decode stubbed for real codecs).  Rows-only."""
+    (decode stubbed for real codecs).  Rows-only.
+
+    The contract projection is scalar-only: the ``array<float>`` feature
+    vector stays an internal API (the driver canonicalizer sorts column
+    values, and Python lists aren't sortable/hashable); here it is reduced
+    to mean / L2-norm / a digest of the rounded components — which still
+    pins every element's value."""
     from extractor.ops import multimodal as mm
 
     media = mm.synth_media_df(spark, n=200, seed=42)
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    fsum = F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double"))
+    fsq = F.aggregate(
+        "features", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    fhash = F.md5(
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.round(x.cast("double"), 4).cast("string"))
+        )
+    )
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(fsum / F.size("features"), 4).alias("feature_mean"),
+        F.round(F.sqrt(fsq), 4).alias("feature_l2"),
+        fhash.alias("feature_hash"),
+        "error",
+    )
 
 
 def _extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,7 +225,12 @@ def _extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: extraction over sf0.001 documents + per-source rollup."""
+    """Flagship: extraction over sf0.001 documents + per-source rollup.
+
+    ``source`` rides through the kernel as a passthrough column — ZERO joins
+    (the round-1 version broadcast the whole corpus's (conv_id, source)
+    mapping back onto itself, a driver OOM at 10^12 turns; the passthrough
+    models the 100× plan: scan → kernel → one agg shuffle)."""
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     turns = docs.select(
@@ -211,9 +240,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("source"),
     )
     extracted = extract_transcripts(
-        turns.drop("source"), sort_output=False
-    ).join(
-        F.broadcast(turns.select("conv_id", "source")), "conv_id"
+        turns, sort_output=False, extra_passthrough=("source",)
     )
     return (
         extracted.groupBy("source")

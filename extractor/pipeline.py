@@ -87,31 +87,41 @@ OUTPUT_SCHEMA = T.StructType(
 _PASSTHROUGH = ("conv_id", "turn_idx", "role", "tool", "ts")
 
 
-def _extract_iter(iterator):
-    """mapInPandas body: one ``convert_batch`` call per Arrow record batch.
+def _make_extract_iter(pass_cols: tuple):
+    """mapInPandas body factory: one ``convert_batch`` call per Arrow batch.
+
+    *pass_cols* are copied from input to output untouched — this is how
+    per-conversation attributes (e.g. ``source``) ride through the kernel
+    with ZERO joins: at 10^12 turns a post-hoc "re-attach metadata" join is
+    either a full shuffle or a non-broadcastable broadcast; a passthrough
+    column is free.
 
     Emits executor-side observability columns: the physical partition id
     (lineage key) and per-row amortized kernel seconds (so
     ``sum(kernel_secs)`` over a partition = that partition's kernel time).
     """
-    import pandas as pd
-    from pyspark import TaskContext
 
-    ctx = TaskContext.get()
-    part_id = ctx.partitionId() if ctx is not None else -1
-    for pdf in iterator:
-        t0 = time.monotonic()
-        result = convert_batch(pdf["text"], MAX_TEXT_CHARS)
-        elapsed = time.monotonic() - t0
-        out = pd.DataFrame({c: pdf[c].values for c in _PASSTHROUGH})
-        for c in result.columns:
-            out[c] = result[c].values
-        out["bytes_in"] = (
-            pdf["text"].str.len().fillna(0).astype("int64")
-        )
-        out["part_id"] = part_id
-        out["kernel_secs"] = elapsed / max(len(pdf), 1)
-        yield out
+    def _extract_iter(iterator):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+        for pdf in iterator:
+            t0 = time.monotonic()
+            result = convert_batch(pdf["text"], MAX_TEXT_CHARS)
+            elapsed = time.monotonic() - t0
+            out = pd.DataFrame({c: pdf[c].values for c in pass_cols})
+            for c in result.columns:
+                out[c] = result[c].values
+            out["bytes_in"] = (
+                pdf["text"].str.len().fillna(0).astype("int64")
+            )
+            out["part_id"] = part_id
+            out["kernel_secs"] = elapsed / max(len(pdf), 1)
+            yield out
+
+    return _extract_iter
 
 
 def salted_partition_key(
@@ -163,6 +173,7 @@ def extract_transcripts(
     salt_buckets: int = 8,
     sort_output: bool = True,
     hot_sample_fraction: float | None = None,
+    extra_passthrough: tuple = (),
 ) -> DataFrame:
     """Run the extraction kernel over a transcripts DataFrame.
 
@@ -171,8 +182,18 @@ def extract_transcripts(
                         (the right default: extraction is row-independent).
       - ``hash_conv`` — explicit repartition on salted hash(conv_id)
                         (conversation colocation; north-rule mode).
+
+    *extra_passthrough*: additional input columns carried through the kernel
+    unchanged (appended to the output schema with their input types).  This
+    is the zero-join way to keep per-turn metadata (``source``, labels, …)
+    attached to extraction output — never re-join the corpus to itself.
     """
-    cols = [c for c in _PASSTHROUGH if c in df.columns] + ["text"]
+    extra_fields = [df.schema[c] for c in extra_passthrough]
+    cols = (
+        [c for c in _PASSTHROUGH if c in df.columns]
+        + list(extra_passthrough)
+        + ["text"]
+    )
     slim = df.select(*cols)  # column pruning reaches the scan
     for c in _PASSTHROUGH:
         if c not in df.columns:
@@ -192,7 +213,13 @@ def extract_transcripts(
     elif partition_mode != "map_only":
         raise ValueError(f"unknown partition_mode: {partition_mode}")
 
-    out = slim.mapInPandas(_extract_iter, OUTPUT_SCHEMA)
+    pass_cols = _PASSTHROUGH + tuple(extra_passthrough)
+    schema = T.StructType(
+        list(OUTPUT_SCHEMA.fields[: len(_PASSTHROUGH)])
+        + extra_fields
+        + list(OUTPUT_SCHEMA.fields[len(_PASSTHROUGH) :])
+    )
+    out = slim.mapInPandas(_make_extract_iter(pass_cols), schema)
 
     if sort_output:
         n_out = num_partitions or df.sparkSession.sparkContext.defaultParallelism

@@ -101,3 +101,15 @@ def test_cosine_topk_broadcasts_queries(spark):
     plan = _plan(similarity.cosine_topk(spark, SF))
     # tiny query side must broadcast (nested-loop for the non-equi condition)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_entry_has_no_joins(spark):
+    """The flagship plan must carry metadata through the kernel as a
+    passthrough column — never re-join (or broadcast) the corpus onto
+    itself.  scan → kernel → single agg shuffle (+ tiny sort)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.entry(spark))
+    assert "BroadcastExchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan
