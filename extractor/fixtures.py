@@ -71,6 +71,13 @@ FIXTURE_CASES: dict[str, str | None] = {
         "<td>c2</td></tr><tr><td>a</td><td>b</td></tr></table>"
     ),
     "table_empty": "<table></table>",
+    "table_first_row_no_cells": (
+        # reference quirk: first <tr> without th/td cells → arity check does
+        # len(int) → TypeError → whole table degrades to empty (:216-218);
+        # the placeholder restores to nothing, but the table is still counted.
+        "<table><tr></tr><tr><td>a</td><td>b</td></tr>"
+        "<tr><td>c</td><td>d</td></tr></table><p>tail</p>"
+    ),
     "two_tables": (
         "<p>first:</p><table><tr><th>x</th></tr><tr><td>1</td></tr></table>"
         "<p>second:</p><table><tr><th>y</th></tr><tr><td>2</td></tr></table>"
@@ -114,6 +121,19 @@ FIXTURE_CASES: dict[str, str | None] = {
         '<img src="m/chart.png" alt="chart" title="Chart 1">'
         "<blockquote>a quoted remark</blockquote>"
         "<ul><li>takeaway one</li><li>takeaway two</li></ul>"
+    ),
+    # --- markdown escaping (html2text escape_md_section) ------------------
+    "md_escape_numbered_prose": "1. not a list\n2. still prose",
+    "md_escape_dash_plus": "- dash start\n+ plus start\nmid - dash stays",
+    "md_escape_backslash": r"a \*literal star\* and C:\path\to\file",
+    "md_escape_code_exempt": (
+        "<p>1. escaped</p><pre>2. raw pre</pre>"
+        "<p>x <code>3. code raw</code> y</p>"
+    ),
+    "md_escape_chunk_anchor": (
+        # html2text anchors ^ per text CHUNK: the text node after </b>
+        # starts " 1. bar" → dot-escaped even though it is mid-line.
+        "<p>foo <b>x</b> 1. bar</p>"
     ),
     # --- sloppy real-world HTML ------------------------------------------
     "unclosed_tags": "<p>para one<p>para two<ul><li>a<li>b</ul>",

@@ -19,6 +19,12 @@ Reference quirks intentionally reproduced, not fixed:
 - blockquote stripping (:493) and 4-space-indent stripping (:497) apply to
   *all* content, destroying real blockquotes/code indents.
 - table rows whose cell count mismatches the header are dropped (:210-211).
+- a table whose FIRST <tr> has no th/td cells (but later rows do) degrades
+  to empty content: the reference's arity check evaluates ``len(int)`` →
+  TypeError → caught at :216-218 → ("", []).
+- prose text chunks get html2text's ``escape_md_section`` markdown escaping
+  (backslash-before-special doubled; chunk-leading ``1.``/``+``/``-``
+  escaped) — outside code/pre only; see ``linearize.escape_md_section``.
 - in-table images never get placeholders (placeholder='' :258) and so are
   never "restored"; they are inlined in the cell text (T5) but still counted.
 - standalone-image placeholder numbering continues after in-table images
@@ -37,7 +43,7 @@ import re
 from dataclasses import dataclass, field
 
 from .dom import Element, parse_html
-from .linearize import linearize
+from .linearize import escape_md_section, linearize
 
 # Mirrors MAX_FILE_SIZE (reference app/config.py:24): 50 MB per unit of work.
 MAX_TEXT_CHARS = 50 * 1024 * 1024
@@ -138,21 +144,20 @@ def _convert_table_to_markdown_inner(table: Element) -> tuple[str, list[dict]]:
     if not header_cells and not data_rows:
         return "", []
 
-    lines: list[str] = []
-    if header_cells:
-        lines.append("| " + " | ".join(header_cells) + " |")
-        lines.append("| " + " | ".join(["---"] * len(header_cells)) + " |")
-        all_rows = data_rows
-        arity = len(header_cells)
-    else:
-        # No first row at all but data rows exist (reference :203-208):
-        # promote the first data row to header.
-        lines.append("| " + " | ".join(data_rows[0]) + " |")
-        lines.append("| " + " | ".join(["---"] * len(data_rows[0])) + " |")
-        arity = len(data_rows[0])
-        all_rows = data_rows[1:]
+    if not header_cells:
+        # First <tr> has no th/td but later rows do (reference :203-213):
+        # the arity check evaluates ``len(header_cells if header_cells else
+        # len(...))`` = ``len(int)`` → TypeError, swallowed by the outer
+        # handler (:216-218) — so the ENTIRE table degrades to empty
+        # content, images included.  Reproduced as an explicit raise.
+        raise TypeError("reference no-header arity check: len(int)")
 
-    for row in all_rows:
+    lines: list[str] = []
+    lines.append("| " + " | ".join(header_cells) + " |")
+    lines.append("| " + " | ".join(["---"] * len(header_cells)) + " |")
+    arity = len(header_cells)
+
+    for row in data_rows:
         if len(row) == arity:  # mismatched-arity rows silently dropped (:211)
             lines.append("| " + " | ".join(row) + " |")
 
@@ -350,14 +355,16 @@ def convert_text(text: str | None, max_chars: int = MAX_TEXT_CHARS) -> Extractio
         return ExtractionResult(None, error=f"size_exceeded:{len(text)}")
     if "<" not in text and "&" not in text:
         # Plain-prose fast path: with no markup and no entities, the full
-        # pipeline reduces to whitespace-collapse (T8 on a bare text node)
-        # followed by the T10 cleanup chain — and on a collapsed single-line
-        # string only T10's leading-"^>\s*" rule can fire (no newlines, no
-        # tabs, no leading 4-space run, no <table>/<math> literals survive
-        # the "<" guard).  Byte-identical to the slow path (equivalence
-        # property-tested); skips DOM parse entirely — the common case in
-        # real transcript corpora.
-        collapsed = _WS_COLLAPSE.sub(" ", text).strip()
+        # pipeline reduces to md-escaping of the single text node (html2text
+        # escape_md_section, line anchors seen pre-collapse) + whitespace
+        # collapse (T8 on a bare text node) followed by the T10 cleanup
+        # chain — and on a collapsed single-line string only T10's
+        # leading-"^>\s*" rule can fire (no newlines, no tabs, no leading
+        # 4-space run, no <table>/<math> literals survive the "<" guard).
+        # Byte-identical to the slow path (equivalence property-tested);
+        # skips DOM parse entirely — the common case in real transcript
+        # corpora.
+        collapsed = _WS_COLLAPSE.sub(" ", escape_md_section(text)).strip()
         if collapsed.startswith(">"):
             collapsed = _BQ_PREFIX.match(collapsed).group(1).strip()
         return ExtractionResult(

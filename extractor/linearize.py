@@ -36,9 +36,19 @@ Covered mapping (html2text-compatible):
 - unknown inline tags (``span`` etc.) are transparent; unknown block tags
   (``section``/``article``/…) are transparent block containers
 - ``script``/``style``/``head`` contents are dropped
+- markdown escaping  → html2text's ``escape_md_section`` applied per text
+  node (its ``handle_data``), outside ``code``/``pre`` only: a backslash
+  before an md-special char is doubled, and list-lookalike chunk starts are
+  escaped (``1. x`` → ``1\\. x``; leading ``+``/``-`` likewise).  As in
+  html2text, the ``^`` anchors are per *text chunk*, so an inline element
+  boundary mid-line re-anchors the pattern — reproduced deliberately.
 
-Plain non-HTML text therefore passes through as whitespace-normalized
-paragraphs — exactly what a transcript turn of prose should do.
+Known divergence from the real html2text stack (documented, accepted): our
+parser decodes character references into the surrounding text node
+(``convert_charrefs=True``), while html2text receives each entity as a
+separate unescaped chunk — so text like ``&#49;. foo`` escapes differently
+at entity/text boundaries.  Everything else in the covered subset is
+byte-exact, pinned by the golden fixtures.
 """
 
 from __future__ import annotations
@@ -59,6 +69,25 @@ _BLOCK_TAGS = frozenset(
 _DROP_TAGS = frozenset({"script", "style", "head", "title", "meta", "link", "base"})
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 
+# html2text escape_md_section (config.RE_MD_*_MATCHER, utils.escape_md_section
+# with snob=False — escape_snob is off in the reference's pinned config):
+_MD_SLASH_CHARS = r"\`*_{}[]()#+-.!"
+_MD_BACKSLASH_RE = re.compile(r"(\\)(?=[%s])" % re.escape(_MD_SLASH_CHARS))
+_MD_DOT_RE = re.compile(r"^(\s*\d+)(\.)(?=\s)", re.MULTILINE)
+_MD_PLUS_RE = re.compile(r"^(\s*)(\+)(?=\s)", re.MULTILINE)
+_MD_DASH_RE = re.compile(r"^(\s*)(-)(?=\s|\-)", re.MULTILINE)
+
+
+def escape_md_section(text: str) -> str:
+    """html2text's section-level markdown escaping, applied to one raw text
+    chunk (pre-whitespace-collapse, so ``^`` sees the chunk's real line
+    starts).  Not applied inside ``code``/``pre``."""
+    text = _MD_BACKSLASH_RE.sub(r"\\\1", text)
+    text = _MD_DOT_RE.sub(r"\1\\\2", text)
+    text = _MD_PLUS_RE.sub(r"\1\\\2", text)
+    text = _MD_DASH_RE.sub(r"\1\\\2", text)
+    return text
+
 
 def _collapse(text: str) -> str:
     return _WS_RE.sub(" ", text)
@@ -78,11 +107,14 @@ class _Writer:
         return "\n\n".join(self.blocks) + "\n\n" if self.blocks else ""
 
 
-def _render_inline(node: Element, parts: list[str]) -> None:
-    """Render inline content of *node* into *parts* (pre-collapse)."""
+def _render_inline(node: Element, parts: list[str], escape: bool = True) -> None:
+    """Render inline content of *node* into *parts* (pre-collapse).
+
+    *escape* mirrors html2text's ``self.code`` flag: text chunks are
+    md-escaped per chunk except inside inline ``code``."""
     for child in node.children:
         if isinstance(child, str):
-            parts.append(child)
+            parts.append(escape_md_section(child) if escape else child)
             continue
         tag = child.tag
         if tag in _DROP_TAGS:
@@ -90,16 +122,16 @@ def _render_inline(node: Element, parts: list[str]) -> None:
         if tag == "br":
             parts.append("\x00BR\x00")
         elif tag in ("strong", "b"):
-            inner = _inline_text(child)
+            inner = _inline_text(child, escape)
             parts.append(f"**{inner}**" if inner else "")
         elif tag in ("em", "i"):
-            inner = _inline_text(child)
+            inner = _inline_text(child, escape)
             parts.append(f"_{inner}_" if inner else "")
         elif tag == "code":
-            inner = _inline_text(child)
+            inner = _inline_text(child, escape=False)
             parts.append(f"`{inner}`" if inner else "")
         elif tag == "a":
-            inner = _inline_text(child)
+            inner = _inline_text(child, escape)
             href = child.get("href", "")
             if not href or href.startswith("#"):
                 parts.append(inner)  # skip_internal_links
@@ -110,12 +142,13 @@ def _render_inline(node: Element, parts: list[str]) -> None:
         elif tag == "img":
             continue  # ignore_images=True
         else:
-            _render_inline(child, parts)  # transparent inline (span, u, ...)
+            # transparent inline (span, u, ...)
+            _render_inline(child, parts, escape)
 
 
-def _inline_text(node: Element) -> str:
+def _inline_text(node: Element, escape: bool = True) -> str:
     parts: list[str] = []
-    _render_inline(node, parts)
+    _render_inline(node, parts, escape)
     return _collapse("".join(parts)).strip()
 
 
@@ -138,7 +171,7 @@ def _render_block(node: Element, writer: _Writer, quote_depth: int = 0) -> None:
 
     for child in node.children:
         if isinstance(child, str):
-            pending.append(child)
+            pending.append(escape_md_section(child))
             continue
         tag = child.tag
         if tag in _DROP_TAGS:
@@ -206,7 +239,7 @@ def _render_list(node: Element, ordered: bool, depth: int) -> list[str]:
             elif isinstance(sub, Element) and sub.tag in ("p", "div"):
                 item_parts.append(" " + _inline_text(sub) + " ")
             elif isinstance(sub, str):
-                item_parts.append(sub)
+                item_parts.append(escape_md_section(sub))
             else:
                 _render_inline_single(sub, item_parts)
         text = _collapse("".join(item_parts)).strip()

@@ -15,7 +15,7 @@ under Spark's streaming checkpoint (source offsets + sink commit log), so a
 turn arriving in any micro-batch is extracted exactly once even across
 restarts — the streaming twin of the bucket checkpoint table.
 
-The kernel stage is identical to batch (same ``_extract_iter``), so per-turn
+The kernel stage is identical to batch (same kernel iterator), so per-turn
 output is byte-identical between batch and streaming paths (tested).
 
 Scale: file-source streaming shards by arriving files; at 10^12-turn scale
@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from .pipeline import OUTPUT_SCHEMA, _extract_iter
+from .pipeline import _PASSTHROUGH, OUTPUT_SCHEMA, _make_extract_iter
 from .transcripts import TRANSCRIPT_SCHEMA
 
 
@@ -57,7 +57,7 @@ def stream_extract(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(input_dir)
 
-    extracted = stream.mapInPandas(_extract_iter, OUTPUT_SCHEMA)
+    extracted = stream.mapInPandas(_make_extract_iter(_PASSTHROUGH), OUTPUT_SCHEMA)
 
     writer = (
         extracted.writeStream.format("parquet")
