@@ -298,8 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": dedup.corpus_curation,
         "dedup_minhash_lsh": dedup.minhash_lsh_buckets,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_adjacent,
-        "dedup_simhash": dedup.simhash,  # rows-only
-        "dedup_simhash_pairs": dedup.simhash_neardup_pairs,  # rows-only
+        "dedup_simhash": dedup.simhash,
+        "dedup_simhash_pairs": dedup.simhash_neardup_pairs,
         # similarity suite
         "similarity_cosine_topk": similarity.cosine_topk,
         "similarity_embedding_neardup": similarity.embedding_cosine_neardup,
@@ -316,7 +316,96 @@ def oracle_sql() -> dict[str, str]:
         f"md5(concat_ws('|', mh_{b * dedup.BAND_SIZE}, mh_{b * dedup.BAND_SIZE + 1})) AS bucket FROM sig"
         for b in range(dedup.N_HASHES // dedup.BAND_SIZE)
     )
+    # The documents corpus is markup-free prose (verified: no '<' or '&'),
+    # so the kernel's fast path — html2text md-escaping, whitespace collapse,
+    # T10's leading-blockquote strip — is fully SQL-expressible and the
+    # extraction core itself gets a hash-checked oracle.  RE2 has no
+    # lookahead; the escape rules consume the guard char instead (verified
+    # equivalent to the Python lookahead forms on these inputs).
+    prose = r"""
+            WITH esc AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '(\\)([\\`*_{}\[\]()#+.!-])', '\1\\\2', 'g'),
+                       '(?m)^(\s*\d+)\.(\s)', '\1\\.\2', 'g'),
+                       '(?m)^(\s*)\+(\s)', '\1\\+\2', 'g'),
+                       '(?m)^(\s*)-([\s-])', '\1\\-\2', 'g') AS t
+              FROM documents WHERE text IS NOT NULL
+            ), coll AS (
+              SELECT doc_id,
+                     trim(regexp_replace(t, '[ \t\r\n\f\v]+', ' ', 'g')) AS c
+              FROM esc
+            ), fin AS (
+              SELECT doc_id,
+                     CASE WHEN c LIKE '>%'
+                          THEN trim(regexp_replace(c, '^> *', ''))
+                          ELSE c END AS extracted_text
+              FROM coll
+            )
+    """
+    simhash_sig = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(list_distinct(
+                       regexp_split_to_array(lower(trim(text)), '\s+')),
+                       x -> x <> '')) AS tok
+              FROM documents WHERE text IS NOT NULL
+            ), h AS (
+              SELECT doc_id,
+                     list_sum(list_transform(range(1, 17), i ->
+                       CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+                            AS HUGEINT)
+                       * (CAST(1 AS HUGEINT) << (4 * (16 - i))))) AS hv
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN ((hv >> CAST(j AS INTEGER)) & 1) = 1
+                              THEN 1 ELSE -1 END) AS acc
+              FROM h CROSS JOIN range(64) t(j)
+              GROUP BY doc_id, j
+            ), sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN acc > 0
+                              THEN (CAST(1 AS HUGEINT) << CAST(j AS INTEGER))
+                              ELSE CAST(0 AS HUGEINT) END) AS s
+              FROM bits GROUP BY doc_id
+            ), signed AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
+                               THEN s - (CAST(1 AS HUGEINT) << 64)
+                               ELSE s END AS BIGINT) AS simhash
+              FROM sig
+            )
+    """
     return {
+        "extract_documents": prose + f"""
+            SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
+                   extracted_text, 0 AS tables_count, 0 AS math_count,
+                   0 AS images_count,
+                   length(extracted_text) AS output_length,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM fin
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 0, NULL, 0, 0, 0, 0, 'null_input'
+            FROM documents WHERE text IS NULL
+        """,
+        "dedup_simhash": simhash_sig + """
+            SELECT doc_id, simhash FROM signed
+        """,
+        "dedup_simhash_pairs": simhash_sig + f"""
+            , bands AS (
+              SELECT doc_id, simhash, b.band,
+                     (simhash >> CAST(b.band * 16 AS INTEGER)) & 65535 AS key
+              FROM signed CROSS JOIN (
+                SELECT unnest(range({dedup.SIMHASH_BANDS})) AS band) b
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_RADIUS}
+        """,
         "t10_markdown_cleanup": r"""
             SELECT doc_id,
                    trim(

@@ -9,7 +9,8 @@
   oracle-able variant; the quadratic candidate generation is what minhash_lsh
   replaces at scale)
 - simhash: 64-bit sign-aggregated token-hash fingerprint via a vectorized
-  pandas UDF (numpy bit math — no SQL equivalent, rows-only check)
+  pandas UDF (numpy bit math; md5-derived token hashes, so even this is
+  oracle-checkable — DuckDB rebuilds the fingerprint with HUGEINT bit math)
 
 Scale: exact/minhash/simhash are all linear with one-or-two shuffles;
 candidate verification joins happen only within LSH buckets (skew-safe via
@@ -131,8 +132,9 @@ _SIMHASH_SCHEMA = T.StructType(
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document via a vectorized Arrow kernel: token hash
     bits sign-summed with numpy (no per-row Python from Spark's side).
-    Deterministic (hash = md5-derived), but bit math is not SQL-portable —
-    rows-only correctness check."""
+    Deterministic (hash = first 8 bytes of md5(token), big-endian) — and
+    therefore hash-checkable against a DuckDB oracle that rebuilds the same
+    fingerprint with HUGEINT bit arithmetic (see ``oracle_sql``)."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
 
     def kernel(iterator):
@@ -163,14 +165,24 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_BANDS = 4  # 16 bits each; near-dups (hamming<=3) collide in >=1 band
+SIMHASH_RADIUS = 3  # recall contract: pigeonhole-complete at this radius
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate candidate pairs: band the 64-bit fingerprint
-    into 4x16-bit keys (pigeonhole: hamming<=3 => at least one band equal),
-    self-join within band buckets only, verify with bit_count(xor) — the
-    classic Manku/Jain/Sarma web-dedup topology, all JVM-side after the
-    fingerprint kernel.  Rows-only check (bit math not oracle-portable)."""
+    """SimHash near-duplicate pairs: band the 64-bit fingerprint into
+    4x16-bit keys, self-join within band buckets only, verify with
+    bit_count(xor) — the classic Manku/Jain/Sarma web-dedup topology, all
+    JVM-side after the fingerprint kernel.
+
+    Recall contract: the emitted set is COMPLETE for hamming <= SIMHASH_RADIUS
+    (= 3): with 4 bands a pair differing in <= 3 bits must agree on at least
+    one whole band (pigeonhole), so it is guaranteed to collide.  The output
+    threshold equals the guarantee — pairs at hamming 4+ are deliberately NOT
+    emitted (they would only appear when they happen to share a band, i.e.
+    silently incomplete recall).  For a wider radius, add rotated band
+    tables (Manku §3) rather than raising this filter.
+    Completeness at the radius is pytest-asserted against an all-pairs scan
+    (tests/test_pipeline_spark.py)."""
     sig = simhash(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -209,7 +221,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= 12)
+    return pairs.where(F.col("hamming") <= SIMHASH_RADIUS)
 
 
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,3 +170,29 @@ def test_split_quarantine(spark):
     assert n_bad > 0  # corpus contains NULL turns
     assert good.where("error is not null").count() == 0
     assert quarantined.where("error is null").count() == 0
+
+
+def test_simhash_banding_complete_at_radius(spark):
+    """Recall contract of simhash_neardup_pairs: the banded (4x16-bit)
+    self-join must emit EXACTLY the pairs with hamming <= SIMHASH_RADIUS —
+    complete by pigeonhole, and filtered to the guarantee (no lucky
+    partial-recall extras beyond the radius)."""
+    import numpy as np
+
+    from extractor.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    sig = dedup.simhash(spark, sf).toPandas().sort_values("doc_id")
+    ids = sig["doc_id"].to_numpy()
+    v = sig["simhash"].to_numpy().astype(np.uint64)
+    truth = set()
+    for i in range(len(v)):
+        for j in range(i + 1, len(v)):
+            if bin(int(v[i] ^ v[j])).count("1") <= dedup.SIMHASH_RADIUS:
+                truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    emitted = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_neardup_pairs(spark, sf).collect()
+    }
+    assert truth, "corpus must contain at least one near-dup pair"
+    assert emitted == truth
