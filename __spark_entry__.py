@@ -304,6 +304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": similarity.cosine_topk,
         "similarity_embedding_neardup": similarity.embedding_cosine_neardup,
         "similarity_lsh_ann": similarity.lsh_ann_buckets,  # rows-only
+        # ANN search: LSH candidates + exact re-rank; approximate by design,
+        # gated by the >=90% recall pytest against cosine_topk (no SQL oracle)
+        "similarity_ann_topk": similarity.ann_topk,  # rows-only
     }
 
 
