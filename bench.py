@@ -15,14 +15,20 @@ criterion (no real cluster available); efficiency = (thr_4N / thr_N) / 4.
 Two pairs are reported because the box itself stops scaling at full
 saturation: a pure-Python multiprocessing control (no Spark) shows the
 identical per-core slowdown at 32 procs (CPU frequency/virtualization
-throttle), so the 8->32 figure reflects hardware, not the pipeline.  The
-headline efficiency is the 4->16 pair; both are in the JSON and BASELINE.md.
+throttle), so the 8->32 figure reflects hardware, not the pipeline.
+
+Reporting contract (no cherry-picking): ``scaling.efficiency`` is the
+MEDIAN across rounds of the pre-declared primary pair (4->16, i.e.
+SCALING_PAIRS[0]); per-pair ``efficiency`` fields are likewise per-pair
+medians.  Every per-round raw value is kept alongside, and
+``best_round_efficiency`` is labeled as exactly that.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -202,12 +208,11 @@ def main() -> None:
     # (a) throughput per config = best across two interleaved rounds (noise
     #     only ever slows a run);
     # (b) efficiency per pair = computed WITHIN each round (time-adjacent
-    #     samples see similar host load), best round reported — best-of
-    #     across rounds would anti-correlate the pair (a lucky window for
-    #     the small run artificially depresses the ratio).
+    #     samples see similar host load); the reported figure is the MEDIAN
+    #     across rounds (best round kept as a separate, labeled field).
     all_cores = sorted({c for pair in SCALING_PAIRS for c in pair})
     rounds: list[dict[int, dict]] = []
-    for _round in range(2):
+    for _round in range(3):  # 3 interleaved rounds -> a real median per pair
         rounds.append(
             {cores: _extraction_run(cores, corpus_path) for cores in all_cores}
         )
@@ -233,7 +238,8 @@ def main() -> None:
                 "4n_cores": large_c,
                 "throughput_n": runs[small_c]["turns_per_sec"],
                 "throughput_4n": runs[large_c]["turns_per_sec"],
-                "efficiency": max(per_round_eff),
+                "efficiency": round(statistics.median(per_round_eff), 3),
+                "best_round_efficiency": max(per_round_eff),
                 "efficiency_per_round": per_round_eff,
             }
         )
@@ -248,13 +254,19 @@ def main() -> None:
         "extraction": runs[CPUS],
         "scaling": {
             "pairs": pairs,
-            "efficiency": max(p["efficiency"] for p in pairs),
+            # pre-declared primary pair's MEDIAN across rounds — not a max
+            "primary_pair": f"{SCALING_PAIRS[0][0]}->{SCALING_PAIRS[0][1]}",
+            "efficiency": pairs[0]["efficiency"],
+            "best_round_efficiency": max(
+                p["best_round_efficiency"] for p in pairs
+            ),
             "machine_control_no_spark": _machine_control(),
             "note": (
-                "sandbox proxy for two cluster sizes; the full-saturation "
-                "pair underreports due to per-core CPU frequency throttling "
-                "at 32 busy cores (pure-Python multiprocessing control shows "
-                "the same ceiling - see BASELINE.md)"
+                "sandbox proxy for two cluster sizes; efficiency = median of "
+                "the pre-declared 4->16 pair across interleaved rounds; the "
+                "full-saturation 8->32 pair underreports due to per-core CPU "
+                "frequency throttling at 32 busy cores (pure-Python "
+                "multiprocessing control shows the same ceiling - BASELINE.md)"
             ),
         },
     }

@@ -8,10 +8,18 @@ semi-join :285-287) and the queryable task-status registry
 - The unit of work is a **bucket**: ``pmod(xxhash64(conv_id), n_buckets)``.
   Buckets are stable across runs and cluster sizes, so a resume after a crash
   (or against the same input snapshot) skips exactly the committed work.
-- The checkpoint table is an append-only parquet dir of completed
-  ``(bucket, snapshot_id, status, turns, finished_at)`` rows.  Resume =
-  **broadcast left-anti join** of input buckets against it (the reference's
-  ``failed_paths`` set filter, distributed).
+- The checkpoint table is an append-only parquet dir of
+  ``(bucket, snapshot_id, status, turns, recorded_at, error)`` rows — a
+  ``running`` row lands BEFORE each group's write job and flips to
+  ``completed``/``failed`` after, so the table is live-pollable mid-flight
+  (the reference's ``GET /tasks/{id}`` registry, ``app/api/routes.py:41,
+  197-203,367-415``): ``job_status`` reduces it to the latest row per
+  bucket.  Resume = **broadcast left-anti join** of input buckets against
+  the completed rows (the reference's ``failed_paths`` set filter,
+  distributed).
+- Per-bucket turn counts come from ``df.observe`` on the write job itself
+  (one conditional-sum metric per bucket in the group) — no post-commit
+  re-read of the output directory.
 - Buckets are processed in **groups**, one Spark write job per group, because
   a Spark file-sink job commits atomically at job granularity: a mid-job
   failure commits nothing, so the group's buckets simply remain unclaimed and
@@ -28,7 +36,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from .pipeline import extract_transcripts
 
@@ -36,20 +44,26 @@ CHECKPOINT_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType()),
         T.StructField("snapshot_id", T.StringType()),
-        T.StructField("status", T.StringType()),
+        T.StructField("status", T.StringType()),  # running|completed|failed
         T.StructField("turns", T.LongType()),
-        T.StructField("finished_at", T.DoubleType()),
+        T.StructField("recorded_at", T.DoubleType()),
         T.StructField("error", T.StringType()),
     ]
 )
 
 
+def _read_status(spark: SparkSession, ckpt_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(f"{ckpt_dir}/status")
+    except Exception:
+        return None
+
+
 def _completed_buckets(
     spark: SparkSession, ckpt_dir: str, snapshot_id: str
 ) -> DataFrame:
-    try:
-        ckpt = spark.read.schema(CHECKPOINT_SCHEMA).parquet(f"{ckpt_dir}/completed")
-    except Exception:
+    ckpt = _read_status(spark, ckpt_dir)
+    if ckpt is None:
         return spark.createDataFrame([], "bucket int")
     return (
         ckpt.where(
@@ -60,6 +74,32 @@ def _completed_buckets(
     )
 
 
+def job_status(
+    spark: SparkSession, ckpt_dir: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Latest status row per (bucket, snapshot) — the pollable task
+    registry.  Query it from another session/thread while a batch run is
+    in flight: buckets show ``running`` while their group's job executes,
+    then ``completed``/``failed``."""
+    from pyspark.sql.window import Window
+
+    ckpt = _read_status(spark, ckpt_dir)
+    if ckpt is None:
+        return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+    if snapshot_id is not None:
+        ckpt = ckpt.where(F.col("snapshot_id") == snapshot_id)
+    w = Window.partitionBy("bucket", "snapshot_id").orderBy(
+        F.col("recorded_at").desc(),
+        # same-timestamp tie: terminal states win over 'running'
+        (F.col("status") == "running").cast("int"),
+    )
+    return (
+        ckpt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _record(
     spark: SparkSession,
     ckpt_dir: str,
@@ -67,13 +107,100 @@ def _record(
 ) -> None:
     spark.createDataFrame(rows, CHECKPOINT_SCHEMA).coalesce(1).write.mode(
         "append"
-    ).parquet(f"{ckpt_dir}/completed")
+    ).parquet(f"{ckpt_dir}/status")
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
     )
+
+
+def changed_buckets(
+    old_df: DataFrame, new_df: DataFrame, n_buckets: int
+) -> list[int]:
+    """Buckets whose row content changed between two input snapshots — the
+    incremental-between-snapshots read (Iceberg's incremental scan logic,
+    expressed over two table states).  Each side is reduced to one tiny
+    per-bucket fingerprint aggregate (count + order-insensitive hash sum);
+    no full-data join, O(input) scan each, ~n_buckets rows compared.
+
+    Scale: at 10^12 turns this is two column-pruned scans producing 4096
+    rows each; the appended-data case (Iceberg snapshot diff) can skip the
+    old-side scan entirely by fingerprinting only the new files."""
+
+    def fp(df: DataFrame) -> DataFrame:
+        return (
+            with_bucket(df, n_buckets)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n"),
+                # order-insensitive, overflow-free content fingerprint
+                # (count catches the even-multiplicity blind spot of xor)
+                F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text")).alias("h"),
+            )
+        )
+
+    old = fp(old_df).select(
+        "bucket", F.col("n").alias("n_old"), F.col("h").alias("h_old")
+    )
+    joined = fp(new_df).join(F.broadcast(old), "bucket", "left")
+    rows = joined.where(
+        F.col("n_old").isNull()
+        | (F.col("n") != F.col("n_old"))
+        | (F.col("h") != F.col("h_old"))
+    ).select("bucket")
+    return sorted(r["bucket"] for r in rows.collect())
+
+
+def run_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    old_snapshot: str,
+    new_snapshot: str,
+    n_buckets: int = 64,
+    **kwargs,
+) -> dict:
+    """Process only the buckets that changed between *old_snapshot* (already
+    extracted, checkpointed, and written to *out_dir*) and *new_snapshot*.
+
+    Unchanged buckets are carried forward: their ``completed`` rows are
+    re-recorded under *new_snapshot*, so ``run_with_checkpoint`` skips them
+    and dynamic partition overwrite leaves their output files untouched.
+    The result equals a clean full run over *new_df* (pytest-asserted).
+
+    Append/update-oriented: a bucket whose rows were ALL deleted between
+    snapshots produces no new-side fingerprint and keeps its old output —
+    route deletions through the S8 delete sink (``ops.relational.
+    s8_delete_rewrite`` pattern), not this path."""
+    spark = new_df.sparkSession
+    changed = set(changed_buckets(old_df, new_df, n_buckets))
+    done_old = {
+        r["bucket"]: r["turns"]
+        for r in job_status(spark, ckpt_dir, old_snapshot)
+        .where(F.col("status") == "completed")
+        .collect()
+    }
+    carry = [
+        (int(b), new_snapshot, "completed", int(turns), time.time(), None)
+        for b, turns in done_old.items()
+        if b not in changed
+    ]
+    if carry:
+        _record(spark, ckpt_dir, carry)
+    summary = run_with_checkpoint(
+        new_df,
+        out_dir,
+        ckpt_dir,
+        snapshot_id=new_snapshot,
+        n_buckets=n_buckets,
+        **kwargs,
+    )
+    summary["buckets_changed"] = sorted(changed)
+    summary["buckets_carried_forward"] = len(carry)
+    return summary
 
 
 def run_with_checkpoint(
@@ -136,19 +263,41 @@ def run_with_checkpoint(
                 sub.drop("bucket"), partition_mode=partition_mode, sort_output=True
             )
             out = with_bucket(out, n_buckets)
+            # live status: claim the group as running before its job starts
+            _record(
+                spark,
+                ckpt_dir,
+                [
+                    (int(b), snapshot_id, "running", 0, time.time(), None)
+                    for b in group
+                ],
+            )
+            # per-bucket turn counts ride on the write job itself (observe):
+            # no post-commit re-read of the output directory
+            obs = Observation()
+            out = out.observe(
+                obs,
+                *[
+                    F.sum((F.col("bucket") == int(b)).cast("long")).alias(f"b{b}")
+                    for b in group
+                ],
+            )
             try:
                 out.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
-                turns = (
-                    spark.read.parquet(out_dir)
-                    .where(F.col("bucket").isin(group))
-                    .count()
-                )
+                metrics = obs.get
                 now = time.time()
                 _record(
                     spark,
                     ckpt_dir,
                     [
-                        (int(b), snapshot_id, "completed", int(turns), now, None)
+                        (
+                            int(b),
+                            snapshot_id,
+                            "completed",
+                            int(metrics[f"b{b}"] or 0),
+                            now,
+                            None,
+                        )
                         for b in group
                     ],
                 )

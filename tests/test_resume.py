@@ -125,3 +125,103 @@ def test_bucket_assignment_stable(spark, corpus):
     ).distinct()
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert a.groupBy("conv_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_job_status_pollable_mid_run(spark, corpus, tmp_path):
+    """The status table is the reference's live task registry
+    (app/api/routes.py:197-203): while a group's job runs its buckets show
+    'running'; afterwards every bucket is 'completed'."""
+    import threading
+    import time as _time
+
+    from extractor.checkpoint import job_status
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def slow_hook(bucket: int) -> None:
+        _time.sleep(0.4)  # widen the running window; no failures
+
+    done = []
+
+    def run():
+        s = run_with_checkpoint(
+            corpus,
+            str(tmp_path / "out"),
+            ckpt,
+            n_buckets=4,
+            groups_per_round=4,
+            failure_hook=slow_hook,
+        )
+        done.append(s)
+
+    th = threading.Thread(target=run)
+    th.start()
+    seen_statuses = set()
+    while th.is_alive():
+        try:
+            for r in job_status(spark, ckpt).collect():
+                seen_statuses.add(r["status"])
+        except Exception:
+            pass
+        _time.sleep(0.1)
+    th.join()
+    assert done[0]["status"] == "COMPLETED"
+    assert "running" in seen_statuses, "poller never observed an in-flight row"
+    final = {r["bucket"]: r for r in job_status(spark, ckpt).collect()}
+    assert {r["status"] for r in final.values()} == {"completed"}
+    # per-bucket turn counts (observe metrics) sum to the corpus size
+    assert sum(r["turns"] for r in final.values()) == corpus.count()
+
+
+def test_incremental_between_snapshots(spark, tmp_path):
+    """Append new conversations, rerun incrementally: only changed buckets
+    process; unchanged buckets carry forward; union equals a clean run."""
+    from extractor.checkpoint import changed_buckets, job_status, run_incremental
+
+    n_buckets = 16
+    old = transcripts_df(spark, n_convs=30, mean_turns=8, seed=7)
+    new = transcripts_df(spark, n_convs=40, mean_turns=8, seed=7)  # superset
+
+    s1 = run_with_checkpoint(
+        old,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        snapshot_id="snap-1",
+        n_buckets=n_buckets,
+        groups_per_round=4,
+    )
+    assert s1["status"] == "COMPLETED"
+
+    changed = changed_buckets(old, new, n_buckets)
+    assert changed, "appended conversations must dirty at least one bucket"
+    assert len(changed) < n_buckets, "some buckets must be unchanged"
+
+    s2 = run_incremental(
+        old,
+        new,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        old_snapshot="snap-1",
+        new_snapshot="snap-2",
+        n_buckets=n_buckets,
+        groups_per_round=4,
+    )
+    assert s2["status"] == "COMPLETED"
+    assert s2["buckets_changed"] == changed
+    # carried forward = snap-1-completed buckets that did not change
+    # (buckets with no conversations never get checkpoint rows)
+    snap1_done = {
+        r["bucket"]
+        for r in job_status(spark, str(tmp_path / "ckpt"), "snap-1")
+        .where(F.col("status") == "completed")
+        .collect()
+    }
+    assert s2["buckets_carried_forward"] == len(snap1_done - set(changed))
+    # only the changed buckets were processed in round 1
+    assert s2["rounds"][0]["processed"] == len(changed)
+
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["error"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == _clean_rows(spark, new)
