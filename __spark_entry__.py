@@ -201,6 +201,24 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_mode_mathjax_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 option axes through the full pipeline: math_engine=mathjax +
+    include_toc, over the HTML/math-bearing synthetic transcripts corpus.
+    Rows-only (kernel-backed; per-mode byte behavior is pinned by the
+    golden_options fixtures)."""
+    from extractor.kernel import ConvertOptions
+
+    df = transcripts_df(spark, n_convs=120, mean_turns=10, seed=42)
+    out = extract_transcripts(
+        df,
+        sort_output=False,
+        options=ConvertOptions(math_engine="mathjax", include_toc=True),
+    )
+    return out.select(
+        "conv_id", "turn_idx", "extracted_text", "math_count", "error"
+    )
+
+
 def _extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage/metrics rows for the documents extraction.
     Partition composition varies with parallelism → aggregate to one
@@ -259,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction core (kernel-backed, rows-only)
         "extract_documents": _extract_documents,
         "extract_transcripts_pipeline": _extract_synth_transcripts,
+        "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,  # rows-only
         "extraction_lineage": _extraction_lineage,
         "boilerplate_strip": _boilerplate_strip,
         "layout_linearize": _layout_linearize,
@@ -275,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q_regional_revenue": relational.q_regional_revenue,
         "f_filters_quarantine": relational.f_filters_quarantine,
+        "f4_path_safety": relational.f4_path_safety,
         "a4_batch_rollup": relational.a4_batch_rollup,
         "o1_turn_ordering": relational.o1_turn_ordering,
         "a6_collision_suffix": relational.a6_collision_suffix,
@@ -523,6 +543,21 @@ def oracle_sql() -> dict[str, str]:
                    (text IS NOT NULL AND text NOT LIKE '~$%'
                     AND n_chars <= 52428800) AS accepted
             FROM documents
+        """,
+        "f4_path_safety": """
+            WITH p AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 101 = 0 THEN '/' ELSE '' END)
+                     || source || '/'
+                     || (CASE WHEN doc_id % 97 = 0 THEN '../' ELSE '' END)
+                     || CAST(doc_id AS VARCHAR) || '.docx' AS relative_path
+              FROM documents
+            )
+            SELECT doc_id, relative_path,
+                   NOT (relative_path LIKE '/%'
+                        OR relative_path LIKE '\\%'
+                        OR position('..' IN relative_path) > 0) AS path_safe
+            FROM p
         """,
         "a4_batch_rollup": """
             WITH agg AS (

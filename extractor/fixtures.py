@@ -187,3 +187,44 @@ FIXTURE_CASES: dict[str, str | None] = {
 def oversized_case(max_chars: int) -> str:
     """A deterministic text exceeding *max_chars* (size-cap quarantine)."""
     return "x" * (max_chars + 1)
+
+
+# T1 option-axis cases: (html, ConvertOptions kwargs).  Golden outputs in
+# fixtures/golden_options.json (same hand-reviewed-spec discipline as the
+# main corpus).
+OPTION_CASES: dict[str, tuple[str, dict]] = {
+    "mathjax_inline": (
+        '<p>Sum: <span class="math">a+b</span> done.</p>',
+        {"math_engine": "mathjax"},
+    ),
+    "mathjax_display": (
+        '<math data-latex="\\sum_{i=0}^{N} \\alpha_i x^i + \\beta_i y^i + '
+        '\\gamma_i z^i = 0"><mi>s</mi></math>',
+        {"math_engine": "mathjax"},
+    ),
+    "mathjax_predollared": (
+        '<span class="math">$already$</span>',
+        {"math_engine": "mathjax"},
+    ),
+    "mathml_passthrough": (
+        '<p>Energy:</p><math data-latex="E=mc^2"><mi>E</mi></math>',
+        {"math_engine": "mathml"},
+    ),
+    "toc_basic": (
+        "<h1>Title</h1><p>intro</p><h2>Section A</h2><p>a</p>"
+        "<h2>Section B</h2><h3>B.1</h3><p>b1</p>",
+        {"include_toc": True},
+    ),
+    "toc_depth_capped": (
+        "<h1>Top</h1><h4>Deep4</h4><h5>Deep5 excluded</h5><p>body</p>",
+        {"include_toc": True},
+    ),
+    "toc_no_headings_empty": (
+        "<p>just prose, no headings</p>",
+        {"include_toc": True},
+    ),
+    "toc_plus_mathjax_combined": (
+        '<h1>Doc</h1><p>f: <span class="math">x^2</span></p>',
+        {"include_toc": True, "math_engine": "mathjax"},
+    ),
+}

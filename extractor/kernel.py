@@ -50,6 +50,39 @@ MAX_TEXT_CHARS = 50 * 1024 * 1024
 
 _MATH_DELIM_RE = re.compile(r"[\\$]+")
 
+# T1 conversion-option axes (reference user-facing surface):
+#   math_engine — pandoc --mathml|--latex|--mathjax selection
+#     (app/core/pandoc_converter.py:58-64, default app/config.py:34),
+#     validated like app/models.py:34-40 (ValueError on unknown engine);
+#   include_toc — pandoc --toc --toc-depth (pandoc_converter.py:66-69,
+#     depth default app/config.py:35). Pandoc emits the TOC as a <nav> of
+#     internal #links; under the pinned html2text config
+#     (skip_internal_links) those render as a plain nested bullet list of
+#     heading texts — which is what ``include_toc`` produces here.
+MATH_ENGINES = ("mathml", "latex", "mathjax")
+
+
+@dataclass(frozen=True)
+class ConvertOptions:
+    """Per-run conversion options (one column/argument per reference knob).
+
+    ``latex`` is the default engine so the option-free pipeline keeps its
+    pinned golden behavior ($..$ / $$..$$ delimiters)."""
+
+    math_engine: str = "latex"
+    include_toc: bool = False
+    toc_depth: int = 4
+
+    def __post_init__(self):
+        if self.math_engine not in MATH_ENGINES:
+            # mirrors the reference's request validation (models.py:34-40)
+            raise ValueError(
+                f"Math engine must be one of: {list(MATH_ENGINES)}"
+            )
+
+
+DEFAULT_OPTIONS = ConvertOptions()
+
 
 @dataclass
 class ExtractionResult:
@@ -164,8 +197,16 @@ def _convert_table_to_markdown_inner(table: Element) -> tuple[str, list[dict]]:
     return "\n".join(lines) + "\n\n", table_images
 
 
-def _convert_math_to_markdown(el: Element) -> str:
-    """T6 (reference :276-342): LaTeX extraction + delimiter wrapping."""
+def _convert_math_to_markdown(el: Element, math_engine: str = "latex") -> str:
+    """T6 (reference :276-342): LaTeX extraction + delimiter wrapping.
+
+    *math_engine* selects the emitted representation (the T1 axis):
+    ``latex`` → ``$…$``/``$$…$$`` (the pinned default), ``mathjax`` →
+    ``\\(…\\)``/``\\[…\\]`` (pandoc --mathjax delimiters), ``mathml`` →
+    the element's original markup, untouched (pandoc --mathml keeps MathML
+    in the stream)."""
+    if math_engine == "mathml":
+        return str(el)
     latex = ""
     for attr in ("data-latex", "data-tex", "latex", "tex"):
         if attr in el.attrs:
@@ -185,9 +226,10 @@ def _convert_math_to_markdown(el: Element) -> str:
             return latex
         if latex.startswith("$") or latex.endswith("$"):
             return latex
-        if "\n" in latex or len(latex) > 50:
-            return f"$$\n{latex}\n$$"
-        return f"${latex}$"
+        display = "\n" in latex or len(latex) > 50
+        if math_engine == "mathjax":
+            return f"\\[\n{latex}\n\\]" if display else f"\\({latex}\\)"
+        return f"$$\n{latex}\n$$" if display else f"${latex}$"
     return str(el)  # fallback: original HTML (:338)
 
 
@@ -197,7 +239,9 @@ def _math_class_filter(token) -> bool:
 
 
 def _extract_special_elements(
-    doc: Element, correct_image_path: str = "images"
+    doc: Element,
+    correct_image_path: str = "images",
+    math_engine: str = "latex",
 ) -> tuple[dict, dict, list]:
     """T7 (reference :344-422). Mutates *doc* in place.
 
@@ -248,7 +292,9 @@ def _extract_special_elements(
     math_elements.extend(m for m in math_tags if m.is_attached_to(doc))
     for i, math in enumerate(math_elements):
         placeholder = f"___MATH_PLACEHOLDER_{i}___"
-        math_placeholders[placeholder] = _convert_math_to_markdown(math)
+        math_placeholders[placeholder] = _convert_math_to_markdown(
+            math, math_engine
+        )
         math.replace_with(placeholder)
 
     for img in (el for el in imgs if el.is_attached_to(doc)):
@@ -346,8 +392,32 @@ def _compute_spans(text: str, tables: dict, maths: dict, images: list) -> list:
 _WS_COLLAPSE = re.compile(r"[ \t\r\n\f\v]+")
 _BQ_PREFIX = re.compile(r">\s*(.*)", re.DOTALL)
 
+_HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
 
-def convert_text(text: str | None, max_chars: int = MAX_TEXT_CHARS) -> ExtractionResult:
+
+def _toc_block(doc: Element, toc_depth: int) -> str:
+    """Markdown TOC: what pandoc --toc's <nav> of internal #links becomes
+    under the pinned html2text config (skip_internal_links → bare heading
+    texts in a nested bullet list, our list indent convention)."""
+    from .linearize import _inline_text
+
+    lines = []
+    for el in doc.iter_elements():
+        if el.tag in _HEADING_TAGS:
+            level = int(el.tag[1])
+            if level > toc_depth:
+                continue
+            inner = _inline_text(el)
+            if inner:
+                lines.append(" " * (2 + 4 * (level - 1)) + "* " + inner)
+    return "\n".join(lines)
+
+
+def convert_text(
+    text: str | None,
+    max_chars: int = MAX_TEXT_CHARS,
+    options: ConvertOptions = DEFAULT_OPTIONS,
+) -> ExtractionResult:
     """Full T2–T10 pipeline over one turn's text. Never raises (O4)."""
     if text is None:
         return ExtractionResult(None, error="null_input")
@@ -372,9 +442,18 @@ def convert_text(text: str | None, max_chars: int = MAX_TEXT_CHARS) -> Extractio
         )
     try:
         doc = parse_html(text)
-        tables, maths, images = _extract_special_elements(doc)
+        toc = (
+            _toc_block(doc, options.toc_depth) if options.include_toc else ""
+        )
+        tables, maths, images = _extract_special_elements(
+            doc, math_engine=options.math_engine
+        )
         markdown = linearize(doc)
         markdown = _restore_special_elements(markdown, tables, maths, images)
+        if toc:
+            # pandoc places the TOC nav before the body; html2text renders
+            # it as the document's first block
+            markdown = toc + "\n\n" + markdown
         markdown = clean_markdown(markdown)
         return ExtractionResult(
             extracted_text=markdown,
@@ -400,7 +479,11 @@ def convert_text(text: str | None, max_chars: int = MAX_TEXT_CHARS) -> Extractio
         )
 
 
-def convert_batch(texts, max_chars: int = MAX_TEXT_CHARS):
+def convert_batch(
+    texts,
+    max_chars: int = MAX_TEXT_CHARS,
+    options: ConvertOptions = DEFAULT_OPTIONS,
+):
     """Arrow-batch kernel: ``pd.Series[str] -> pd.DataFrame`` (one call per
     record batch inside ``mapInPandas`` — zero per-row Python dispatch from
     Spark's side)."""
@@ -408,7 +491,9 @@ def convert_batch(texts, max_chars: int = MAX_TEXT_CHARS):
 
     rows = []
     for value in texts:
-        r = convert_text(None if value is None or value is pd.NA else value, max_chars)
+        r = convert_text(
+            None if value is None or value is pd.NA else value, max_chars, options
+        )
         rows.append(
             (
                 r.extracted_text,

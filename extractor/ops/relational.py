@@ -107,6 +107,30 @@ def f_filters_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f4_path_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 path-safety validator (reference app/models.py:27-31): a relative
+    path must not start with '/' or '\\\\' and must not contain '..'.
+    The path column is synthesized deterministically from (source, doc_id)
+    — with unsafe variants injected on doc_id strides — because the corpus
+    is table-native; the operator under test is the quarantine predicate,
+    a pure codegen'd expression that Catalyst can push/reuse anywhere."""
+    docs = _read(spark, sf_dir, "documents")
+    rel = F.concat(
+        F.when(F.col("doc_id") % 101 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("/"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit("../")).otherwise(F.lit("")),
+        F.col("doc_id").cast("string"),
+        F.lit(".docx"),
+    )
+    safe = ~(
+        rel.startswith("/") | rel.startswith("\\") | rel.contains("..")
+    )
+    return docs.select(
+        "doc_id", rel.alias("relative_path"), safe.alias("path_safe")
+    )
+
+
 def a4_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch status rollup (reference document_converter.py:214-223,257-263):
     completed/failed counters + all-fail->FAILED status per group."""

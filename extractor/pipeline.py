@@ -38,7 +38,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .kernel import MAX_TEXT_CHARS, convert_batch
+from .kernel import DEFAULT_OPTIONS, MAX_TEXT_CHARS, ConvertOptions, convert_batch
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -87,7 +87,9 @@ OUTPUT_SCHEMA = T.StructType(
 _PASSTHROUGH = ("conv_id", "turn_idx", "role", "tool", "ts")
 
 
-def _make_extract_iter(pass_cols: tuple):
+def _make_extract_iter(
+    pass_cols: tuple, options: ConvertOptions = DEFAULT_OPTIONS
+):
     """mapInPandas body factory: one ``convert_batch`` call per Arrow batch.
 
     *pass_cols* are copied from input to output untouched — this is how
@@ -109,7 +111,7 @@ def _make_extract_iter(pass_cols: tuple):
         part_id = ctx.partitionId() if ctx is not None else -1
         for pdf in iterator:
             t0 = time.monotonic()
-            result = convert_batch(pdf["text"], MAX_TEXT_CHARS)
+            result = convert_batch(pdf["text"], MAX_TEXT_CHARS, options)
             elapsed = time.monotonic() - t0
             out = pd.DataFrame({c: pdf[c].values for c in pass_cols})
             for c in result.columns:
@@ -174,6 +176,7 @@ def extract_transcripts(
     sort_output: bool = True,
     hot_sample_fraction: float | None = None,
     extra_passthrough: tuple = (),
+    options: ConvertOptions = DEFAULT_OPTIONS,
 ) -> DataFrame:
     """Run the extraction kernel over a transcripts DataFrame.
 
@@ -219,7 +222,7 @@ def extract_transcripts(
         + extra_fields
         + list(OUTPUT_SCHEMA.fields[len(_PASSTHROUGH) :])
     )
-    out = slim.mapInPandas(_make_extract_iter(pass_cols), schema)
+    out = slim.mapInPandas(_make_extract_iter(pass_cols, options), schema)
 
     if sort_output:
         n_out = num_partitions or df.sparkSession.sparkContext.defaultParallelism

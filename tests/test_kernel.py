@@ -98,3 +98,42 @@ def test_pathological_nesting_contained():
     assert r.extracted_text is None and "recursion" in r.error
     r2 = convert_text("<table><tr><td>" * 800 + "x")
     assert r2.extracted_text is None and r2.error
+
+
+# --- T1 option axes (math_engine / include_toc) ---------------------------
+
+from extractor.fixtures import OPTION_CASES  # noqa: E402
+from extractor.kernel import ConvertOptions  # noqa: E402
+
+GOLDEN_OPTIONS = json.loads(
+    (Path(__file__).parent.parent / "fixtures" / "golden_options.json").read_text()
+)
+
+
+@pytest.mark.parametrize("name", sorted(OPTION_CASES))
+def test_option_modes_match_golden(name):
+    html, kw = OPTION_CASES[name]
+    r = convert_text(html, options=ConvertOptions(**kw))
+    expected = GOLDEN_OPTIONS[name]
+    assert r.extracted_text == expected["extracted_text"]
+    assert r.error == expected["error"]
+    assert r.math_count == expected["math_count"]
+    assert r.output_length == expected["output_length"]
+
+
+def test_invalid_math_engine_rejected():
+    # mirrors the reference's request validation (app/models.py:34-40)
+    with pytest.raises(ValueError, match="Math engine must be one of"):
+        ConvertOptions(math_engine="katex")
+
+
+def test_default_options_unchanged():
+    """The option-free pipeline must be byte-identical to the pinned golden
+    corpus (latex engine, no TOC) — options are strictly additive."""
+    r_default = convert_text(FIXTURE_CASES["math_data_latex_attr"])
+    r_explicit = convert_text(
+        FIXTURE_CASES["math_data_latex_attr"], options=ConvertOptions()
+    )
+    assert r_default.extracted_text == r_explicit.extracted_text == GOLDEN[
+        "math_data_latex_attr"
+    ]["extracted_text"]
