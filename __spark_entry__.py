@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,  # rows-only (binary kernel)
         "s7_point_lookup": relational.s7_point_lookup,
         "s8_delete_rewrite": relational.s8_delete_rewrite,
+        "s3_merge_upsert": relational.s3_merge_upsert,
         "o1_ordered_concat": relational.o1_ordered_concat,
         "f5_existence_gate": relational.f5_existence_gate,
         "set_op_retry_merge": relational.set_op_retry_merge,
@@ -653,6 +654,19 @@ def oracle_sql() -> dict[str, str]:
         "s8_delete_rewrite": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 10 <> 0
+        """,
+        "s3_merge_upsert": """
+            WITH src AS (
+              SELECT doc_id, 'xx' AS lang, n_chars + 1 AS n_chars
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new', 0
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+                   coalesce(s.lang, t.lang) AS lang,
+                   coalesce(s.n_chars, t.n_chars) AS n_chars
+            FROM documents t FULL OUTER JOIN src s ON t.doc_id = s.doc_id
         """,
         "o1_ordered_concat": """
             SELECT user_id,

@@ -317,6 +317,37 @@ def s8_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``MERGE INTO`` (upsert) as a copy-on-write rewrite: a staged
+    change-set (updates for doc_id%7==0, brand-new rows above the key
+    space) merges into documents — matched rows take the source values,
+    unmatched targets pass through, unmatched sources insert.  Expressed as
+    full-outer join + coalesce, the standard CoW MERGE plan.
+
+    Scale: the join key is the table key, so with the bucket layout from
+    ``extractor.checkpoint`` the rewrite touches only buckets containing
+    matched/inserted keys (dynamic partition overwrite), not the whole
+    table; the change-set side is typically small -> broadcast."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    inserts = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("new").alias("lang"),
+        F.lit(0).alias("n_chars"),
+    )
+    source = updates.unionByName(inserts)
+    t, s = docs.alias("t"), F.broadcast(source).alias("s")
+    return t.join(s, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("s.lang"), F.col("t.lang")).alias("lang"),
+        F.coalesce(F.col("s.n_chars"), F.col("t.n_chars")).alias("n_chars"),
+    )
+
+
 def percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile aggregation (latency-metrics shape, O6 family):
     continuous-interpolation p50/p90/p99 per group — bit-identical to
