@@ -414,6 +414,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR), 0, NULL, 0, 0, 0, 0, 'null_input'
             FROM documents WHERE text IS NULL
         """,
+        "extraction_lineage": """
+            SELECT count(*) AS turns,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS null_rows,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS error_rows,
+                   CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS bytes_in
+            FROM documents
+        """,
         "dedup_simhash": simhash_sig + """
             SELECT doc_id, simhash FROM signed
         """,

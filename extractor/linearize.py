@@ -78,10 +78,31 @@ _MD_PLUS_RE = re.compile(r"^(\s*)(\+)(?=\s)", re.MULTILINE)
 _MD_DASH_RE = re.compile(r"^(\s*)(-)(?=\s|\-)", re.MULTILINE)
 
 
+# cheap pre-probe: the three line-start rules can only fire if SOME line
+# starts with optional blanks then a digit/+/- (a \s* run spanning newlines
+# always leaves such a line start right before the matched char), so one
+# C-speed scan skips all three subs on ordinary prose (~2× fast-path
+# throughput); the backslash rule is guarded by a plain substring check.
+_MD_LINESTART_PROBE = re.compile(r"^[ \t]*[\d+-]", re.MULTILINE)
+
+
 def escape_md_section(text: str) -> str:
     """html2text's section-level markdown escaping, applied to one raw text
     chunk (pre-whitespace-collapse, so ``^`` sees the chunk's real line
-    starts).  Not applied inside ``code``/``pre``."""
+    starts).  Not applied inside ``code``/``pre``.  The guards change
+    nothing observable (property-tested vs the unguarded form)."""
+    if "\\" in text:
+        text = _MD_BACKSLASH_RE.sub(r"\\\1", text)
+    if _MD_LINESTART_PROBE.search(text):
+        text = _MD_DOT_RE.sub(r"\1\\\2", text)
+        text = _MD_PLUS_RE.sub(r"\1\\\2", text)
+        text = _MD_DASH_RE.sub(r"\1\\\2", text)
+    return text
+
+
+def _escape_md_section_unguarded(text: str) -> str:
+    """Reference form (exact html2text order, no guards) — used only by the
+    guard-equivalence property test."""
     text = _MD_BACKSLASH_RE.sub(r"\\\1", text)
     text = _MD_DOT_RE.sub(r"\1\\\2", text)
     text = _MD_PLUS_RE.sub(r"\1\\\2", text)

@@ -80,3 +80,28 @@ def test_fastpath_equals_slowpath(text):
         _restore_special_elements(linearize(doc), tables, maths, images)
     )
     assert fast.extracted_text == slow
+
+
+_md_bait = st.lists(
+    st.one_of(
+        st.text(max_size=15),
+        st.sampled_from(
+            ["\\", "1. ", "23. x", "+ y", "- z", "--", "\n", " ", "\t",
+             "\\*", "\\\\", ". ", "+", "-"]
+        ),
+    ),
+    max_size=25,
+).map("".join)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_md_bait)
+def test_md_escape_guards_equivalent(text):
+    """The probe-guarded escape must be byte-identical to the exact
+    html2text-ordered unguarded form on any input."""
+    from extractor.linearize import (
+        _escape_md_section_unguarded,
+        escape_md_section,
+    )
+
+    assert escape_md_section(text) == _escape_md_section_unguarded(text)
