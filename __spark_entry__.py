@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` — flagship extraction over sf0.001.
+``entry(spark)`` — flagship extraction over sf0.001 (zero-join plan:
+metadata rides through the kernel as a passthrough column).
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 training-data op suite); each callable takes (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — DuckDB-runnable SQL oracle per SQL-expressible query;
-kernel-backed ops (T3–T9 extraction, simhash, LSH-ANN) are rows-only.
+``oracle_sql()`` — DuckDB-runnable SQL oracle per SQL-expressible query.
+The extraction core itself is hash-checked (the documents corpus is
+markup-free prose, so the kernel fast path is SQL-expressible), as are
+simhash and its banded pairs (HUGEINT bit math).  Rows-only remainder:
+markup-bearing kernel runs (transcripts pipeline, option modes, images,
+stitch), the boilerplate/layout heuristic kernels, media features (binary
+kernel), and ANN top-k (approximate by design; gated by a recall pytest).
 """
 
 from __future__ import annotations
@@ -58,7 +64,11 @@ def _boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(iterator):
         for pdf in iterator:
-            out = strip_boilerplate_batch(pdf["html"])
+            # stopword_threshold=0: jusText's language-independent mode —
+            # the corpus is multilingual (en/zh/es/de/fr), so an English
+            # stopword gate would misclassify all main content as
+            # boilerplate; chrome is still dropped by link/tag density
+            out = strip_boilerplate_batch(pdf["html"], stopword_threshold=0.0)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
@@ -413,6 +423,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(doc_id AS VARCHAR), 0, NULL, 0, 0, 0, 0, 'null_input'
             FROM documents WHERE text IS NULL
+        """,
+        # boilerplate_strip: the wrapped-chrome document is deterministic
+        # (nav 18 chars, h1 'Document' 8, body paragraph, div 9, footer 7 =
+        # 5 blocks), so the jusText classification in language-independent
+        # mode reduces to: paragraph good iff collapsed length >= 80 (LONG_
+        # BLOCK); the heading survives iff the paragraph does; nav/div/
+        # footer die on link density.  Hash-checks the DOM-heuristic kernel.
+        "boilerplate_strip": r"""
+            WITH c AS (
+              SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS ct
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   CASE WHEN length(ct) >= 80
+                        THEN 'Document' || chr(10) || chr(10) || ct
+                        ELSE '' END AS main_text,
+                   5 AS n_blocks,
+                   CASE WHEN length(ct) >= 80 THEN 2 ELSE 0 END AS n_good,
+                   round(1.0 - (CASE WHEN length(ct) >= 80
+                                     THEN 8 + length(ct) ELSE 0 END)::DOUBLE
+                             / (length(ct) + 42)::DOUBLE, 4)
+                     AS boilerplate_ratio,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM c
         """,
         "extraction_lineage": """
             SELECT count(*) AS turns,

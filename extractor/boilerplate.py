@@ -144,7 +144,12 @@ def _segment(doc: Element) -> list[Block]:
     return blocks
 
 
-def _classify(blocks: list[Block]) -> None:
+def _classify(blocks: list[Block], stopword_threshold: float = 0.20) -> None:
+    """*stopword_threshold* = jusText's ``stopwords_high``; 0.0 selects the
+    published language-independent mode (no stopword list: classification
+    by link/tag density and length only) — the right setting for
+    multilingual or non-natural-language corpora where an English stopword
+    list would misclassify all main content as boilerplate."""
     for b in blocks:
         if b.is_heading:
             b.label = "heading"
@@ -154,9 +159,9 @@ def _classify(blocks: list[Block]) -> None:
             or b.tag_density > 1.0
         ):
             b.label = "bad"
-        elif b.text_len >= LONG_BLOCK and b.stopword_density >= 0.20:
+        elif b.text_len >= LONG_BLOCK and b.stopword_density >= stopword_threshold:
             b.label = "good"
-        elif b.text_len >= SHORT_BLOCK and b.stopword_density >= 0.20:
+        elif b.text_len >= SHORT_BLOCK and b.stopword_density >= stopword_threshold:
             b.label = "near_good"
         else:
             b.label = "short"
@@ -192,13 +197,15 @@ class BoilerplateResult:
     error: str | None = None
 
 
-def strip_boilerplate(html: str | None) -> BoilerplateResult:
+def strip_boilerplate(
+    html: str | None, stopword_threshold: float = 0.20
+) -> BoilerplateResult:
     if html is None:
         return BoilerplateResult(None, error="null_input")
     try:
         doc = parse_html(html)
         blocks = _segment(doc)
-        _classify(blocks)
+        _classify(blocks, stopword_threshold)
         good = [b for b in blocks if b.label == "good"]
         total_chars = sum(b.text_len for b in blocks) or 1
         kept_chars = sum(b.text_len for b in good)
@@ -223,14 +230,15 @@ def strip_boilerplate(html: str | None) -> BoilerplateResult:
         return BoilerplateResult(None, error=f"boilerplate_error: {exc}")
 
 
-def strip_boilerplate_batch(texts):
+def strip_boilerplate_batch(texts, stopword_threshold: float = 0.20):
     """Arrow-batch wrapper (pd.Series -> pd.DataFrame), mapInPandas-ready."""
     import pandas as pd
 
     rows = []
     for value in texts:
         r = strip_boilerplate(
-            None if value is None or value is pd.NA else value
+            None if value is None or value is pd.NA else value,
+            stopword_threshold,
         )
         rows.append(
             (r.main_text, r.n_blocks, r.n_good, r.boilerplate_ratio, r.error)
