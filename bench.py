@@ -107,23 +107,31 @@ def _extraction_run_inprocess(cores: int, corpus_path: str) -> dict:
     spark = _session(cores)
     try:
         df = spark.read.parquet(corpus_path)
-        # warm up ALL python workers outside the timed window (a limit()
-        # warmup only spawns one or two workers)
-        _noop(df.mapInPandas(lambda it: it, df.schema))
-        best = None
-        for _ in range(2):  # best-of-2: the host is shared and noisy
-            t0 = time.monotonic()
-            out = extract_transcripts(
-                df, partition_mode="map_only", sort_output=False
+        # warm up ALL python workers outside the timed window with a cheap
+        # synthetic frame spread over > cores partitions (a limit() warmup
+        # only spawns one or two workers; warming on the full corpus costs
+        # an entire extra extraction pass)
+        warm = spark.range(cores * 2 * 8192).repartition(cores * 2)
+        _noop(warm.mapInPandas(lambda it: it, warm.schema))
+        # ...and the real extraction plan's codegen on a 2% sample
+        _noop(
+            extract_transcripts(
+                df.sample(0.02, seed=1), partition_mode="map_only",
+                sort_output=False,
             )
-            agg = out.select(
-                F.count("*").alias("turns"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum(F.col("extracted_text").isNull().cast("long")).alias("nulls"),
-            ).collect()[0]
-            wall = time.monotonic() - t0
-            if best is None or wall < best:
-                best = wall
+        )
+        # ONE timed pass per subprocess: cross-run repetition comes from the
+        # interleaved rounds in main() (per-config best across rounds)
+        t0 = time.monotonic()
+        out = extract_transcripts(
+            df, partition_mode="map_only", sort_output=False
+        )
+        agg = out.select(
+            F.count("*").alias("turns"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum(F.col("extracted_text").isNull().cast("long")).alias("nulls"),
+        ).collect()[0]
+        best = time.monotonic() - t0
         return {
             "cores": cores,
             "turns": agg["turns"],
@@ -211,14 +219,20 @@ def main() -> None:
     #     samples see similar host load); the reported figure is the MEDIAN
     #     across rounds (best round kept as a separate, labeled field).
     all_cores = sorted({c for pair in SCALING_PAIRS for c in pair})
+    primary_cores = set(SCALING_PAIRS[0])
     rounds: list[dict[int, dict]] = []
-    for _round in range(3):  # 3 interleaved rounds -> a real median per pair
+    for _round in range(3):
+        # 3 interleaved rounds -> a real median for the pre-declared primary
+        # pair; the secondary (full-saturation) pair gets 2 rounds — enough,
+        # since it is diagnostic (the host throttles there, see note)
+        cores_this_round = all_cores if _round < 2 else sorted(primary_cores)
         rounds.append(
-            {cores: _extraction_run(cores, corpus_path) for cores in all_cores}
+            {cores: _extraction_run(cores, corpus_path) for cores in cores_this_round}
         )
     runs: dict[int, dict] = {
         cores: max(
-            (rnd[cores] for rnd in rounds), key=lambda r: r["turns_per_sec"]
+            (rnd[cores] for rnd in rounds if cores in rnd),
+            key=lambda r: r["turns_per_sec"],
         )
         for cores in all_cores
     }
@@ -231,6 +245,7 @@ def main() -> None:
                 3,
             )
             for rnd in rounds
+            if small_c in rnd and large_c in rnd
         ]
         pairs.append(
             {
