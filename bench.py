@@ -42,6 +42,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_PAIRS = ((max(CPUS // 8, 1), CPUS // 2), (max(CPUS // 4, 1), CPUS))
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "60000"))  # ~720k turns
+# scaling matrix uses a half-size corpus (same distribution, same corpus for
+# every config in a ratio -> unbiased pair efficiencies, half the wall time);
+# the headline extraction stats still run on the full corpus
+SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "30000"))
 CACHE_DIR = os.path.join(REPO, ".bench_cache")
 
 HEADLINE = (
@@ -75,15 +79,15 @@ def _session(cores: int):
     )
 
 
-def _ensure_corpus(spark) -> str:
+def _ensure_corpus(spark, n_convs: int) -> str:
     """Deterministic transcripts corpus, generated once and cached as parquet
-    so both scaling runs read identical bytes."""
+    so every run at every core count reads identical bytes."""
     from extractor.transcripts import transcripts_df
 
-    path = os.path.join(CACHE_DIR, f"transcripts_{BENCH_CONVS}")
+    path = os.path.join(CACHE_DIR, f"transcripts_{n_convs}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        df = transcripts_df(spark, n_convs=BENCH_CONVS, mean_turns=10, seed=42)
+        df = transcripts_df(spark, n_convs=n_convs, mean_turns=10, seed=42)
         df.repartition(CPUS * 4).write.mode("overwrite").parquet(path)
     return path
 
@@ -183,7 +187,8 @@ def main() -> None:
 
     # --- headline queries at SF_DIR on local[CPUS] ------------------------
     spark = _session(CPUS)
-    corpus_path = _ensure_corpus(spark)
+    corpus_path = _ensure_corpus(spark, BENCH_CONVS)
+    scaling_corpus = _ensure_corpus(spark, SCALING_CONVS)
     queries = entry.queries()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
@@ -206,15 +211,17 @@ def main() -> None:
     #     samples see similar host load); the reported figure is the MEDIAN
     #     across rounds (best round kept as a separate, labeled field).
     all_cores = sorted({c for pair in SCALING_PAIRS for c in pair})
+    primary_cores = set(SCALING_PAIRS[0])
     rounds: list[dict[int, dict]] = []
     ctrl: dict[int, float] = {c: 0.0 for c in all_cores}
     for _round in range(3):
+        cores_this_round = all_cores if _round < 2 else sorted(primary_cores)
         rnd: dict[int, dict] = {}
-        for cores in all_cores:
+        for cores in cores_this_round:
             # control probe immediately before the Spark sample: both see
             # the same host-load window
             ctrl[cores] = max(ctrl[cores], _control_probe(cores))
-            rnd[cores] = _extraction_run(cores, corpus_path)
+            rnd[cores] = _extraction_run(cores, scaling_corpus)
         rounds.append(rnd)
     runs: dict[int, dict] = {
         cores: max(
@@ -223,6 +230,9 @@ def main() -> None:
         )
         for cores in all_cores
     }
+    # headline extraction stats: one full-corpus run at max parallelism
+    # (kept separate from `runs` — pair ratios must stay same-corpus)
+    headline_extraction = _extraction_run(CPUS, corpus_path)
     # Efficiency per pair = ratio of PER-CONFIG BESTS.  On this shared host
     # external load arrives in bursts that are long relative to one run, so
     # within-round pairing anti-correlates (a burst hitting only the small
@@ -272,7 +282,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "extraction": runs[CPUS],
+        "extraction": headline_extraction,
         "scaling": {
             "pairs": pairs,
             "primary_pair": f"{SCALING_PAIRS[0][0]}->{SCALING_PAIRS[0][1]}",
