@@ -181,6 +181,13 @@ def _mp_work(chunk) -> int:
     return n
 
 
+def _progress(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr)
+
+
+_T0 = time.monotonic()
+
+
 def main() -> None:
     os.makedirs(CACHE_DIR, exist_ok=True)
     import __spark_entry__ as entry
@@ -201,7 +208,9 @@ def main() -> None:
             wall = time.monotonic() - t0
             best = wall if best is None else min(best, wall)
         per_query[name] = round(best, 3)
+        _progress(f"headline {name}: {best:.2f}s")
     spark.stop()
+    _progress("headline done")
 
     # --- scaling: same extraction job at two (N, 4N) core pairs -----------
     # The shared host's external load swings on a minutes timescale, so:
@@ -222,6 +231,10 @@ def main() -> None:
             # the same host-load window
             ctrl[cores] = max(ctrl[cores], _control_probe(cores))
             rnd[cores] = _extraction_run(cores, scaling_corpus)
+            _progress(
+                f"round {_round} cores={cores}: "
+                f"{rnd[cores]['turns_per_sec']:.0f} t/s (ctrl {ctrl[cores]:.0f})"
+            )
         rounds.append(rnd)
     runs: dict[int, dict] = {
         cores: max(
