@@ -157,10 +157,10 @@ def _control_probe(procs: int) -> float:
     Spark sample so the two share the same load window."""
     import multiprocessing as mp
 
-    n_convs = 600 * procs  # ~1-2 s timed window at any proc count
+    n_convs = 6000  # FIXED corpus for every proc count (Zipf lengths vary
+    # by conv index, so a per-proc-count corpus would bias the pair ratios)
     chunks = [
-        (i * n_convs // (procs * 2), (i + 1) * n_convs // (procs * 2))
-        for i in range(procs * 2)
+        (i * n_convs // 64, (i + 1) * n_convs // 64) for i in range(64)
     ]
     with mp.Pool(procs) as pool:
         pool.map(_mp_work, chunks[:procs])  # warm
@@ -223,19 +223,28 @@ def main() -> None:
     primary_cores = set(SCALING_PAIRS[0])
     rounds: list[dict[int, dict]] = []
     ctrl: dict[int, float] = {c: 0.0 for c in all_cores}
+    # per-sample spark/control ratio, same load window: external bursts hit
+    # numerator and denominator together, so this ratio is the load-robust
+    # statistic (median over rounds) for the normalized efficiency
+    ratio_samples: dict[int, list[float]] = {c: [] for c in all_cores}
     for _round in range(3):
         cores_this_round = all_cores if _round < 2 else sorted(primary_cores)
         rnd: dict[int, dict] = {}
         for cores in cores_this_round:
             # control probe immediately before the Spark sample: both see
             # the same host-load window
-            ctrl[cores] = max(ctrl[cores], _control_probe(cores))
+            probe = _control_probe(cores)
+            ctrl[cores] = max(ctrl[cores], probe)
             rnd[cores] = _extraction_run(cores, scaling_corpus)
+            ratio_samples[cores].append(rnd[cores]["turns_per_sec"] / probe)
             _progress(
                 f"round {_round} cores={cores}: "
-                f"{rnd[cores]['turns_per_sec']:.0f} t/s (ctrl {ctrl[cores]:.0f})"
+                f"{rnd[cores]['turns_per_sec']:.0f} t/s (ctrl {probe:.0f})"
             )
         rounds.append(rnd)
+    ratio_med = {
+        c: statistics.median(v) for c, v in ratio_samples.items() if v
+    }
     runs: dict[int, dict] = {
         cores: max(
             (rnd[cores] for rnd in rounds if cores in rnd),
@@ -303,20 +312,18 @@ def main() -> None:
             # above `pairs`) — raw per-round pairings reported untrimmed
             "efficiency": pairs[0]["efficiency"],
             "machine_control_no_spark": control,
-            # Spark efficiency ÷ control efficiency on the same pair: the
-            # pipeline's scaling net of the host's own per-core frequency
-            # curve (1.0 = the distribution layer loses nothing the bare
-            # machine doesn't already lose)
+            # Pipeline scaling net of the host's own per-core frequency
+            # curve: median per-config (spark ÷ adjacent-control) ratio of
+            # the large size over the small size.  Each ratio's numerator
+            # and denominator share one load window, so bursts cancel;
+            # 1.0 = the distribution layer loses nothing the bare machine
+            # doesn't already lose going from N to 4N busy cores.
             "normalized_efficiency": {
-                f"{s}->{l}": round(
-                    min(
-                        p["efficiency"]
-                        / max(control["pair_efficiency"][f"{s}->{l}"], 1e-9),
-                        9.999,
-                    ),
-                    3,
-                )
-                for (s, l), p in zip(SCALING_PAIRS, pairs)
+                f"{s}->{l}": round(ratio_med[l] / ratio_med[s], 3)
+                for s, l in SCALING_PAIRS
+            },
+            "spark_over_control_ratio_median": {
+                str(c): round(r, 3) for c, r in ratio_med.items()
             },
             "note": (
                 "sandbox proxy for two cluster sizes; efficiency = ratio of "
