@@ -227,19 +227,40 @@ def main() -> None:
     # numerator and denominator together, so this ratio is the load-robust
     # statistic (median over rounds) for the normalized efficiency
     ratio_samples: dict[int, list[float]] = {c: [] for c in all_cores}
+    def _scaling_sample(cores: int) -> tuple[dict, float]:
+        """One Spark sample BRACKETED by control probes.  External load
+        arrives in bursts long enough to hit a 10-30 s Spark window while
+        dodging a 2 s probe (and a burst only hurts when the job wants all
+        cores — which is exactly the high-core configs).  If the pre/post
+        probes disagree by >25% the window was burst-contaminated: retry
+        once, else keep the attempt with the stabler bracket."""
+        best = None
+        for _attempt in range(2):
+            pre = _control_probe(cores)
+            run = _extraction_run(cores, scaling_corpus)
+            post = _control_probe(cores)
+            spread = min(pre, post) / max(pre, post)
+            cand = (run, (pre + post) / 2, spread)
+            if best is None or spread > best[2]:
+                best = cand
+            if spread >= 0.75:
+                break
+            _progress(
+                f"cores={cores}: unstable bracket ({pre:.0f}/{post:.0f}), retry"
+            )
+        return best[0], best[1]
+
     for _round in range(3):
         cores_this_round = all_cores if _round < 2 else sorted(primary_cores)
         rnd: dict[int, dict] = {}
         for cores in cores_this_round:
-            # control probe immediately before the Spark sample: both see
-            # the same host-load window
-            probe = _control_probe(cores)
+            run, probe = _scaling_sample(cores)
             ctrl[cores] = max(ctrl[cores], probe)
-            rnd[cores] = _extraction_run(cores, scaling_corpus)
-            ratio_samples[cores].append(rnd[cores]["turns_per_sec"] / probe)
+            rnd[cores] = run
+            ratio_samples[cores].append(run["turns_per_sec"] / probe)
             _progress(
                 f"round {_round} cores={cores}: "
-                f"{rnd[cores]['turns_per_sec']:.0f} t/s (ctrl {probe:.0f})"
+                f"{run['turns_per_sec']:.0f} t/s (ctrl {probe:.0f})"
             )
         rounds.append(rnd)
     ratio_med = {
