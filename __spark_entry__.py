@@ -229,6 +229,24 @@ def _extract_mode_mathjax_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path, hash-checked: the synthetic media table's
+    typed metadata is a pure function of md5 bytes, so DuckDB can rebuild
+    it exactly — pinning the binary-synthesis plumbing (the decode kernel
+    stays rows-only; codecs are stubbed)."""
+    from extractor.ops import multimodal as mm
+
+    media = mm.synth_media_df(spark, n=200, seed=42)
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
 def _extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition lineage/metrics rows for the documents extraction.
     Partition composition varies with parallelism → aggregate to one
@@ -315,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_hours": relational.pivot_event_hours,
         "argmax_latest_event": relational.argmax_latest_event,
         "media_features": _media_features,  # rows-only (binary kernel)
+        "media_meta": _media_meta,
         "s7_point_lookup": relational.s7_point_lookup,
         "s8_delete_rewrite": relational.s8_delete_rewrite,
         "s3_merge_upsert": relational.s3_merge_upsert,
@@ -690,6 +709,37 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(value, ord_key), 2) AS last_value,
                    max(ts) AS last_ts
             FROM t GROUP BY user_id
+        """,
+        "media_meta": """
+            WITH m AS (
+              SELECT i AS media_id, md5('42:' || CAST(i AS VARCHAR)) AS hx
+              FROM range(200) t(i)
+            ), b AS (
+              SELECT media_id,
+                (strpos('0123456789abcdef', substr(hx,1,1))-1)*16
+                  + strpos('0123456789abcdef', substr(hx,2,1))-1 AS b0,
+                (strpos('0123456789abcdef', substr(hx,3,1))-1)*16
+                  + strpos('0123456789abcdef', substr(hx,4,1))-1 AS b1,
+                (strpos('0123456789abcdef', substr(hx,5,1))-1)*16
+                  + strpos('0123456789abcdef', substr(hx,6,1))-1 AS b2,
+                (strpos('0123456789abcdef', substr(hx,7,1))-1)*16
+                  + strpos('0123456789abcdef', substr(hx,8,1))-1 AS b3
+              FROM m
+            ), d AS (
+              SELECT media_id,
+                     CASE b3 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     16 + b0 % 64 AS width,
+                     16 + b1 % 64 AS height,
+                     CASE b2 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+                          ELSE 'bmp' END AS format
+              FROM b
+            )
+            SELECT media_id, kind, width, height, format,
+                   CAST(length('FAKEIMG|' || width || '|' || height || '|'
+                               || format || '|') + width * height
+                        AS BIGINT) AS n_bytes
+            FROM d
         """,
         "s7_point_lookup": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42
