@@ -19,12 +19,16 @@ The kernel stage is identical to batch (same kernel iterator), so per-turn
 output is byte-identical between batch and streaming paths (tested).
 
 Scale: file-source streaming shards by arriving files; at 10^12-turn scale
-the same topology runs against a Kafka source (swap ``readStream.format``)
-with watermarked event-time aggregations for the metrics stream.  No custom
-stateful operator is needed because extraction is stateless per turn — the
-one case where ``applyInPandasWithState`` would enter is cross-turn
-conversation stitching, which downstream consumers do after the sorted batch
-output instead.
+the same topology runs against a Kafka source (swap ``readStream.format``).
+Three operators:
+
+- ``stream_extract``           — stateless kernel stream (exactly-once)
+- ``stream_windowed_metrics``  — watermark + event-time windowed aggregation
+                                 (late rows beyond the watermark dropped,
+                                 windows finalize in append mode — the
+                                 late-data-safe metrics rollup)
+- ``stream_conversation_state``— custom stateful operator
+                                 (``applyInPandasWithState``)
 """
 
 from __future__ import annotations
@@ -68,6 +72,51 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Watermarked event-time windowed metrics over the transcript stream:
+    per-(window, role) turn counts and input bytes.
+
+    Late-data contract: rows arriving more than *watermark* behind the
+    observed max event time are DROPPED; a window finalizes (and emits —
+    append mode, file-sink safe) once the watermark passes its end.  State
+    is bounded by (windows in flight × groups), not stream length — the
+    100 TB posture for continuous metrics.  Restarts resume from the
+    streaming checkpoint with the same watermark state."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.length("text")).alias("bytes_in"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "turns",
+            "bytes_in",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_conversation_state(

@@ -87,3 +87,65 @@ def test_stateful_conversation_progress(spark, tmp_path):
     assert len(latest) == len(truth)
     for r in latest:
         assert (r["turns_seen"], r["max_turn_idx"]) == truth[r["conv_id"]], r
+
+
+def test_windowed_metrics_watermark_finalizes_and_drops_late(spark, tmp_path):
+    """Watermark + event-time window contract: (1) only windows the
+    watermark has passed emit (append mode); (2) emitted counts equal the
+    batch groupBy on the same data; (3) a late row behind the watermark is
+    dropped — already-emitted windows never change."""
+    from pyspark.sql import functions as F
+
+    from extractor.streaming import stream_windowed_metrics
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 24 conversations → ts spans 24 hours (conv_index * 3600 s)
+    full = transcripts_df(spark, n_convs=24, mean_turns=8, seed=11)
+    full.write.mode("append").parquet(input_dir)
+    q = stream_windowed_metrics(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["role"]): (r["turns"], r["bytes_in"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got, "watermark must have finalized at least one window"
+
+    # batch truth for the same (window, role) groups
+    truth = {
+        (r["win"]["start"], r["role"]): (r["turns"], r["bytes_in"])
+        for r in (
+            full.groupBy(F.window("ts", "1 hour").alias("win"), "role")
+            .agg(
+                F.count("*").alias("turns"),
+                F.sum(F.length("text")).alias("bytes_in"),
+            )
+            .collect()
+        )
+    }
+    max_ts = full.agg(F.max("ts")).collect()[0][0]
+    for key, vals in got.items():
+        assert truth[key] == vals  # every emitted window exactly right
+    # windows comfortably behind the watermark must all have emitted
+    import datetime as dt
+
+    cutoff = max_ts - dt.timedelta(hours=3)  # watermark 2h + window 1h slack
+    for (start, role), vals in truth.items():
+        if start < cutoff - dt.timedelta(hours=1):
+            assert (start, role) in got, (start, role)
+
+    # a VERY late row (behind the watermark) arrives; restart the stream:
+    # it must be dropped — previously emitted windows unchanged
+    late = full.where("conv_id = 'conv_00000000'").limit(1)
+    late.write.mode("append").parquet(input_dir)
+    q = stream_windowed_metrics(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got2 = {
+        (r["window_start"], r["role"]): (r["turns"], r["bytes_in"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    for key, vals in got.items():
+        assert got2[key] == vals
