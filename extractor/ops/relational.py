@@ -321,13 +321,17 @@ def s3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg ``MERGE INTO`` (upsert) as a copy-on-write rewrite: a staged
     change-set (updates for doc_id%7==0, brand-new rows above the key
     space) merges into documents — matched rows take the source values,
-    unmatched targets pass through, unmatched sources insert.  Expressed as
-    full-outer join + coalesce, the standard CoW MERGE plan.
+    unmatched targets pass through, unmatched sources insert.
 
-    Scale: the join key is the table key, so with the bucket layout from
-    ``extractor.checkpoint`` the rewrite touches only buckets containing
-    matched/inserted keys (dynamic partition overwrite), not the whole
-    table; the change-set side is typically small -> broadcast."""
+    Plan note: a naive full-outer-join formulation CANNOT broadcast (Spark
+    only broadcasts the non-preserved side, and full outer preserves both
+    -> forced SortMergeJoin, i.e. a full shuffle of the 100 TB target).
+    Decomposed instead as (target LEFT JOIN source -> coalesce) UNION ALL
+    (source LEFT ANTI target) -- identical semantics, and BOTH joins
+    broadcast the small change-set, so the target table never shuffles.
+    With the bucket layout from ``extractor.checkpoint`` the rewrite then
+    touches only buckets containing matched/inserted keys (dynamic
+    partition overwrite), not the whole table."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     updates = docs.where(F.col("doc_id") % 7 == 0).select(
         "doc_id",
@@ -341,11 +345,15 @@ def s3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = updates.unionByName(inserts)
     t, s = docs.alias("t"), F.broadcast(source).alias("s")
-    return t.join(s, "doc_id", "full_outer").select(
+    upserted = t.join(s, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("s.lang"), F.col("t.lang")).alias("lang"),
         F.coalesce(F.col("s.n_chars"), F.col("t.n_chars")).alias("n_chars"),
     )
+    inserted = source.join(
+        F.broadcast(docs.select("doc_id")), "doc_id", "left_anti"
+    )
+    return upserted.unionByName(inserted)
 
 
 def percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

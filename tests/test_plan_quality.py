@@ -103,6 +103,16 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_merge_upsert_broadcasts_changeset(spark):
+    """MERGE must be the decomposed (left join + anti join) form: both
+    joins broadcast the change-set; the 100 TB target side never sorts or
+    shuffles (a full-outer formulation would force SortMergeJoin)."""
+    plan = _plan(relational.s3_merge_upsert(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+
+
 def test_entry_has_no_joins(spark):
     """The flagship plan must carry metadata through the kernel as a
     passthrough column — never re-join (or broadcast) the corpus onto
