@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_event_hierarchy": relational.rollup_event_hierarchy,
         # dedup suite
         "dedup_exact": dedup.exact_dedup,
+        "decontaminate_ngram": dedup.decontaminate,
         "dedup_apply": dedup.dedup_apply,
         "corpus_curation": dedup.corpus_curation,
         "dedup_minhash_lsh": dedup.minhash_lsh_buckets,
@@ -796,6 +797,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+        """,
+        "decontaminate_ngram": rf"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), bench AS (
+              SELECT DISTINCT md5(array_to_string(toks[1:{dedup.DECON_N}], ' ')) AS g
+              FROM t WHERE doc_id % 50 = 0 AND len(toks) >= {dedup.DECON_N}
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(toks) - {dedup.DECON_N - 1}, 0) + 1),
+                       i -> md5(array_to_string(toks[i:i+{dedup.DECON_N - 1}], ' ')))) AS g
+              FROM t WHERE len(toks) >= {dedup.DECON_N}
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+            )
+            SELECT t.doc_id, t.lang,
+                   (hits.doc_id IS NOT NULL) AS is_contaminated
+            FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash,

@@ -224,6 +224,60 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("hamming") <= SIMHASH_RADIUS)
 
 
+DECON_N = 8  # n-gram length for test-set decontamination
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing any
+    8-gram with a benchmark set (here: the leading 8-gram of every 50th
+    document — the sources themselves flag, as they should when the eval
+    set was drawn from the corpus).  The pre-training staple alongside
+    dedup; hash = md5 over the space-joined gram, so fully oracle-checkable.
+
+    Plan (100 TB posture): the benchmark gram set is tiny → broadcast; doc
+    grams are exploded but hit the broadcast LeftSemi immediately — a
+    map-side filter, NO shuffle of the gram stream (at extreme gram
+    cardinality swap in a bloom filter built from the same hashes, same
+    topology).  The final flag join is also broadcast (hits ≪ corpus)."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+    )
+    t = docs.select("doc_id", "lang", toks.alias("toks"))
+
+    def gram_at(i):
+        # md5 of toks[i .. i+N-1], 1-based slice
+        return F.md5(F.concat_ws(" ", F.slice("toks", i, DECON_N)))
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - (DECON_N - 1), F.lit(0))),
+        gram_at,
+    )
+    bench = (
+        t.where((F.col("doc_id") % 50 == 0) & (F.size("toks") >= DECON_N))
+        .select(gram_at(F.lit(1)).alias("g"))
+        .distinct()
+    )
+    doc_grams = (
+        t.where(F.size("toks") >= DECON_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        t.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("is_contaminated"),
+        )
+    )
+
+
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply exact dedup: keep the lowest doc_id per content hash (the
     keeper policy of exact_dedup), returning the surviving documents —
