@@ -327,8 +327,18 @@ def s3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     only broadcasts the non-preserved side, and full outer preserves both
     -> forced SortMergeJoin, i.e. a full shuffle of the 100 TB target).
     Decomposed instead as (target LEFT JOIN source -> coalesce) UNION ALL
-    (source LEFT ANTI target) -- identical semantics, and BOTH joins
-    broadcast the small change-set, so the target table never shuffles.
+    (source LEFT ANTI matched) -- identical semantics -- where every hash
+    table Spark builds is bounded by the CHANGE-SET size, never the target:
+
+    * the upsert branch broadcasts ``source`` onto the streamed target;
+    * the insert branch does NOT anti-join source against the target's key
+      set (broadcasting 10^12 keys = driver OOM).  Instead ``matched`` =
+      target INNER JOIN broadcast(source_keys) -- a map-side probe over the
+      streamed target whose OUTPUT is <= |source| -- and the anti join
+      broadcasts that small matched-key set.  The target table is only ever
+      the streamed/probe side; it never sorts, shuffles, or becomes a
+      broadcast build side.
+
     With the bucket layout from ``extractor.checkpoint`` the rewrite then
     touches only buckets containing matched/inserted keys (dynamic
     partition overwrite), not the whole table."""
@@ -350,9 +360,13 @@ def s3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("s.lang"), F.col("t.lang")).alias("lang"),
         F.coalesce(F.col("s.n_chars"), F.col("t.n_chars")).alias("n_chars"),
     )
-    inserted = source.join(
-        F.broadcast(docs.select("doc_id")), "doc_id", "left_anti"
+    # Matched keys via a broadcast of the *change-set* keys probed against
+    # the streamed target: output cardinality <= |source|, so broadcasting
+    # it back for the anti join is safe at any target scale.
+    matched = docs.select("doc_id").join(
+        F.broadcast(source.select("doc_id")), "doc_id"
     )
+    inserted = source.join(F.broadcast(matched), "doc_id", "left_anti")
     return upserted.unionByName(inserted)
 
 

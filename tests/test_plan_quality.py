@@ -103,14 +103,64 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def _tree_lines(plan: str):
+    """The tree section of a formatted plan as (depth, text) pairs."""
+    out = []
+    for line in plan.splitlines():
+        if line.startswith("(") or "==" in line:
+            if out and line.startswith("("):
+                break
+            continue
+        stripped = line.lstrip(" :+-*")
+        if not stripped:
+            continue
+        out.append((len(line) - len(stripped), stripped))
+    return out
+
+
+def _subtree(lines, i):
+    """Lines strictly inside node i's subtree (deeper indent until pop)."""
+    depth = lines[i][0]
+    sub = []
+    for d, text in lines[i + 1 :]:
+        if d <= depth:
+            break
+        sub.append((d, text))
+    return sub
+
+
 def test_merge_upsert_broadcasts_changeset(spark):
     """MERGE must be the decomposed (left join + anti join) form: both
-    joins broadcast the change-set; the 100 TB target side never sorts or
-    shuffles (a full-outer formulation would force SortMergeJoin)."""
+    joins broadcast the change-set; the 100 TB target side never sorts,
+    shuffles, or becomes a broadcast BUILD side (a full-outer formulation
+    would force SortMergeJoin; anti-joining source against the raw target
+    key set would hash 10^12 keys).  Each LeftAnti's BroadcastExchange
+    must therefore sit on a *join output* (matched keys, <= |change-set|),
+    i.e. a BroadcastHashJoin Inner — never directly on the target scan."""
     plan = _plan(relational.s3_merge_upsert(spark, SF))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin LeftOuter" in plan, plan
     assert "BroadcastHashJoin LeftAnti" in plan, plan
+    lines = _tree_lines(plan)
+    anti_idx = [
+        i for i, (_, t) in enumerate(lines) if "BroadcastHashJoin LeftAnti" in t
+    ]
+    assert anti_idx, plan
+    for i in anti_idx:
+        sub = _subtree(lines, i)
+        # the build side is the BroadcastExchange child of the anti join
+        ex = [
+            j
+            for j, (d, t) in enumerate(sub)
+            if t.startswith("BroadcastExchange") and d == sub[0][0]
+        ]
+        assert len(ex) == 1, plan
+        build = _subtree(sub, ex[0])
+        build_txt = [t for _, t in build]
+        # broadcast side must be a bounded join OUTPUT, and the node feeding
+        # the exchange must not be a bare relation scan of the target
+        assert any("BroadcastHashJoin Inner" in t for t in build_txt), plan
+        assert not build_txt[0].startswith("Scan"), plan
 
 
 def test_entry_has_no_joins(spark):
