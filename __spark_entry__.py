@@ -372,20 +372,33 @@ def oracle_sql() -> dict[str, str]:
         for b in range(dedup.N_HASHES // dedup.BAND_SIZE)
     )
     # The documents corpus is markup-free prose (verified: no '<' or '&'),
-    # so the kernel's fast path — html2text md-escaping, whitespace collapse,
-    # T10's leading-blockquote strip — is fully SQL-expressible and the
-    # extraction core itself gets a hash-checked oracle.  RE2 has no
-    # lookahead; the escape rules consume the guard char instead (verified
-    # equivalent to the Python lookahead forms on these inputs).
+    # so the kernel's fast path — html2text md-escaping with '>' acting as
+    # an unescaped entity-chunk boundary (escape_md_text), whitespace
+    # collapse, T10's leading-blockquote strip — is fully SQL-expressible
+    # and the extraction core itself gets a hash-checked oracle.  RE2 has
+    # no lookahead; the emulation below is lookahead-exact (pinned by
+    # tests/test_oracle_emulation.py against the kernel on an adversarial
+    # corpus; ASCII whitespace/digit domain, matching the synthesizer;
+    # explicit [ \t\r\n\f\v] classes because RE2's \s lacks \v):
+    #
+    # * backslash rule: a run of k backslashes doubles to 2k before an
+    #   md-special char ('\' is itself special, so every bs in the run is
+    #   followed by one) and to 2k-1 otherwise.  Emulated by doubling ALL
+    #   backslashes, then un-doubling each run-final pair not followed by a
+    #   special (fixes the old consuming form's 3-vs-4 divergence on '\\*').
+    # * dot/plus/dash rules anchor at line starts AND after '>' (chunk
+    #   boundary re-anchors '^' exactly as html2text sees bs4's '&gt;').
     prose = r"""
             WITH esc AS (
               SELECT doc_id,
                      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(
                        text,
-                       '(\\)([\\`*_{}\[\]()#+.!-])', '\1\\\2', 'g'),
-                       '(?m)^(\s*\d+)\.(\s)', '\1\\.\2', 'g'),
-                       '(?m)^(\s*)\+(\s)', '\1\\+\2', 'g'),
-                       '(?m)^(\s*)-([\s-])', '\1\\-\2', 'g') AS t
+                       '\\', '\\\\', 'g'),
+                       '\\\\([^\\`*_{}\[\]()#+.!-]|$)', '\\\1', 'g'),
+                       '(?m)(^|>)([ \t\r\n\f\v]*\d+)\.([ \t\r\n\f\v])', '\1\2\\.\3', 'g'),
+                       '(?m)(^|>)([ \t\r\n\f\v]*)\+([ \t\r\n\f\v])', '\1\2\\+\3', 'g'),
+                       '(?m)(^|>)([ \t\r\n\f\v]*)-([ \t\r\n\f\v-])', '\1\2\\-\3', 'g') AS t
               FROM documents WHERE text IS NOT NULL
             ), coll AS (
               SELECT doc_id,
@@ -403,7 +416,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      unnest(list_filter(list_distinct(
-                       regexp_split_to_array(lower(trim(text)), '\s+')),
+                       regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+')),
                        x -> x <> '')) AS tok
               FROM documents WHERE text IS NOT NULL
             ), h AS (
@@ -425,12 +438,19 @@ def oracle_sql() -> dict[str, str]:
                               THEN (CAST(1 AS HUGEINT) << CAST(j AS INTEGER))
                               ELSE CAST(0 AS HUGEINT) END) AS s
               FROM bits GROUP BY doc_id
-            ), signed AS (
+            ), signed_nz AS (
               SELECT doc_id,
                      CAST(CASE WHEN s >= (CAST(1 AS HUGEINT) << 63)
                                THEN s - (CAST(1 AS HUGEINT) << 64)
                                ELSE s END AS BIGINT) AS simhash
               FROM sig
+            ), signed AS (
+              -- docs whose text tokenizes to nothing (empty/whitespace-only)
+              -- emit no unnest rows above, but the kernel emits simhash=0
+              -- for them: left-join back to the full non-null doc set
+              SELECT d.doc_id, coalesce(z.simhash, 0) AS simhash
+              FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+              LEFT JOIN signed_nz z USING (doc_id)
             )
     """
     return {

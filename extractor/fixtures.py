@@ -135,6 +135,20 @@ FIXTURE_CASES: dict[str, str | None] = {
         # starts " 1. bar" → dot-escaped even though it is mid-line.
         "<p>foo <b>x</b> 1. bar</p>"
     ),
+    # --- entity-chunk boundaries (bs4 round-trip; linearize.escape_md_text):
+    # bs4 decodes source charrefs, re-escapes only & < > on serialization,
+    # and html2text receives those as separate UNESCAPED chunks that
+    # re-anchor ^ for the neighboring literal chunks.
+    "md_escape_entity_boundary_numbered": "<p>x &amp; 1. y</p>",
+    "md_escape_charref_decoded_list": "<p>&#49;. foo</p>",
+    "md_escape_amp_literal_rest": "<p>&amp;#x2b; x</p>",
+    "md_escape_gt_boundary_plus": "foo >+ bar",  # prose fast path
+    "md_escape_gt_boundary_numbered": "scores >1. top",  # prose fast path
+    "md_escape_lt_boundary_dash": "<p>a &lt;- b</p>",
+    # backslash RUNS before a special char: every backslash in the run is
+    # followed by a special (\\ itself is special), so a run of k doubles
+    # to 2k before a special and 2k-1 otherwise (lookahead semantics).
+    "md_escape_backslash_run": "run \\\\* end and \\\\ alone",
     # --- sloppy real-world HTML ------------------------------------------
     "unclosed_tags": "<p>para one<p>para two<ul><li>a<li>b</ul>",
     "entities": "<p>5 &lt; 6 &amp;&amp; 7 &gt; 3 &mdash; &quot;ok&quot;</p>",

@@ -24,7 +24,9 @@ Reference quirks intentionally reproduced, not fixed:
   TypeError → caught at :216-218 → ("", []).
 - prose text chunks get html2text's ``escape_md_section`` markdown escaping
   (backslash-before-special doubled; chunk-leading ``1.``/``+``/``-``
-  escaped) — outside code/pre only; see ``linearize.escape_md_section``.
+  escaped) — outside code/pre only, with ``&``/``<``/``>`` acting as
+  unescaped entity-chunk boundaries exactly as the bs4 serialization
+  round-trip produces them; see ``linearize.escape_md_text``.
 - in-table images never get placeholders (placeholder='' :258) and so are
   never "restored"; they are inlined in the cell text (T5) but still counted.
 - standalone-image placeholder numbering continues after in-table images
@@ -43,7 +45,7 @@ import re
 from dataclasses import dataclass, field
 
 from .dom import Element, parse_html
-from .linearize import escape_md_section, linearize
+from .linearize import escape_md_text, linearize
 
 # Mirrors MAX_FILE_SIZE (reference app/config.py:24): 50 MB per unit of work.
 MAX_TEXT_CHARS = 50 * 1024 * 1024
@@ -426,15 +428,15 @@ def convert_text(
     if "<" not in text and "&" not in text:
         # Plain-prose fast path: with no markup and no entities, the full
         # pipeline reduces to md-escaping of the single text node (html2text
-        # escape_md_section, line anchors seen pre-collapse) + whitespace
-        # collapse (T8 on a bare text node) followed by the T10 cleanup
-        # chain — and on a collapsed single-line string only T10's
-        # leading-"^>\s*" rule can fire (no newlines, no tabs, no leading
-        # 4-space run, no <table>/<math> literals survive the "<" guard).
-        # Byte-identical to the slow path (equivalence property-tested);
-        # skips DOM parse entirely — the common case in real transcript
-        # corpora.
-        collapsed = _WS_COLLAPSE.sub(" ", escape_md_section(text)).strip()
+        # escape_md_text: '>' still splits entity chunks that re-anchor ^,
+        # line anchors seen pre-collapse) + whitespace collapse (T8 on a
+        # bare text node) followed by the T10 cleanup chain — and on a
+        # collapsed single-line string only T10's leading-"^>\s*" rule can
+        # fire (no newlines, no tabs, no leading 4-space run, no
+        # <table>/<math> literals survive the "<" guard).  Byte-identical
+        # to the slow path (equivalence property-tested); skips DOM parse
+        # entirely — the common case in real transcript corpora.
+        collapsed = _WS_COLLAPSE.sub(" ", escape_md_text(text)).strip()
         if collapsed.startswith(">"):
             collapsed = _BQ_PREFIX.match(collapsed).group(1).strip()
         return ExtractionResult(

@@ -43,12 +43,23 @@ Covered mapping (html2text-compatible):
   html2text, the ``^`` anchors are per *text chunk*, so an inline element
   boundary mid-line re-anchors the pattern — reproduced deliberately.
 
-Known divergence from the real html2text stack (documented, accepted): our
-parser decodes character references into the surrounding text node
-(``convert_charrefs=True``), while html2text receives each entity as a
-separate unescaped chunk — so text like ``&#49;. foo`` escapes differently
-at entity/text boundaries.  Everything else in the covered subset is
-byte-exact, pinned by the golden fixtures.
+Entity/chunk-boundary model (closes round-2's documented divergence): the
+reference chain is ``BeautifulSoup(html)`` → manipulate → ``str(soup)`` →
+``html2text.handle``.  bs4's html.parser builder runs with
+``convert_charrefs=True``, so every character reference in the SOURCE is
+decoded into the text nodes (our parser matches this).  bs4's ``minimal``
+output formatter then re-escapes exactly ``&``, ``<``, ``>`` — nothing
+else — so the only entities html2text (``convert_charrefs=False``) ever
+receives are ``&amp;``/``&lt;``/``&gt;``, each delivered via
+``handle_charref``/``handle_entityref`` → ``handle_data(ref, True)``,
+i.e. as a separate chunk that BYPASSES ``escape_md_section`` and
+re-anchors ``^`` for the neighboring literal chunks (html2text
+``__init__.py``: ``handle_data(self, data, entity_char=False)`` skips
+escaping when ``entity_char`` is set).  ``escape_md_text`` reproduces
+this exactly: split each text node at ``&``/``<``/``>``, pass those
+single chars through unescaped, and escape every literal segment as its
+own chunk.  Byte-exact over the covered subset, pinned by the golden
+fixtures (incl. ``&#49;. foo`` / ``&amp;#x2b; x`` boundary cases).
 """
 
 from __future__ import annotations
@@ -79,11 +90,12 @@ _MD_DASH_RE = re.compile(r"^(\s*)(-)(?=\s|\-)", re.MULTILINE)
 
 
 # cheap pre-probe: the three line-start rules can only fire if SOME line
-# starts with optional blanks then a digit/+/- (a \s* run spanning newlines
-# always leaves such a line start right before the matched char), so one
-# C-speed scan skips all three subs on ordinary prose (~2× fast-path
+# starts with optional non-newline whitespace then a digit/+/- (a \s* run
+# spanning newlines always leaves such a line start right before the matched
+# char, and the suffix after the run's last \n contains only [ \t\r\f\v]),
+# so one C-speed scan skips all three subs on ordinary prose (~2× fast-path
 # throughput); the backslash rule is guarded by a plain substring check.
-_MD_LINESTART_PROBE = re.compile(r"^[ \t]*[\d+-]", re.MULTILINE)
+_MD_LINESTART_PROBE = re.compile(r"^[ \t\r\f\v]*[\d+-]", re.MULTILINE)
 
 
 def escape_md_section(text: str) -> str:
@@ -98,6 +110,25 @@ def escape_md_section(text: str) -> str:
         text = _MD_PLUS_RE.sub(r"\1\\\2", text)
         text = _MD_DASH_RE.sub(r"\1\\\2", text)
     return text
+
+
+_ENTITY_BOUNDARY_RE = re.compile(r"([&<>])")
+_ENTITY_CHARS = frozenset("&<>")
+
+
+def escape_md_text(text: str) -> str:
+    """Markdown-escape one DOM text node the way html2text sees it after the
+    bs4 serialization round-trip (module docstring): ``&``/``<``/``>`` are
+    entity chunks that bypass escaping, and each literal segment between
+    them is escaped as its own chunk (``^`` re-anchors at every boundary,
+    and the escape rules' lookaheads never cross one)."""
+    if "&" in text or "<" in text or ">" in text:
+        return "".join(
+            seg if seg in _ENTITY_CHARS else escape_md_section(seg)
+            for seg in _ENTITY_BOUNDARY_RE.split(text)
+            if seg
+        )
+    return escape_md_section(text)
 
 
 def _escape_md_section_unguarded(text: str) -> str:
@@ -135,7 +166,7 @@ def _render_inline(node: Element, parts: list[str], escape: bool = True) -> None
     md-escaped per chunk except inside inline ``code``."""
     for child in node.children:
         if isinstance(child, str):
-            parts.append(escape_md_section(child) if escape else child)
+            parts.append(escape_md_text(child) if escape else child)
             continue
         tag = child.tag
         if tag in _DROP_TAGS:
@@ -192,7 +223,7 @@ def _render_block(node: Element, writer: _Writer, quote_depth: int = 0) -> None:
 
     for child in node.children:
         if isinstance(child, str):
-            pending.append(escape_md_section(child))
+            pending.append(escape_md_text(child))
             continue
         tag = child.tag
         if tag in _DROP_TAGS:
@@ -260,7 +291,7 @@ def _render_list(node: Element, ordered: bool, depth: int) -> list[str]:
             elif isinstance(sub, Element) and sub.tag in ("p", "div"):
                 item_parts.append(" " + _inline_text(sub) + " ")
             elif isinstance(sub, str):
-                item_parts.append(escape_md_section(sub))
+                item_parts.append(escape_md_text(sub))
             else:
                 _render_inline_single(sub, item_parts)
         text = _collapse("".join(item_parts)).strip()

@@ -58,8 +58,24 @@ def test_layout_total(payload):
             assert 0 <= s["start"] <= s["end"] <= len(r.text)
 
 
+_fastpath_bait = st.lists(
+    st.one_of(
+        st.text(alphabet=st.characters(blacklist_characters="<&"), max_size=20),
+        # '>' is an entity-chunk boundary (escape_md_text): these force the
+        # re-anchored dot/plus/dash rules right after it on BOTH paths
+        st.sampled_from([">", ">1. x", ">+ y", ">- z", "> 7. q", "\\", "\n"]),
+    ),
+    max_size=15,
+).map("".join)
+
+
 @settings(max_examples=400, deadline=None)
-@given(st.text(alphabet=st.characters(blacklist_characters="<&"), max_size=300))
+@given(
+    st.one_of(
+        st.text(alphabet=st.characters(blacklist_characters="<&"), max_size=300),
+        _fastpath_bait,
+    )
+)
 def test_fastpath_equals_slowpath(text):
     """The plain-text fast path must be byte-identical to the full DOM
     pipeline on markup-free input."""
@@ -87,7 +103,12 @@ _md_bait = st.lists(
         st.text(max_size=15),
         st.sampled_from(
             ["\\", "1. ", "23. x", "+ y", "- z", "--", "\n", " ", "\t",
-             "\\*", "\\\\", ". ", "+", "-"]
+             "\\*", "\\\\", ". ", "+", "-",
+             # exotic \s members that are NOT plain blanks: the probe must
+             # treat a \r/\f/\v-prefixed line start exactly like the
+             # unguarded \s* form (round-2 ADVICE divergence)
+             "\r1. x", "\x0c+ y", "\x0b- z", "\r", "\x0c", "\x0b",
+             "\n\r 7. a", "\r\n+ b"]
         ),
     ),
     max_size=25,
