@@ -118,16 +118,29 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 def changed_buckets(
     old_df: DataFrame, new_df: DataFrame, n_buckets: int
-) -> list[int]:
+) -> tuple[list[int], list[int]]:
     """Buckets whose row content changed between two input snapshots — the
     incremental-between-snapshots read (Iceberg's incremental scan logic,
     expressed over two table states).  Each side is reduced to one tiny
-    per-bucket fingerprint aggregate (count + order-insensitive hash sum);
-    no full-data join, O(input) scan each, ~n_buckets rows compared.
+    per-bucket fingerprint aggregate; no full-data join, O(input) scan
+    each, ~n_buckets rows compared.  Returns ``(changed, deleted)`` where
+    *deleted* lists buckets present in the old snapshot with no rows left
+    in the new one (their output must be retired, not carried forward).
+
+    Fingerprint design: xxhash64 over EVERY column (row/tool/ts changes
+    count as changes, not just text), aggregated with an exact decimal SUM
+    of the per-row hashes — order-insensitive but multiplicity-sensitive,
+    so ``[A,A] -> [B,B]`` (equal count, xor-cancelling) is caught;
+    decimal(38,0) holds 10^12 rows x 2^63 without overflow (ANSI-safe).
 
     Scale: at 10^12 turns this is two column-pruned scans producing 4096
     rows each; the appended-data case (Iceberg snapshot diff) can skip the
     old-side scan entirely by fingerprinting only the new files."""
+    cols = sorted(new_df.columns)
+    if sorted(old_df.columns) != cols:
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old_df.columns)} vs {cols}"
+        )
 
     def fp(df: DataFrame) -> DataFrame:
         return (
@@ -135,22 +148,31 @@ def changed_buckets(
             .groupBy("bucket")
             .agg(
                 F.count("*").alias("n"),
-                # order-insensitive, overflow-free content fingerprint
-                # (count catches the even-multiplicity blind spot of xor)
-                F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text")).alias("h"),
+                F.sum(
+                    F.xxhash64(*cols).cast(T.DecimalType(38, 0))
+                ).alias("h"),
             )
         )
 
     old = fp(old_df).select(
         "bucket", F.col("n").alias("n_old"), F.col("h").alias("h_old")
     )
-    joined = fp(new_df).join(F.broadcast(old), "bucket", "left")
-    rows = joined.where(
+    new = fp(new_df)
+    joined = new.join(F.broadcast(old), "bucket", "left")
+    changed = joined.where(
         F.col("n_old").isNull()
         | (F.col("n") != F.col("n_old"))
         | (F.col("h") != F.col("h_old"))
     ).select("bucket")
-    return sorted(r["bucket"] for r in rows.collect())
+    # old-side buckets with no new-side rows: both sides are post-agg
+    # (<= n_buckets rows), so the anti join broadcasts a tiny key set
+    deleted = old.join(
+        F.broadcast(new.select("bucket")), "bucket", "left_anti"
+    ).select("bucket")
+    return (
+        sorted(r["bucket"] for r in changed.collect()),
+        sorted(r["bucket"] for r in deleted.collect()),
+    )
 
 
 def run_incremental(
@@ -169,14 +191,16 @@ def run_incremental(
     Unchanged buckets are carried forward: their ``completed`` rows are
     re-recorded under *new_snapshot*, so ``run_with_checkpoint`` skips them
     and dynamic partition overwrite leaves their output files untouched.
-    The result equals a clean full run over *new_df* (pytest-asserted).
-
-    Append/update-oriented: a bucket whose rows were ALL deleted between
-    snapshots produces no new-side fingerprint and keeps its old output —
-    route deletions through the S8 delete sink (``ops.relational.
-    s8_delete_rewrite`` pattern), not this path."""
+    A bucket whose rows were ALL deleted between snapshots is retired: its
+    output partition is dropped (the S8 delete rewrite at partition
+    granularity — a job writing zero rows leaves dynamic overwrite with
+    nothing to replace, so the stale files must be removed explicitly) and
+    a ``completed(turns=0)`` row lands under *new_snapshot*.  The result
+    equals a clean full run over *new_df* (pytest-asserted, including the
+    fully-deleted-bucket case)."""
     spark = new_df.sparkSession
-    changed = set(changed_buckets(old_df, new_df, n_buckets))
+    changed_list, deleted_list = changed_buckets(old_df, new_df, n_buckets)
+    changed, deleted = set(changed_list), set(deleted_list)
     done_old = {
         r["bucket"]: r["turns"]
         for r in job_status(spark, ckpt_dir, old_snapshot)
@@ -186,10 +210,24 @@ def run_incremental(
     carry = [
         (int(b), new_snapshot, "completed", int(turns), time.time(), None)
         for b, turns in done_old.items()
-        if b not in changed
+        if b not in changed and b not in deleted
     ]
     if carry:
         _record(spark, ckpt_dir, carry)
+    if deleted:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for b in sorted(deleted):
+            path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/bucket={b}")
+            path.getFileSystem(hconf).delete(path, True)
+        _record(
+            spark,
+            ckpt_dir,
+            [
+                (int(b), new_snapshot, "completed", 0, time.time(), None)
+                for b in sorted(deleted)
+            ],
+        )
     summary = run_with_checkpoint(
         new_df,
         out_dir,
@@ -199,6 +237,7 @@ def run_incremental(
         **kwargs,
     )
     summary["buckets_changed"] = sorted(changed)
+    summary["buckets_deleted"] = sorted(deleted)
     summary["buckets_carried_forward"] = len(carry)
     return summary
 
@@ -213,23 +252,37 @@ def run_with_checkpoint(
     max_retries: int = 3,
     partition_mode: str = "map_only",
     failure_hook=None,
+    bucket_discovery: str = "dense",
 ) -> dict:
     """Run extraction resumably. Returns a summary dict (A4/A5 analogue).
 
     *failure_hook(bucket:int)*, if given, runs executor-side before the
     kernel — the deterministic fault-injection port of the reference's
     mock-based retry test (``test_retry_mechanism.py:99-119``).
+
+    *bucket_discovery*: ``"dense"`` (default) derives the remaining work
+    as ``range(n_buckets)`` minus the checkpoint's completed set — ZERO
+    input scans before round 1 (buckets are dense by construction at
+    scale: pmod(xxhash64) over 10^12 conv_ids leaves no bucket empty; an
+    empty bucket on a tiny corpus just makes its group's job trivially
+    small).  ``"scan"`` enumerates the distinct buckets actually present
+    in the input (one extra column-pruned pass) — only useful to skip
+    empty-bucket groups on very sparse test corpora.
     """
     spark = input_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     df = with_bucket(input_df, n_buckets)
     completed = _completed_buckets(spark, ckpt_dir, snapshot_id)
-    remaining_df = df.join(F.broadcast(completed), "bucket", "left_anti")
-    remaining = sorted(
-        r["bucket"] for r in remaining_df.select("bucket").distinct().collect()
-    )
-    already_done = completed.count()
+    completed_set = {r["bucket"] for r in completed.collect()}
+    if bucket_discovery == "dense":
+        remaining = sorted(set(range(n_buckets)) - completed_set)
+    else:
+        present = {
+            r["bucket"] for r in df.select("bucket").distinct().collect()
+        }
+        remaining = sorted(present - completed_set)
+    already_done = len(completed_set)
 
     summary = {
         "snapshot_id": snapshot_id,

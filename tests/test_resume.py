@@ -192,9 +192,10 @@ def test_incremental_between_snapshots(spark, tmp_path):
     )
     assert s1["status"] == "COMPLETED"
 
-    changed = changed_buckets(old, new, n_buckets)
+    changed, deleted = changed_buckets(old, new, n_buckets)
     assert changed, "appended conversations must dirty at least one bucket"
     assert len(changed) < n_buckets, "some buckets must be unchanged"
+    assert deleted == [], "append-only diff must not retire any bucket"
 
     s2 = run_incremental(
         old,
@@ -225,3 +226,91 @@ def test_incremental_between_snapshots(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == _clean_rows(spark, new)
+
+
+def test_incremental_fully_deleted_bucket(spark, tmp_path):
+    """A bucket whose rows are ALL gone in the new snapshot must be retired
+    (stale output dropped, completed(turns=0) recorded) — not silently
+    carried forward (round-2 VERDICT blind spot)."""
+    from extractor.checkpoint import changed_buckets, job_status, run_incremental
+
+    n_buckets = 8
+    old = transcripts_df(spark, n_convs=30, mean_turns=8, seed=7)
+    # retire every conversation in one specific bucket
+    victim = int(
+        with_bucket(old, n_buckets).select("bucket").first()["bucket"]
+    )
+    new = (
+        with_bucket(old, n_buckets)
+        .where(F.col("bucket") != victim)
+        .drop("bucket")
+    )
+
+    s1 = run_with_checkpoint(
+        old,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        snapshot_id="snap-1",
+        n_buckets=n_buckets,
+        groups_per_round=4,
+    )
+    assert s1["status"] == "COMPLETED"
+
+    changed, deleted = changed_buckets(old, new, n_buckets)
+    assert deleted == [victim]
+    assert victim not in changed
+
+    s2 = run_incremental(
+        old,
+        new,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        old_snapshot="snap-1",
+        new_snapshot="snap-2",
+        n_buckets=n_buckets,
+        groups_per_round=4,
+    )
+    assert s2["status"] == "COMPLETED"
+    assert s2["buckets_deleted"] == [victim]
+
+    # output equals a clean run on the new snapshot: no stale victim rows
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["error"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == _clean_rows(spark, new)
+    status = {
+        r["bucket"]: r
+        for r in job_status(spark, str(tmp_path / "ckpt"), "snap-2").collect()
+    }
+    assert status[victim]["status"] == "completed"
+    assert status[victim]["turns"] == 0
+
+
+def test_changed_buckets_catches_nontext_and_multiplicity_changes(spark):
+    """The fingerprint must cover ALL columns (role/tool/ts ride through to
+    the output) and be multiplicity-sensitive ([A,A] -> [B,B] has equal
+    count and cancelling xor — round-2 ADVICE blind spots)."""
+    from extractor.checkpoint import changed_buckets
+
+    n_buckets = 4
+    base = transcripts_df(spark, n_convs=12, mean_turns=4, seed=3)
+
+    # role-only change: same conv_id/turn_idx/text
+    role_changed = base.withColumn(
+        "role", F.when(F.col("turn_idx") == 0, F.lit("flipped")).otherwise(F.col("role"))
+    )
+    changed, deleted = changed_buckets(base, role_changed, n_buckets)
+    assert changed, "role-only change must dirty its buckets"
+    assert deleted == []
+
+    # duplicated-pair swap: [A, A] -> [B, B] within one bucket
+    first_conv = base.select("conv_id").first()["conv_id"]
+    one = base.where(
+        (F.col("conv_id") == first_conv) & (F.col("turn_idx") == 0)
+    )
+    dup_a = base.unionByName(one).unionByName(one)
+    flipped = one.withColumn("text", F.lit("entirely different text"))
+    dup_b = base.unionByName(flipped).unionByName(flipped)
+    changed, deleted = changed_buckets(dup_a, dup_b, n_buckets)
+    assert changed, "even-multiplicity content swap must dirty its bucket"
