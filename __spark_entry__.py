@@ -7,10 +7,11 @@ training-data op suite); each callable takes (spark, sf_dir) → DataFrame.
 ``oracle_sql()`` — DuckDB-runnable SQL oracle per SQL-expressible query.
 The extraction core itself is hash-checked (the documents corpus is
 markup-free prose, so the kernel fast path is SQL-expressible), as are
-simhash and its banded pairs (HUGEINT bit math).  Rows-only remainder:
+simhash and its banded pairs (HUGEINT bit math), and the media feature
+kernel (float32 strided-bin means rebuilt in SQL).  Rows-only remainder:
 markup-bearing kernel runs (transcripts pipeline, option modes, images,
-stitch), the boilerplate/layout heuristic kernels, media features (binary
-kernel), and ANN top-k (approximate by design; gated by a recall pytest).
+stitch), the boilerplate/layout heuristic kernels, and ANN top-k
+(approximate by design; gated by a recall pytest).
 """
 
 from __future__ import annotations
@@ -180,7 +181,9 @@ def _conversation_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> Arrow feature kernel
-    (decode stubbed for real codecs).  Rows-only.
+    (decode stubbed for real codecs).  Hash-checked: the synthetic payload
+    is a pure md5 function, so the oracle rebuilds body bytes and the
+    float32 strided-bin means in SQL (see ``oracle_sql``).
 
     The contract projection is scalar-only: the ``array<float>`` feature
     vector stays an internal API (the driver canonicalizer sorts column
@@ -332,7 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_metrics": relational.percentile_metrics,
         "pivot_event_hours": relational.pivot_event_hours,
         "argmax_latest_event": relational.argmax_latest_event,
-        "media_features": _media_features,  # rows-only (binary kernel)
+        "media_features": _media_features,
         "media_meta": _media_meta,
         "s7_point_lookup": relational.s7_point_lookup,
         "s8_delete_rewrite": relational.s8_delete_rewrite,
@@ -731,6 +734,61 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(value, ord_key), 2) AS last_value,
                    max(ts) AS last_ts
             FROM t GROUP BY user_id
+        """,
+        # media_features: the synthetic payload body is md5('42:'||i) bytes
+        # cycled to width*height, so the kernel's strided-bin features are a
+        # pure function DuckDB can rebuild: per-bin byte sums are exact
+        # integers (< 2^24, so numpy's float32 pairwise sum is exact too),
+        # and the two float32 divisions (/chunk, /255) are emulated with
+        # explicit FLOAT casts before widening to DOUBLE for the contract's
+        # mean/L2/per-element-rounded digest (bit-equal, all 200 rows).
+        "media_features": r"""
+            WITH ids AS (SELECT unnest(range(200)) AS media_id),
+            nib AS (
+              SELECT media_id, md5('42:' || CAST(media_id AS VARCHAR)) AS hx
+              FROM ids
+            ), hb AS (
+              SELECT media_id,
+                     list_transform(range(16), j ->
+                       (strpos('0123456789abcdef',
+                               substr(hx, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16 +
+                       (strpos('0123456789abcdef',
+                               substr(hx, CAST(2*j+2 AS INTEGER), 1)) - 1)
+                     ) AS h
+              FROM nib
+            ), sz AS (
+              SELECT media_id, h,
+                     16 + (h[1] % 64) AS width,
+                     16 + (h[2] % 64) AS height,
+                     (16 + (h[1] % 64)) * (16 + (h[2] % 64)) AS n,
+                     CAST(ceil((16 + (h[1] % 64)) * (16 + (h[2] % 64)) / 16.0)
+                          AS BIGINT) AS chunk
+              FROM hb
+            ), vals AS (
+              SELECT media_id, chunk, CAST(t.m // chunk AS INTEGER) AS k,
+                     h[CAST(t.m % 16 AS INTEGER) + 1] AS v
+              FROM sz, unnest(range(sz.n)) AS t(m)
+            ), sums AS (
+              SELECT media_id, k, chunk, sum(v) AS s
+              FROM vals GROUP BY media_id, k, chunk
+            ), feats AS (
+              SELECT media_id, k,
+                     CAST(CAST(CAST(s AS FLOAT) / CAST(chunk AS FLOAT) AS FLOAT)
+                          / CAST(255 AS FLOAT) AS FLOAT) AS f
+              FROM sums
+            ), agg AS (
+              SELECT media_id,
+                     round(sum(CAST(f AS DOUBLE)) / 16, 4) AS feature_mean,
+                     round(sqrt(sum(CAST(f AS DOUBLE)*CAST(f AS DOUBLE))), 4)
+                       AS feature_l2,
+                     md5(string_agg(CAST(round(CAST(f AS DOUBLE), 4) AS VARCHAR),
+                                    ',' ORDER BY k)) AS feature_hash
+              FROM feats GROUP BY media_id
+            )
+            SELECT s.media_id, s.width, s.height, a.feature_mean,
+                   a.feature_l2, a.feature_hash,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM sz s JOIN agg a USING (media_id)
         """,
         "media_meta": """
             WITH m AS (
