@@ -361,6 +361,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN search: LSH candidates + exact re-rank; approximate by design,
         # gated by the >=90% recall pytest against cosine_topk (no SQL oracle)
         "similarity_ann_topk": similarity.ann_topk,  # rows-only
+        # lean (vec_id-only) index layout: same buckets + recall, 1 extra
+        # broadcast join; must return the IDENTICAL top-k (pytest-asserted)
+        "similarity_ann_topk_lean": lambda spark, sf_dir: similarity.ann_topk(
+            spark, sf_dir, index_layout="lean"
+        ),
         "similarity_ivf_topk": similarity.ivf_topk,  # rows-only (recall-gated)
     }
 

