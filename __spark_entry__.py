@@ -354,6 +354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_adjacent,
         "dedup_simhash": dedup.simhash,
         "dedup_simhash_pairs": dedup.simhash_neardup_pairs,
+        "dedup_clusters": dedup.neardup_clusters,
+        "chunk_documents": dedup.chunk_documents,
+        "train_split_assign": dedup.train_split_assign,
         # similarity suite
         "similarity_cosine_topk": similarity.cosine_topk,
         "similarity_embedding_neardup": similarity.embedding_cosine_neardup,
@@ -508,6 +511,90 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": simhash_sig + """
             SELECT doc_id, simhash FROM signed
+        """,
+        # connected components over the duplicate graph: transitive closure
+        # via recursive CTE (exact in DuckDB; the Spark side is iterative
+        # min-label propagation — same fixpoint)
+        "dedup_clusters": simhash_sig.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f"""
+            , bands AS (
+              SELECT doc_id, simhash, b.band,
+                     (simhash >> CAST(b.band * 16 AS INTEGER)) & 65535 AS key
+              FROM signed CROSS JOIN (
+                SELECT unnest(range({dedup.SIMHASH_BANDS})) AS band) b
+            ), near AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_RADIUS}
+            ), exact AS (
+              SELECT keeper AS doc_a, doc_id AS doc_b FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                FROM documents WHERE text IS NOT NULL
+              ) WHERE keeper < doc_id
+            ), edges0 AS (
+              SELECT doc_a, doc_b FROM exact
+              UNION
+              SELECT doc_a, doc_b FROM near
+            ), edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM edges0
+              UNION
+              SELECT doc_b, doc_a FROM edges0
+            ), reach AS (
+              SELECT a AS node, a AS label FROM edges
+              UNION
+              SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+            ), comp AS (
+              SELECT node AS doc_id, min(label) AS cluster_id
+              FROM reach GROUP BY node
+            ), csizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id
+            )
+            SELECT c.doc_id, c.cluster_id, s.cluster_size
+            FROM comp c JOIN csizes s USING (cluster_id)
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(trim(text), '[ \t\r\n\f\v]+'),
+                       x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), nz AS (
+              SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+            ), ch AS (
+              SELECT doc_id, toks, n,
+                     CAST(g.s // 48 AS INTEGER) AS chunk_idx,
+                     CAST(g.s AS INTEGER) AS start
+              FROM nz,
+                   unnest(range(0, ((n - 1) // 48) * 48 + 1, 48)) AS g(s)
+            )
+            SELECT doc_id, chunk_idx, CAST(n AS INTEGER) AS doc_tokens,
+                   CAST(len(list_slice(toks, start + 1, start + 64))
+                        AS INTEGER) AS chunk_len,
+                   array_to_string(list_slice(toks, start + 1, start + 64),
+                                   ' ') AS chunk_text
+            FROM ch
+        """,
+        "train_split_assign": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(list_sum(list_transform(range(8), i ->
+                       CAST(strpos('0123456789abcdef',
+                                   substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                          CAST(i + 1 AS INTEGER), 1)) - 1
+                            AS BIGINT)
+                       * (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INTEGER))))
+                     % 1000 AS BIGINT) AS split_bucket
+              FROM documents
+            )
+            SELECT doc_id, split_bucket,
+                   CASE WHEN split_bucket < 980 THEN 'train'
+                        WHEN split_bucket < 990 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "dedup_simhash_pairs": simhash_sig + f"""
             , bands AS (

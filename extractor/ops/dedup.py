@@ -278,6 +278,160 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def duplicate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-relation graph's edge list: exact duplicates star-link
+    to their group keeper (min doc_id per content hash — a star is enough
+    for connectivity and is the cheapest spanning structure), plus the
+    simhash near-dup pairs at the pigeonhole radius.  Directed (a < b)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    w = Window.partitionBy(F.md5("text"))
+    exact = (
+        docs.select(
+            F.min("doc_id").over(w).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    near = simhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return exact.unionByName(near).distinct()
+
+
+def neardup_clusters(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    duplicate-relation graph, cluster_id = min doc_id in the component —
+    the step that turns pairwise dedup signals into keep/drop groups.
+
+    Algorithm: iterative min-label propagation over the undirected edge
+    list.  Each round is ONE shuffle (join labels onto edges + min-agg per
+    node); the loop runs until no label changes, bounded by *max_iters*.
+    Convergence needs rounds = graph diameter; duplicate clusters are
+    shallow (stars + short chains), so this terminates in a handful of
+    rounds.  At web scale swap the propagation step for the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds on any
+    topology with the same join/agg shape.  Per-round driver work is one
+    bounded ``count()`` on the changed-label set; ``localCheckpoint``
+    truncates the growing lineage each round.
+
+    Output: (doc_id, cluster_id, cluster_size) for every node in the
+    graph, cluster_size > 1 by construction."""
+    edges = duplicate_edges(spark, sf_dir)
+    und = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            und.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("nbr_label"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+            .select(F.col("doc_a").alias("doc_id"), "nbr_min")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the tokenize-and-window
+    step every training pipeline runs between extraction and packing.
+    Pure ``pyspark.sql.functions`` (split → sequence of chunk starts →
+    explode → slice/join): codegen'd, map-only, zero Python.
+
+    Chunk starts step by (chunk_tokens - overlap); the final partial chunk
+    is kept iff it adds at least one new token (start < n_tokens)."""
+    step = chunk_tokens - overlap
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    # last start = floor((n-1)/step)*step — every start contributes >=1
+    # new token, so the trailing partial chunk is kept exactly when needed
+    last_start = (
+        ((F.size("toks") - F.lit(1)) / F.lit(step)).cast("int") * F.lit(step)
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(step))
+    chunks = t.select(
+        "doc_id",
+        F.size("toks").alias("doc_tokens"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        F.col("toks"),
+    ).where(F.col("start") < F.size("toks"))
+    chunk_arr = F.slice(
+        "toks", F.col("start") + 1, F.lit(chunk_tokens)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "doc_tokens",
+        F.size(chunk_arr).alias("chunk_len"),
+        F.concat_ws(" ", chunk_arr).alias("chunk_text"),
+    )
+
+
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (98/1/1): bucket
+    = first 8 md5 hex digits of a salted key, mod 1000.  Stable under
+    re-partitioning, re-runs, and corpus growth (a doc's split never
+    changes when other docs arrive) — the property random() sampling lacks.
+    md5-based so DuckDB reproduces it bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("split_bucket"),
+        F.when(bucket < 980, "train")
+        .when(bucket < 990, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply exact dedup: keep the lowest doc_id per content hash (the
     keeper policy of exact_dedup), returning the surviving documents —

@@ -196,3 +196,53 @@ def test_simhash_banding_complete_at_radius(spark):
     }
     assert truth, "corpus must contain at least one near-dup pair"
     assert emitted == truth
+
+
+def test_neardup_clusters_invariants(spark):
+    """Connected-components invariants: every duplicate edge's endpoints
+    share a cluster, and each cluster's id is its minimum member."""
+    from extractor.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.neardup_clusters(spark, sf).collect()
+    }
+    edges = dedup.duplicate_edges(spark, sf).collect()
+    assert edges, "corpus must contain at least one duplicate relation"
+    for e in edges:
+        assert labels[e["doc_a"]] == labels[e["doc_b"]], e
+    members: dict = {}
+    for doc, cl in labels.items():
+        members.setdefault(cl, []).append(doc)
+    for cl, docs in members.items():
+        assert cl == min(docs)
+
+
+def test_chunk_documents_reconstruct(spark):
+    """Chunk windows with overlap must tile the token stream exactly:
+    stripping the overlap from every non-first chunk reconstructs the
+    document's tokens."""
+    from extractor.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    step = 64 - 16
+    chunks = dedup.chunk_documents(spark, sf).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .where("text is not null")
+        .collect()
+    }
+    assert by_doc
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        toks = docs[doc_id].split()
+        rebuilt = rows[0]["chunk_text"].split()
+        for r in rows[1:]:
+            rebuilt.extend(r["chunk_text"].split()[64 - step :])
+        assert rebuilt == toks, doc_id
+        assert all(r["doc_tokens"] == len(toks) for r in rows)
