@@ -232,6 +232,126 @@ def _extract_mode_mathjax_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _templated_turns(docs: DataFrame, html) -> DataFrame:
+    """(doc_id, html) -> kernel input shape (conv_id, turn_idx, text)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        html.alias("text"),
+    )
+
+
+def _t4_table_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5 pipe-table kernel path, HASH-CHECKED: deterministic HTML tables
+    built from ``documents.doc_id`` (visible to both engines) drive the real
+    DOM→pipe-table kernel; the oracle reconstructs the exact expected
+    markdown in SQL.  Covers all four shape quirks of the reference's
+    ``_convert_table_to_markdown`` (app/core/html_processor.py:154-218):
+    header table, ragged-row drop (:211), headerless first-row-as-header,
+    header-only — plus T9's table restore ``\\n`` prefix (:463) and T10's
+    spacing tighten (:493-507) via the surrounding paragraphs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    b = F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    hdr = F.lit("<tr><th>hA</th><th>hB</th></tr>")
+    row1 = F.concat(F.lit("<tr><td>a"), a, F.lit("</td><td>b"), b, F.lit("</td></tr>"))
+    row2 = F.concat(F.lit("<tr><td>c"), a, F.lit("</td><td>d"), b, F.lit("</td></tr>"))
+    ragged = F.concat(F.lit("<tr><td>solo"), a, F.lit("</td></tr>"))
+    body = (
+        F.when(m == 0, F.concat(hdr, row1, row2))
+        .when(m == 1, F.concat(hdr, ragged, row2))
+        .when(m == 2, F.concat(row1, row2))
+        .otherwise(hdr)
+    )
+    html = F.concat(
+        F.lit("<p>pre"), a, F.lit("</p><table>"), body, F.lit("</table><p>post</p>")
+    )
+    out = extract_transcripts(_templated_turns(docs, html), sort_output=False)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "extracted_text",
+        "tables_count",
+    )
+
+
+def _t6_math_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 math→LaTeX kernel path, HASH-CHECKED: one deterministic math
+    element per document exercises every extraction mode of the reference's
+    ``_convert_math_to_markdown`` (app/core/html_processor.py:276-342):
+    data-latex attr with ``$…$`` wrap, the >50-char ``$$`` block threshold,
+    ``<annotation encoding="application/x-tex">`` fallback, ``span.math``
+    stripped-text mode, and the no-latex fallback that keeps the original
+    HTML (with T10's ``<math>`` spacing tighten)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    k = F.pmod(F.col("doc_id"), F.lit(9)).cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    long_expr = F.concat(
+        F.lit("\\sum_{i=0}^{"), k,
+        F.lit("} \\alpha_i x^i + \\beta_i y^i + \\gamma_i z^i = 0"),
+    )
+    core = (
+        F.when(m == 0, F.concat(F.lit('<math data-latex="E=mc^'), k, F.lit('"><mi>x</mi></math>')))
+        .when(m == 1, F.concat(F.lit('<math data-latex="'), long_expr, F.lit('"><mi>x</mi></math>')))
+        .when(m == 2, F.concat(
+            F.lit('<math><semantics><mrow></mrow><annotation encoding="application/x-tex">a^'),
+            k, F.lit("+b^"), k, F.lit("=c^"), k,
+            F.lit("</annotation></semantics></math>"),
+        ))
+        .when(m == 3, F.concat(
+            F.lit('<span class="math inline">x_'), k, F.lit("+y_"), k,
+            F.lit("=z_"), k, F.lit("</span>"),
+        ))
+        .otherwise(F.lit("<math><mrow></mrow></math>"))
+    )
+    html = F.concat(F.lit("<p>before"), k, F.lit("</p>"), core, F.lit("<p>after</p>"))
+    out = extract_transcripts(_templated_turns(docs, html), sort_output=False)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "extracted_text",
+        "math_count",
+    )
+
+
+def _s6_images_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/T2/T7/T9 image path, HASH-CHECKED: a deterministic standalone
+    ``<img>`` per document drives the kernel's src normalization to
+    ``images/<basename>`` (app/core/pandoc_converter.py:145-191), the
+    ``![alt](src "title")`` placeholder/restore round-trip
+    (app/core/html_processor.py:391-404,447-480), and the exploded
+    ImageInfo side table (app/models.py:52-58) — the title-less variant
+    pins the kernel's ``title=''`` convention."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    p = F.pmod(F.col("doc_id"), F.lit(1000)).cast("string")
+    n = F.pmod(F.col("doc_id"), F.lit(97)).cast("string")
+    title_attr = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(F.lit(' title="Figure '), n, F.lit('"')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<p>doc "), F.col("doc_id").cast("string"), F.lit(" body</p>"),
+        F.lit('<img src="media/img/p'), p, F.lit('.png" alt="fig '), n,
+        F.lit('"'), title_attr, F.lit(">"),
+    )
+    out = extract_transcripts(_templated_turns(docs, html), sort_output=False)
+    return (
+        out.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "extracted_text",
+            F.explode("images").alias("img"),
+        )
+        .select(
+            "doc_id",
+            "extracted_text",
+            F.col("img.src").alias("src"),
+            F.col("img.alt").alias("alt"),
+            F.col("img.title").alias("title"),
+            F.col("img.filename").alias("filename"),
+            F.col("img.in_table").alias("in_table"),
+        )
+    )
+
+
 def _media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path, hash-checked: the synthetic media table's
     typed metadata is a pure function of md5 bytes, so DuckDB can rebuild
@@ -310,6 +430,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_transcripts_pipeline": _extract_synth_transcripts,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,  # rows-only
         "extraction_lineage": _extraction_lineage,
+        # templated kernel paths (oracle-checked: deterministic HTML from
+        # doc_id drives the real DOM kernel; DuckDB rebuilds the output)
+        "t4_table_shapes": _t4_table_shapes,
+        "t6_math_modes": _t6_math_modes,
+        "s6_images_inventory": _s6_images_inventory,
         "boilerplate_strip": _boilerplate_strip,
         "layout_linearize": _layout_linearize,
         "images_side_table": _images_side_table,
@@ -320,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
+        "pii_redact": textops.pii_redact,
+        "repetition_quality": textops.repetition_quality,
         # relational operators (oracle-checked)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -475,6 +602,79 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(doc_id AS VARCHAR), 0, NULL, 0, 0, 0, 0, 'null_input'
             FROM documents WHERE text IS NULL
+        """,
+        # Templated kernel paths: the Spark side builds deterministic HTML
+        # from doc_id and runs the REAL DOM kernel; the oracle rebuilds the
+        # expected markdown by construction (no HTML parsing needed — the
+        # templates are fixed up to integer substitutions).
+        "t4_table_shapes": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(doc_id % 7 AS VARCHAR) AS a,
+                     CAST(doc_id % 5 AS VARCHAR) AS b,
+                     doc_id % 4 AS m
+              FROM documents
+            )
+            SELECT doc_id,
+                   'pre' || a || repeat(chr(10), 3) ||
+                   CASE m
+                     WHEN 0 THEN '| hA | hB |' || chr(10) || '| --- | --- |'
+                          || chr(10) || '| a' || a || ' | b' || b || ' |'
+                          || chr(10) || '| c' || a || ' | d' || b || ' |'
+                     WHEN 1 THEN '| hA | hB |' || chr(10) || '| --- | --- |'
+                          || chr(10) || '| c' || a || ' | d' || b || ' |'
+                     WHEN 2 THEN '| a' || a || ' | b' || b || ' |'
+                          || chr(10) || '| --- | --- |'
+                          || chr(10) || '| c' || a || ' | d' || b || ' |'
+                     ELSE '| hA | hB |' || chr(10) || '| --- | --- |'
+                   END || repeat(chr(10), 3) || 'post' AS extracted_text,
+                   1 AS tables_count
+            FROM p
+        """,
+        "t6_math_modes": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(doc_id % 9 AS VARCHAR) AS k,
+                     doc_id % 5 AS m
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN m = 4
+                        THEN 'before' || k || chr(10)
+                             || '<math><mrow></mrow></math>' || chr(10) || 'after'
+                        ELSE 'before' || k || chr(10) || chr(10) ||
+                             CASE m
+                               WHEN 0 THEN '$E=mc^' || k || '$'
+                               WHEN 1 THEN '$$' || chr(10) || '\sum_{i=0}^{' || k
+                                    || '} \alpha_i x^i + \beta_i y^i + \gamma_i z^i = 0'
+                                    || chr(10) || '$$'
+                               WHEN 2 THEN '$a^' || k || '+b^' || k || '=c^' || k || '$'
+                               ELSE '$x_' || k || '+y_' || k || '=z_' || k || '$'
+                             END || chr(10) || chr(10) || 'after'
+                   END AS extracted_text,
+                   1 AS math_count
+            FROM p
+        """,
+        "s6_images_inventory": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(doc_id % 1000 AS VARCHAR) AS pp,
+                     CAST(doc_id % 97 AS VARCHAR) AS n,
+                     doc_id % 2 = 0 AS titled
+              FROM documents
+            )
+            SELECT doc_id,
+                   'doc ' || CAST(doc_id AS VARCHAR) || ' body'
+                   || chr(10) || chr(10)
+                   || '![fig ' || n || '](images/p' || pp || '.png'
+                   || CASE WHEN titled THEN ' "Figure ' || n || '"' ELSE '' END
+                   || ')' AS extracted_text,
+                   'images/p' || pp || '.png' AS src,
+                   'fig ' || n AS alt,
+                   CASE WHEN titled THEN 'Figure ' || n ELSE '' END AS title,
+                   'p' || pp || '.png' AS filename,
+                   FALSE AS in_table
+            FROM p
         """,
         # boilerplate_strip: the wrapped-chrome document is deterministic
         # (nav 18 chars, h1 'Document' 8, body paragraph, div 9, footer 7 =
@@ -685,6 +885,51 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
                    CAST(floor(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) / 100) * 100 AS BIGINT) AS len_bucket
             FROM documents WHERE text IS NOT NULL
+        """,
+        "pii_redact": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     substr(text, 1, 50)
+                     || ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.1 call +1 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS payload
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(payload,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(payload,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(payload,
+                     '\+\d{1,2} \d{3}-\d{4}')) AS BIGINT) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(payload,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                     '\+\d{1,2} \d{3}-\d{4}', '[PHONE]', 'g') AS redacted
+            FROM p
+        """,
+        "repetition_quality": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+                       x -> x <> '')) AS tok
+              FROM documents WHERE text IS NOT NULL
+            ), pt AS (
+              SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS top_count,
+                   round(1 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_fraction,
+                   round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_fraction
+            FROM pt GROUP BY doc_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -131,3 +131,91 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         (F.floor(F.length(normalized) / 100) * 100).cast("long").alias("len_bucket"),
     )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for a training-data pipeline: regex redaction of
+    emails / phone numbers / IPv4 addresses with per-kind counts.
+
+    The prose corpus carries no PII, so a deterministic PII suffix is
+    synthesized from ``doc_id`` first (both engines rebuild it exactly);
+    the scrub itself is the generic production pattern: JVM-side
+    ``regexp_extract_all`` counting + chained ``regexp_replace`` — one
+    map-only stage, no shuffle, 100 TB-safe.  Patterns stay inside the
+    RE2 ∩ Java-regex common subset so the DuckDB oracle runs them verbatim.
+    """
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    did = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.substring("text", 1, 50),
+        F.lit(" mail user"), did, F.lit("@example.com"),
+        F.lit(" ip 10.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".1 call +1 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+\d{1,2} \d{3}-\d{4}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(payload, email, "[EMAIL]"), ip, "[IP]"
+        ),
+        phone,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(payload, F.lit(email), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(payload, F.lit(ip), 0))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(payload, F.lit(phone), 0))
+        .cast("long")
+        .alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public):
+    duplicate-token fraction and top-token fraction per document — the
+    standard "is this document degenerate repetition?" filter.
+
+    Plan shape at scale: explode → two-level partial aggregation
+    (``groupBy(doc_id, tok)`` then ``groupBy(doc_id)``), both map-side
+    combined on the same ``doc_id``-prefixed keys, so the second agg is
+    shuffle-free after the first (one effective shuffle of distinct
+    (doc, token) pairs, not raw tokens)."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"[ \t\r\n\f\v]+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "top_count",
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "dup_fraction"
+            ),
+            F.round(F.col("top_count") / F.col("n_tokens"), 4).alias(
+                "top_fraction"
+            ),
+        )
+    )
