@@ -218,16 +218,51 @@ def main() -> None:
     # full-parallelism numbers run FIRST on a cold box, the scaling matrix
     # runs high-core-first with short idle gaps, and the (lighter, long)
     # headline-query section runs last.
-    headline_extraction = max(
-        (_extraction_run(CPUS, corpus_path) for _ in range(2)),
-        key=lambda r: r["turns_per_sec"],
+    def _best_bracketed(
+        cores: int, corpus: str, mode: str, attempts: int, min_ratio: float,
+        label: str,
+    ) -> dict:
+        """Best-of-N extraction runs, each BRACKETED by control probes (same
+        design as the scaling samples): a window is accepted early only if
+        the probes agree (stable load) AND the Spark run kept pace with the
+        box's momentary ceiling (ratio >= min_ratio — the hybrid JVM+Python
+        stack degrades far more than the probe under external bursts, so a
+        low ratio marks a contaminated window, not a slow pipeline).  Every
+        attempt's throughput is recorded untrimmed in the result."""
+        best, samples = None, []
+        for i in range(attempts):
+            pre = _control_probe(cores)
+            run = _extraction_run(cores, corpus, mode)
+            post = _control_probe(cores)
+            spread = min(pre, post) / max(pre, post)
+            ratio = run["turns_per_sec"] / ((pre + post) / 2)
+            samples.append(run["turns_per_sec"])
+            if best is None or run["turns_per_sec"] > best["turns_per_sec"]:
+                best = run
+            if spread >= 0.75 and ratio >= min_ratio:
+                break
+            _progress(
+                f"{label} attempt {i}: {run['turns_per_sec']:.0f} t/s in "
+                f"loaded window (probes {pre:.0f}/{post:.0f}), retry"
+            )
+        best["attempt_turns_per_sec"] = samples
+        return best
+
+    headline_extraction = _best_bracketed(
+        CPUS, corpus_path, "map_only", attempts=3, min_ratio=0.6,
+        label="headline",
     )
     _progress(
         f"headline extraction: {headline_extraction['turns_per_sec']:.0f} t/s"
     )
     # salted hash(conv_id) partitioning (north-rule mode, sampled hot-key
-    # pre-pass): one recorded run so the skew path has measured throughput
-    hash_conv_extraction = _extraction_run(CPUS, corpus_path, mode="hash_conv")
+    # pre-pass): recorded so the skew path has measured throughput.  Its
+    # quiet-window ratio to the control is ~0.3 (adds the repartition
+    # shuffle + sort), hence the lower contamination threshold.
+    hash_conv_extraction = _best_bracketed(
+        CPUS, corpus_path, "hash_conv", attempts=2, min_ratio=0.2,
+        label="hash_conv",
+    )
     headline_extraction["hash_conv"] = hash_conv_extraction
     _progress(
         f"hash_conv extraction: {hash_conv_extraction['turns_per_sec']:.0f} t/s"
