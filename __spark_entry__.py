@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textops.doc_fingerprint,
         "pii_redact": textops.pii_redact,
         "repetition_quality": textops.repetition_quality,
+        "line_dedup": dedup.line_dedup,
+        "pack_sequences": dedup.pack_sequences,
         # relational operators (oracle-checked)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -930,6 +932,72 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_fraction,
                    round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_fraction
             FROM pt GROUP BY doc_id
+        """,
+        "line_dedup": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks,
+                     'common license header variant '
+                       || CAST(doc_id % 2 AS VARCHAR) AS header
+              FROM documents WHERE text IS NOT NULL
+            ), nz AS (
+              SELECT doc_id,
+                     list_prepend(header, list_transform(
+                       range(0, CAST((len(toks)-1) // 8 AS INTEGER) + 1, 1),
+                       i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')
+                     )) AS ls
+              FROM base WHERE len(toks) > 0
+            ), ex AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ls)+1, 1),
+                       i -> {'pos': i-1, 'line': ls[i]})) AS u
+              FROM nz
+            ), e2 AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line,
+                     md5(u.line) AS line_hash
+              FROM ex
+            ), counts AS (
+              SELECT line_hash, count(*) AS n_occur FROM e2 GROUP BY line_hash
+            ), kept AS (
+              SELECT e2.* FROM e2 JOIN counts USING (line_hash)
+              WHERE n_occur < 5
+            ), rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS cleaned
+              FROM kept GROUP BY doc_id
+            ), spine AS (
+              SELECT doc_id, count(*) AS n_lines FROM e2 GROUP BY doc_id
+            )
+            SELECT s.doc_id, CAST(s.n_lines AS BIGINT) AS n_lines,
+                   CAST(s.n_lines - coalesce(r.n_kept, 0) AS BIGINT)
+                     AS n_dup_lines,
+                   coalesce(r.cleaned, '') AS cleaned_text
+            FROM spine s LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents WHERE text IS NOT NULL
+            ), nz AS (SELECT * FROM d WHERE n_tok > 0),
+            c AS (
+              SELECT doc_id, n_tok,
+                     CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS "start"
+              FROM nz
+            )
+            SELECT doc_id, n_tok, "start",
+                   "start" // 256 AS seq_id,
+                   "start" % 256 AS offset_in_seq,
+                   (("start" + n_tok - 1) // 256) - ("start" // 256) + 1
+                     AS n_seqs_spanned,
+                   (("start" + n_tok - 1) // 256) > ("start" // 256)
+                     AS crosses_boundary
+            FROM c
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -469,3 +469,146 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+def line_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    window_words: int = 8,
+    dup_threshold: int = 5,
+) -> DataFrame:
+    """Cross-document duplicate-line removal (Falcon/Dolma-style): lines
+    that recur across the corpus — license headers, nav chrome, templated
+    footers — are dropped from every document; the document text is
+    rebuilt from the surviving lines in order.
+
+    The prose corpus has no natural line structure, so lines are
+    synthesized deterministically: one injected boilerplate header (two
+    variants, so both recur far above threshold) + non-overlapping
+    ``window_words``-word windows of the text.  Both engines build the
+    identical lines, so the whole operator — global line counts, the
+    threshold drop, and the ordered text rebuild — is hash-checked.
+
+    Scale shape: explode → ``groupBy(line_hash)`` count (one shuffle of
+    distinct lines, map-side combined) → equi join counts back onto the
+    exploded lines (shuffle join on the hash; at extreme corpus sizes the
+    over-threshold hash set is small enough to collect into a broadcast /
+    bloom filter instead — documented tradeoff) → ``groupBy(doc_id)``
+    ordered rebuild.  A right join against the document spine reinstates
+    docs whose every line was boilerplate (cleaned_text = '')."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    header = F.concat(
+        F.lit("common license header variant "),
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("string"),
+    )
+    last_w = ((F.size("toks") - F.lit(1)) / F.lit(window_words)).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), last_w),
+        lambda i: F.array_join(
+            F.slice(F.col("toks"), i * window_words + 1, window_words), " "
+        ),
+    )
+    lines = docs.select(
+        "doc_id", toks.alias("toks"), header.alias("header")
+    ).where(F.size("toks") > 0).select(
+        "doc_id",
+        F.posexplode(F.concat(F.array("header"), windows)).alias("pos", "line"),
+        (F.size("toks") + F.lit(window_words) - 1).alias("_"),
+    ).select(
+        "doc_id", "pos", "line", F.md5("line").alias("line_hash")
+    )
+    counts = lines.groupBy("line_hash").agg(F.count("*").alias("n_occur"))
+    kept = (
+        lines.join(counts, "line_hash")
+        .where(F.col("n_occur") < dup_threshold)
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    spine = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        spine.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dup_lines"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_tokens: int = 256,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing: documents are laid end-to-end in
+    ``doc_id`` order and cut into fixed ``seq_tokens`` training sequences;
+    each document learns which sequence it starts in, its offset there,
+    and whether it crosses a sequence boundary.
+
+    The global running token offset is a distributed prefix sum — NOT a
+    single-partition global window (the classic scale trap): documents get
+    a monotone bucket ``floor(doc_id / bucket_width)``; bucket subtotals
+    (#buckets ≈ corpus/bucket_width rows, the only single-partition step)
+    get an exclusive running sum in a tiny window; subtotal offsets
+    broadcast-join back; the within-bucket window runs partitioned and
+    parallel.  Equivalent by construction to the flat cumsum the DuckDB
+    oracle runs, because the bucket key is monotone in ``doc_id``."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    n_tok = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != ""))
+    d = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        F.floor(F.col("doc_id") / bucket_width).alias("bucket"),
+    ).where(F.col("n_tok") > 0)
+    totals = d.groupBy("bucket").agg(F.sum("n_tok").alias("bucket_tok"))
+    w_b = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tok").over(w_b), F.lit(0)).alias("bucket_off"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        d.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                F.col("bucket_off")
+                + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
+            ).alias("start"),
+        )
+    )
+    seq_id = F.floor(F.col("start") / seq_tokens)
+    end_seq = F.floor((F.col("start") + F.col("n_tok") - 1) / seq_tokens)
+    return placed.select(
+        "doc_id",
+        "n_tok",
+        "start",
+        seq_id.alias("seq_id"),
+        F.pmod(F.col("start"), F.lit(seq_tokens)).cast("long").alias(
+            "offset_in_seq"
+        ),
+        (end_seq - seq_id + 1).alias("n_seqs_spanned"),
+        (end_seq > seq_id).alias("crosses_boundary"),
+    )

@@ -183,11 +183,13 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-token fraction and top-token fraction per document — the
     standard "is this document degenerate repetition?" filter.
 
-    Plan shape at scale: explode → two-level partial aggregation
-    (``groupBy(doc_id, tok)`` then ``groupBy(doc_id)``), both map-side
-    combined on the same ``doc_id``-prefixed keys, so the second agg is
-    shuffle-free after the first (one effective shuffle of distinct
-    (doc, token) pairs, not raw tokens)."""
+    Plan shape at scale: explode → ``groupBy(doc_id, tok)`` →
+    ``groupBy(doc_id)``.  Two shuffles, but both are map-side combined, so
+    neither moves raw tokens: shuffle 1 carries distinct (doc, token)
+    pairs, shuffle 2 carries the per-partition partial (sum, count, max)
+    per doc.  The alternative single-shuffle plan (repartition raw tokens
+    by doc_id first) moves strictly more data — token occurrences instead
+    of distinct pairs — so two light shuffles is the right 100 TB plan."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id",
