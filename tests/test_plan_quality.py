@@ -173,3 +173,34 @@ def test_entry_has_no_joins(spark):
     assert "BroadcastExchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """The packing cumsum must NOT funnel raw document rows through a
+    single-partition window: the per-doc window runs partitioned by bucket,
+    and the only SinglePartition exchange in the plan feeds the tiny
+    bucket-subtotal window (input = one row per bucket, post-aggregation)."""
+    from extractor.ops import dedup
+
+    plan = _plan(dedup.pack_sequences(spark, SF))
+    # the doc-level running sum is partitioned (parallel)
+    assert "hashpartitioning(bucket" in plan, plan
+    # exactly one single-partition exchange: the bucket-subtotals window
+    singles = plan.count("SinglePartition")
+    assert singles == 1, f"expected 1 SinglePartition exchange, got {singles}:\n{plan}"
+    # and the offsets side is broadcast back onto the docs, not shuffled
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_line_dedup_count_join_shape(spark):
+    """line_dedup's aggregations are all partial (map-side combined before
+    every shuffle) and the ordered rebuild uses ObjectHashAggregate (partial
+    collect_list), not a sort-based fallback.  The counts join broadcasts at
+    fixture scale (AQE's runtime call — the counts table is tiny here); at
+    corpus scale it degrades gracefully to a shuffle join on line_hash."""
+    from extractor.ops import dedup
+
+    plan = _plan(dedup.line_dedup(spark, SF))
+    # partial aggregation: two HashAggregate levels around each count shuffle
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "ObjectHashAggregate" in plan, plan
