@@ -40,7 +40,17 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_PAIRS = ((max(CPUS // 8, 1), CPUS // 2), (max(CPUS // 4, 1), CPUS))
+# Three N->4N pairs.  Primary (pre-declared, unchanged since round 2) is
+# 4->16.  8->32 shows the full-saturation ceiling (the control proves it is
+# the box's own frequency curve).  2->8 is the LOW-SATURATION pair: neither
+# config saturates the box, so it isolates the pipeline's scaling from the
+# host's at-saturation per-core throttle — the closest sandbox analogue to
+# adding executors to an under-subscribed cluster.
+SCALING_PAIRS = (
+    (max(CPUS // 8, 1), CPUS // 2),
+    (max(CPUS // 4, 1), CPUS),
+    (max(CPUS // 16, 1), max(CPUS // 4, 2)),
+)
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "60000"))  # ~720k turns
 # scaling matrix uses a half-size corpus (same distribution, same corpus for
 # every config in a ratio -> unbiased pair efficiencies, half the wall time);
@@ -459,7 +469,8 @@ def main() -> None:
                 "8->32 pair underreports due to per-core CPU frequency "
                 "throttling at 32 busy cores - the pure-Python no-Spark "
                 "control shows the same per-core curve (normalized_efficiency"
-                " = Spark/control) - BASELINE.md"
+                " = Spark/control); the 2->8 pair is the low-saturation "
+                "diagnostic (neither config saturates the box) - BASELINE.md"
             ),
         },
     }

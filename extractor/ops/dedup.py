@@ -514,7 +514,6 @@ def line_dedup(
     ).where(F.size("toks") > 0).select(
         "doc_id",
         F.posexplode(F.concat(F.array("header"), windows)).alias("pos", "line"),
-        (F.size("toks") + F.lit(window_words) - 1).alias("_"),
     ).select(
         "doc_id", "pos", "line", F.md5("line").alias("line_hash")
     )
