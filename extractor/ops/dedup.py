@@ -560,11 +560,19 @@ def pack_sequences(
     The global running token offset is a distributed prefix sum — NOT a
     single-partition global window (the classic scale trap): documents get
     a monotone bucket ``floor(doc_id / bucket_width)``; bucket subtotals
-    (#buckets ≈ corpus/bucket_width rows, the only single-partition step)
     get an exclusive running sum in a tiny window; subtotal offsets
     broadcast-join back; the within-bucket window runs partitioned and
     parallel.  Equivalent by construction to the flat cumsum the DuckDB
-    oracle runs, because the bucket key is monotone in ``doc_id``."""
+    oracle runs, because the bucket key is monotone in ``doc_id``.
+
+    Sizing rule at scale: the subtotal window and the broadcast both see
+    ``n_docs / bucket_width`` rows, so choose ``bucket_width ≈ n_docs /
+    10^6`` (one cheap ``count()`` if unknown) to cap that side at ~10^6
+    rows regardless of corpus size; within-bucket windows then hold
+    ``bucket_width`` rows each — both sides bounded.  (For truly unbounded
+    corpora the same construction nests: prefix-sum the subtotals with a
+    second bucketing level instead of one window.)  The default width (64)
+    is sized for the test corpora."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
