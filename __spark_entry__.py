@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from extractor.boilerplate import strip_boilerplate_batch
 from extractor.layout import parse_layout_batch, synth_layout_doc
-from extractor.ops import dedup, relational, similarity, textops
+from extractor.ops import dedup, relational, sampling, similarity, textops
 from extractor.pipeline import (
     extract_transcripts,
     lineage_manifest,
@@ -486,6 +486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.neardup_clusters,
         "chunk_documents": dedup.chunk_documents,
         "train_split_assign": dedup.train_split_assign,
+        # sampling / corpus-mixing suite (oracle-checked, md5-keyed)
+        "stratified_sample": sampling.stratified_sample,
+        "corpus_mix_sample": sampling.corpus_mix_sample,
+        "training_order": sampling.training_order,
+        "per_stratum_topk_sample": sampling.per_stratum_topk_sample,
         # similarity suite
         "similarity_cosine_topk": similarity.cosine_topk,
         "similarity_embedding_neardup": similarity.embedding_cosine_neardup,
@@ -500,6 +505,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "similarity_ivf_topk": similarity.ivf_topk,  # rows-only (recall-gated)
     }
+
+
+def _dd_md5_bucket(salt: str, mod: int, key: str = "doc_id") -> str:
+    """DuckDB expression for the engine's shared keyed-uniform primitive:
+    first 8 md5 hex digits of ``salt || key`` parsed as an integer, mod N —
+    bit-for-bit the Spark side's conv(substring(md5(..),1,8),16,10) % N."""
+    return (
+        "CAST(list_sum(list_transform(range(8), i -> "
+        "CAST(strpos('0123456789abcdef', "
+        f"substr(md5('{salt}' || CAST({key} AS VARCHAR)), "
+        "CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT) "
+        "* (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INTEGER)))) "
+        f"% {mod} AS BIGINT)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1404,5 +1423,75 @@ def oracle_sql() -> dict[str, str]:
                           i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
                      >= 0.95) AS is_near_dup
             FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        """,
+        "stratified_sample": f"""
+            WITH b AS (
+              SELECT doc_id, lang, source,
+                     {_dd_md5_bucket("strat:", 10000)} AS sample_bucket,
+                     CAST(CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                                    WHEN 'fr' THEN 5000 WHEN 'es' THEN 2500
+                                    WHEN 'zh' THEN 2500 ELSE 1000 END
+                          AS BIGINT) AS rate_bp
+              FROM documents
+            )
+            SELECT * FROM b WHERE sample_bucket < rate_bp
+        """,
+        "corpus_mix_sample": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(trim(text), '[ \\t\\r\\n\\f\\v]+'),
+                       x -> x <> '')) AS BIGINT) AS n_toks
+              FROM documents WHERE text IS NOT NULL
+            ), per_lang AS (
+              SELECT lang, sum(n_toks) AS lang_toks FROM t GROUP BY lang
+            ), tot AS (SELECT sum(n_toks) AS total_toks FROM t),
+            rates AS (
+              SELECT lang,
+                     CAST(least(CAST(1000000 AS BIGINT),
+                       (CAST(1000000 AS BIGINT)
+                        * CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
+                                    WHEN 'fr' THEN 1 WHEN 'es' THEN 1
+                                    WHEN 'zh' THEN 1 ELSE 0 END
+                        * total_toks)
+                       // (CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 5
+                                     WHEN 'fr' THEN 5 WHEN 'es' THEN 10
+                                     WHEN 'zh' THEN 10 ELSE 1 END
+                           * lang_toks)) AS BIGINT) AS rate_ppm
+              FROM per_lang CROSS JOIN tot
+            )
+            SELECT * FROM (
+              SELECT t.doc_id, t.lang, t.n_toks,
+                     {_dd_md5_bucket("mix:", 1000000, key="t.doc_id")} AS mix_bucket,
+                     r.rate_ppm
+              FROM t JOIN rates r USING (lang)
+            ) WHERE mix_bucket < rate_ppm
+        """,
+        "training_order": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     CAST({_dd_md5_bucket("shard:", 16)} AS INTEGER) AS shard,
+                     md5('order:' || CAST(doc_id AS VARCHAR)) AS order_key
+              FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard ORDER BY order_key, doc_id
+                   ) AS INTEGER) AS position
+            FROM k
+        """,
+        "per_stratum_topk_sample": """
+            WITH k AS (
+              SELECT doc_id, source,
+                     md5('resv:' || CAST(doc_id AS VARCHAR)) AS sample_key
+              FROM documents
+            ), r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY sample_key, doc_id
+                     ) AS INTEGER) AS rk
+              FROM k
+            )
+            SELECT doc_id, source, rk FROM r WHERE rk <= 5
         """,
     }

@@ -1,0 +1,161 @@
+"""Deterministic sampling / corpus-mixing / training-order operators over the
+``documents`` table — the selection stage of a training-data pipeline (what
+runs between curation and packing).
+
+Every op keys its randomness on ``md5(salt || doc_id)`` rather than
+``rand()``: a document's fate is a pure function of its id, so samples are
+stable under re-partitioning, re-runs, retries, and corpus growth (adding
+documents never flips the decision for existing ones).  md5 is also the one
+hash both engines share, so each op has a bit-exact DuckDB oracle.
+
+Scale posture (100 TB): the per-doc decisions are map-only (hash + integer
+compare, codegen'd, no shuffle); ``corpus_mix_sample`` adds one tiny
+per-stratum aggregate that is broadcast back onto the unshuffled corpus;
+``training_order`` shuffles once on the shard key — parallelism = n_shards,
+so pick n_shards ≈ a few × executor count at scale (16 here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# Per-language sampling rates in basis points (integer — no float compare).
+STRATA_RATES_BP = {"en": 10000, "de": 5000, "fr": 5000, "es": 2500, "zh": 2500}
+DEFAULT_RATE_BP = 1000
+
+# corpus_mix_sample targets: desired share of total whitespace tokens per
+# language, as exact integer ratios (num/denom) — keeps the acceptance-rate
+# arithmetic in BIGINT end to end.
+MIX_TARGETS = {"en": (2, 5), "de": (1, 5), "fr": (1, 5), "es": (1, 10), "zh": (1, 10)}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _hash_bucket(salt: str, mod: int):
+    """First 8 md5 hex digits of ``salt || doc_id`` as an integer in
+    [0, mod) — the shared keyed-uniform primitive (same construction as
+    dedup.train_split_assign, which DuckDB reproduces bit-for-bit)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum (language) keyed sampling at fixed rates: keep a document
+    iff its hash bucket falls under the stratum's basis-point rate.  The
+    standard "downsample web, keep all wiki" corpus knob.  Map-only: the
+    rate lookup is a literal CASE chain, the decision an integer compare —
+    no shuffle, no join, survives any scale."""
+    docs = _docs(spark, sf_dir)
+    rate = F.lit(DEFAULT_RATE_BP)
+    for lang, bp in STRATA_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, bp).otherwise(rate)
+    bucket = _hash_bucket("strat:", 10000)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        bucket.alias("sample_bucket"),
+        rate.cast("long").alias("rate_bp"),
+    ).where(bucket < rate)
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: resample each language stratum so its share of total
+    whitespace tokens approaches a target distribution (MIX_TARGETS), the
+    way pre-training mixes weight web/code/wiki sources.
+
+    acceptance ppm for stratum s = min(1e6, (1e6 · num_s · total_tokens)
+    DIV (denom_s · tokens_s)) — all-BIGINT arithmetic (exact, engine-
+    independent), then keep doc iff hash_ppm < rate_ppm.
+
+    Plan: per-lang token totals are a map-side-combined aggregate producing
+    ≤ |langs| rows; the grand total joins in via a cross join of a 1-row
+    aggregate; both tiny sides broadcast back onto the corpus scan, which
+    never shuffles.  At 100 TB this is one pass + two broadcasts."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    n_toks = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != ""))
+    with_tok = docs.select("doc_id", "lang", n_toks.cast("long").alias("n_toks"))
+    per_lang = with_tok.groupBy("lang").agg(F.sum("n_toks").alias("lang_toks"))
+    total = with_tok.agg(F.sum("n_toks").alias("total_toks"))
+
+    num = F.lit(0)
+    denom = F.lit(1)
+    for lang, (n, d) in MIX_TARGETS.items():
+        num = F.when(F.col("lang") == lang, n).otherwise(num)
+        denom = F.when(F.col("lang") == lang, d).otherwise(denom)
+    rates = (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "lang_toks",
+            "total_toks",
+            num.cast("long").alias("num"),
+            denom.cast("long").alias("denom"),
+        )
+        .select(
+            "lang",
+            "lang_toks",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("CAST(1000000 AS BIGINT) * num * total_toks DIV (denom * lang_toks)"),
+            ).alias("rate_ppm"),
+        )
+    )
+    bucket = _hash_bucket("mix:", 1000000)
+    return (
+        with_tok.withColumn("mix_bucket", bucket)
+        .join(F.broadcast(rates), "lang")
+        .where(F.col("mix_bucket") < F.col("rate_ppm"))
+        .select("doc_id", "lang", "n_toks", "mix_bucket", "rate_ppm")
+    )
+
+
+def training_order(spark: SparkSession, sf_dir: str, n_shards: int = 16) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    shard and a position inside it, both pure functions of doc_id.  Readers
+    stream shard 0..n-1 in position order and see a fixed pseudo-random
+    permutation of the corpus — reproducible across runs and engines.
+
+    One shuffle (on shard), per-shard sort inside the window; no global
+    sort, no driver collect.  n_shards bounds parallelism — use a few ×
+    executor count at real scale."""
+    docs = _docs(spark, sf_dir)
+    okey = F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string")))
+    shard = _hash_bucket("shard:", n_shards)
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", shard.cast("int").alias("shard"), okey.alias("order_key")
+        )
+        .withColumn("position", F.row_number().over(w))
+        .select("doc_id", "shard", "position")
+    )
+
+
+def per_stratum_topk_sample(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Fixed-size keyed sample per stratum (k docs per source) — the
+    deterministic analogue of per-group reservoir sampling: rank documents
+    inside each source by their hash key and keep the first k.  One shuffle
+    on source; ties impossible (md5 keyed by distinct doc_id, doc_id
+    tie-break)."""
+    docs = _docs(spark, sf_dir)
+    okey = F.md5(F.concat(F.lit("resv:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        docs.select("doc_id", "source", okey.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )

@@ -192,6 +192,56 @@ def test_pack_sequences_distributed_prefix_sum(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_stratified_sample_map_only(spark):
+    """Keyed sampling is a pure map: scan → project/filter, NO shuffle —
+    the decision is a hash + integer compare per row."""
+    from extractor.ops import sampling
+
+    plan = _plan(sampling.stratified_sample(spark, SF))
+    assert "Exchange" not in plan, f"stratified sample must not shuffle:\n{plan}"
+
+
+def test_corpus_mix_broadcasts_rates(spark):
+    """corpus_mix_sample: the per-stratum rate table (≤ |langs| rows) must
+    broadcast onto the corpus; the corpus scan feeding the streamed side of
+    that join must NOT shuffle (only the tiny aggregates may)."""
+    from extractor.ops import sampling
+
+    plan = _plan(sampling.corpus_mix_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    lines = _tree_lines(plan)
+    join_idx = [
+        i for i, (_, t) in enumerate(lines) if "BroadcastHashJoin Inner" in t
+    ]
+    assert join_idx, plan
+    sub = _subtree(lines, join_idx[0])
+    # drop the build (BroadcastExchange) subtree: what remains is the
+    # streamed corpus side, which must carry no Exchange
+    ex = [
+        j
+        for j, (d, t) in enumerate(sub)
+        if t.startswith("BroadcastExchange") and d == sub[0][0]
+    ]
+    assert len(ex) == 1, plan
+    # BuildRight: the build subtree is the join's LAST child, so everything
+    # before the BroadcastExchange line is the streamed corpus side
+    streamed = [t for _, t in sub[: ex[0]]]
+    assert not any(t.startswith("Exchange") for t in streamed), plan
+    assert any(t.startswith("Scan parquet") for t in streamed), plan
+
+
+def test_training_order_single_shuffle(spark):
+    """Deterministic training order = one Exchange (hash on shard) feeding
+    the per-shard window; never a global sort / single partition."""
+    from extractor.ops import sampling
+
+    plan = _plan(sampling.training_order(spark, SF))
+    assert plan.count("Exchange (") == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan
+
+
 def test_line_dedup_count_join_shape(spark):
     """line_dedup's aggregations are all partial (map-side combined before
     every shuffle) and the ordered rebuild uses ObjectHashAggregate (partial
