@@ -447,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textops.doc_fingerprint,
         "pii_redact": textops.pii_redact,
         "repetition_quality": textops.repetition_quality,
+        "vocab_topk": textops.vocab_topk,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "bigram_lm_score": textops.bigram_lm_score,
         "line_dedup": dedup.line_dedup,
         "pack_sequences": dedup.pack_sequences,
         # relational operators (oracle-checked)
@@ -1479,6 +1482,85 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY shard ORDER BY order_key, doc_id
                    ) AS INTEGER) AS position
             FROM k
+        """,
+        "vocab_topk": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+                x -> x <> '')) AS tok
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT tok, count(*) AS n
+            FROM toks GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 100
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+                x -> x <> '')) AS tok
+              FROM documents WHERE text IS NOT NULL
+            ), pt AS (
+              SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+            ), ranked AS (
+              SELECT doc_id, tok, c,
+                     sum(c) OVER (PARTITION BY doc_id) AS doc_toks,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, tok
+                     ) AS rk
+              FROM pt
+            ), dfc AS (
+              SELECT tok, count(*) AS df FROM pt GROUP BY tok
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n_docs
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT r.doc_id, r.tok, CAST(r.c AS BIGINT) AS c,
+                   CAST(r.rk AS INTEGER) AS rk,
+                   round((r.c / r.doc_toks) * ln((n_docs + 1) / (df + 1)), 4)
+                     AS tf_idf
+            FROM ranked r JOIN dfc USING (tok) CROSS JOIN nd
+            WHERE r.rk <= 3
+        """,
+        "bigram_lm_score": r"""
+            WITH t AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+                x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), t2 AS (
+              SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+            ), idx AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, len(toks))) AS i
+              FROM t2
+            ), bg AS (
+              SELECT doc_id,
+                     toks[CAST(i AS INTEGER)] AS w1,
+                     toks[CAST(i + 1 AS INTEGER)] AS w2
+              FROM idx
+            ), cb AS (
+              SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+            ), cu AS (
+              SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+            ), vv AS (
+              SELECT count(DISTINCT tok) AS v FROM (
+                SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+                  x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL
+              )
+            ), s AS (
+              SELECT bg.doc_id,
+                     round(ln(cu.c1 + vv.v) - ln(cb.c2 + 1), 6) AS nll
+              FROM bg
+              JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+              JOIN cu ON bg.w1 = cu.w1
+              CROSS JOIN vv
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(nll), 3) AS lm_score
+            FROM s GROUP BY doc_id
         """,
         "per_stratum_topk_sample": """
             WITH k AS (

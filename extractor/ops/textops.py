@@ -178,6 +178,126 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tok_arr(col="text"):
+    """Shared corpus tokenizer: lowercase, split on explicit ASCII
+    whitespace (RE2 ∩ Java \\s common subset), drop empties."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"[ \t\r\n\f\v]+"), lambda x: x != ""
+    )
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by occurrence count, determinstic
+    tie-break on the token itself.  explode → count → top-k; the aggregate
+    is map-side combined (partial_count before the shuffle carries one row
+    per distinct token per partition) and the top-k is TakeOrderedAndProject
+    — no global sort materializes, so the plan is a 100 TB plan."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(F.explode(_tok_arr()).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF.
+
+    The ranking key is (term frequency DESC, token ASC) — all-integer, so
+    the selected rows are engine-exact; the reported tf_idf value
+    (tf · ln((N+1)/(df+1)), smoothed) is rounded to 4 decimals.
+
+    Plan: one shuffle to (doc, tok) counts; window per doc for totals +
+    rank (same hash partitioning on doc_id — no extra exchange); document
+    frequency is a map-side-combined aggregate over the already-distinct
+    (doc, tok) pairs; the top-k filter runs BEFORE the df join so only
+    k·N rows join against the vocabulary-sized df table."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    per_tok = (
+        docs.select("doc_id", F.explode(_tok_arr()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = per_tok.select(
+        "doc_id",
+        "tok",
+        "c",
+        F.sum("c").over(w_doc).alias("doc_toks"),
+        F.row_number().over(w_rank).alias("rk"),
+    ).where(F.col("rk") <= k)
+    df_counts = per_tok.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        ranked.join(df_counts, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.col("c").cast("long").alias("c"),
+            F.col("rk").cast("int").alias("rk"),
+            F.round(
+                (F.col("c") / F.col("doc_toks"))
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                4,
+            ).alias("tf_idf"),
+        )
+    )
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — the in-corpus analogue of the
+    KenLM-perplexity quality filter (CCNet/Gopher, public): train add-one-
+    smoothed bigram counts on the corpus itself, then score each document
+    by its mean negative log-likelihood.  High score = improbable token
+    sequences = candidate junk.
+
+    nll(w1,w2) = ln(c(w1)+V) − ln(c(w1,w2)+1), rounded to 6 decimals
+    per bigram before averaging (pins engine float agreement), doc score
+    rounded to 3.
+
+    Plan: bigram extraction is array-native (zip of the token array with
+    its tail — map-only, no posexplode self-join); the count tables are
+    map-side-combined aggregates; doc bigrams join counts keyed on the
+    bigram then the unigram (both standard shuffle joins bounded by vocab²
+    / vocab); final per-doc aggregate is partial.  At 100 TB the count
+    model is built once and reused — here it is inline for the oracle."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    t = docs.select("doc_id", _tok_arr().alias("toks")).where(F.size("toks") >= 2)
+    bigram_arr = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+    )
+    bg = t.select("doc_id", F.explode(bigram_arr).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(_tok_arr()).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    nll = F.round(
+        F.log(F.col("c1") + F.col("v")) - F.log(F.col("c2") + 1), 6
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("nll"), 3).alias("lm_score"),
+        )
+    )
+
+
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, public):
     duplicate-token fraction and top-token fraction per document — the

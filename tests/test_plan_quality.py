@@ -242,6 +242,28 @@ def test_training_order_single_shuffle(spark):
     assert "Window" in plan
 
 
+def test_vocab_topk_no_global_sort(spark):
+    """Corpus vocabulary top-k must be TakeOrderedAndProject over a partial
+    aggregate — never a full global Sort of the vocabulary."""
+    from extractor.ops import textops
+
+    plan = _plan(textops.vocab_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate (") >= 2, plan  # map-side combine
+    assert "Sort (" not in plan, plan
+
+
+def test_tfidf_rank_filter_inside_window(spark):
+    """The per-doc top-k rank filter must push into the window operator
+    (WindowGroupLimit) so only k rows per doc survive to the df join, and
+    the doc-total + rank windows share one hash partitioning on doc_id."""
+    from extractor.ops import textops
+
+    plan = _plan(textops.tfidf_top_terms(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("hashpartitioning(doc_id") >= 1, plan
+
+
 def test_line_dedup_count_join_shape(spark):
     """line_dedup's aggregations are all partial (map-side combined before
     every shuffle) and the ordered rebuild uses ObjectHashAggregate (partial
