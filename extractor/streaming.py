@@ -29,6 +29,8 @@ Three operators:
                                  late-data-safe metrics rollup)
 - ``stream_conversation_state``— custom stateful operator
                                  (``applyInPandasWithState``)
+- ``stream_dedup``             — streaming exact dedup with BOUNDED state
+                                 (``dropDuplicatesWithinWatermark``)
 """
 
 from __future__ import annotations
@@ -111,6 +113,37 @@ def stream_windowed_metrics(
     )
     return (
         agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Streaming exact dedup on (conv_id, turn_idx): a re-delivered turn
+    (at-least-once upstream, retried producer, replayed Kafka offset) is
+    dropped if its duplicate was seen within the event-time watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's event time, so state is bounded by
+    (arrival rate × watermark delay) — NOT stream length.  A plain
+    streaming ``dropDuplicates`` would grow state forever at 10^12-turn
+    scale; this is the operator you actually deploy in front of the
+    extraction kernel when the transport is at-least-once."""
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

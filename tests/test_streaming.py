@@ -45,6 +45,35 @@ def test_streaming_matches_batch_and_is_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == full.count()
 
 
+def test_stream_dedup_drops_redelivered_turns(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates re-delivered in the same
+    or a later micro-batch (within the watermark) are dropped; output is
+    exactly the distinct turn set."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    from extractor.streaming import stream_dedup
+
+    full = transcripts_df(spark, n_convs=12, mean_turns=8, seed=7)
+    n_distinct = full.count()
+
+    # first delivery + an in-batch duplicate of a third of it
+    full.write.mode("append").parquet(inp)
+    full.where("turn_idx % 3 = 0").write.mode("append").parquet(inp)
+    q = stream_dedup(spark, inp, out, ck)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_distinct
+
+    # redelivery of half the corpus in a LATER micro-batch, same checkpoint
+    full.where("turn_idx % 2 = 0").write.mode("append").parquet(inp)
+    q = stream_dedup(spark, inp, out, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == n_distinct
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_distinct
+
+
 def test_stateful_conversation_progress(spark, tmp_path):
     """applyInPandasWithState: per-conversation counters must accumulate
     across micro-batches AND across query restarts (state checkpointed)."""
