@@ -261,12 +261,16 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per bigram before averaging (pins engine float agreement), doc score
     rounded to 3.
 
-    Plan: bigram extraction is array-native (zip of the token array with
-    its tail — map-only, no posexplode self-join); the count tables are
-    map-side-combined aggregates; doc bigrams join counts keyed on the
-    bigram then the unigram (both standard shuffle joins bounded by vocab²
-    / vocab); final per-doc aggregate is partial.  At 100 TB the count
-    model is built once and reused — here it is inline for the oracle."""
+    Plan (shuffle-lean): bigram extraction is array-native (zip of the
+    token array with its tail — map-only, no posexplode self-join); raw
+    occurrences immediately collapse to per-doc DISTINCT bigram counts
+    (doc_id, w1, w2, k) — one map-side-combined shuffle — and everything
+    downstream (the c2/c1 count tables, the model join, the per-doc
+    weighted mean Σk·nll/Σk) moves distinct pairs, never occurrences.
+    At 100 TB the per-doc pair table and the c2/c1 count model are
+    materialized once (persist/write) and reused across the three
+    consumers — inline here so the DuckDB oracle can rebuild the whole
+    computation from the corpus."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     t = docs.select("doc_id", _tok_arr().alias("toks")).where(F.size("toks") >= 2)
     bigram_arr = F.expr(
@@ -276,8 +280,9 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = t.select("doc_id", F.explode(bigram_arr).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    per_doc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
+    c2 = per_doc.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    c1 = per_doc.groupBy("w1").agg(F.sum("k").alias("c1"))
     vocab = (
         docs.select(F.explode(_tok_arr()).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
@@ -286,14 +291,16 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("c1") + F.col("v")) - F.log(F.col("c2") + 1), 6
     )
     return (
-        bg.join(c2, ["w1", "w2"])
+        per_doc.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", nll.alias("nll"))
+        .select("doc_id", "k", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(F.avg("nll"), 3).alias("lm_score"),
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * F.col("nll")) / F.sum("k"), 3).alias(
+                "lm_score"
+            ),
         )
     )
 
