@@ -465,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_stats": relational.hourly_event_stats,
         "a2_array_aggregate": relational.a2_array_aggregate,
         "percentile_metrics": relational.percentile_metrics,
+        "funnel_stages": relational.funnel_stages,
+        "sketch_profile": textops.sketch_profile,  # rows-only (sketches)
         "pivot_event_hours": relational.pivot_event_hours,
         "argmax_latest_event": relational.argmax_latest_event,
         "media_features": _media_features,
@@ -1482,6 +1484,29 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY shard ORDER BY order_key, doc_id
                    ) AS INTEGER) AS position
             FROM k
+        """,
+        "funnel_stages": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+              GROUP BY e.user_id
+            ), p AS (
+              SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              GROUP BY e.user_id
+            )
+            SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+                   CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                             WHEN c.t_click IS NOT NULL THEN 2
+                             ELSE 1 END AS INTEGER) AS funnel_stage
+            FROM v
+            LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
         """,
         "vocab_topk": r"""
             WITH toks AS (

@@ -370,6 +370,56 @@ def s3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upserted.unionByName(inserted)
 
 
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel (MATCH_RECOGNIZE analogue): per user the
+    earliest view, the earliest click strictly AFTER that view, and the
+    earliest purchase strictly after that click — plus the reached stage.
+    Ties on the earliest timestamp resolve identically in both engines
+    (min over ts, ties collapse).
+
+    Plan at scale: each stage is a pushed-down type filter → map-side-
+    combined min-agg keyed on user_id; the stage joins are equi-joins on
+    user_id whose right side shrinks monotonically (stage-2 users ⊆
+    stage-1 users), and AQE broadcast-promotes the survivors as the funnel
+    narrows.  No windows over raw events, no per-user sorting."""
+    ev = _read(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            stage.cast("int").alias("funnel_stage"),
+        )
+    )
+
+
 def percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile aggregation (latency-metrics shape, O6 family):
     continuous-interpolation p50/p90/p99 per group — bit-identical to

@@ -305,6 +305,28 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch corpus profile per source: HyperLogLog++ distinct
+    text estimate (``approx_count_distinct``) and GK-sketch quantiles of
+    document length (``percentile_approx``) next to the exact count.
+
+    This is the 100 TB profiling path: both sketches are constant-size,
+    mergeable partial aggregates — the shuffle carries one sketch per
+    (partition, source), never raw values, so profiling cost is one scan
+    regardless of corpus size.  Approximate by design → no SQL oracle;
+    the error-bound contract (HLL rsd 2%, quantile rank error 1/accuracy)
+    is pinned by ``tests/test_sampling.py::test_sketch_profile_bounds``
+    against exact aggregation."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("approx_distinct"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("p50_chars"),
+        F.percentile_approx("n_chars", 0.9, 10000).alias("p90_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, public):
     duplicate-token fraction and top-token fraction per document — the

@@ -106,6 +106,34 @@ def test_training_order_is_permutation(spark):
     assert ordered != sorted(ordered)
 
 
+def test_sketch_profile_bounds(spark):
+    """Sketch aggregates stay within their published error bounds against
+    exact aggregation: HLL++ distinct within ~3x rsd (2%), approx p50
+    inside the exact [p25, p75] value range."""
+    from extractor.ops import textops
+
+    prof = {r["source"]: r for r in textops.sketch_profile(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    rows = docs.select("source", "n_chars", F.md5("text").alias("h")).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        exact_distinct = len({r["h"] for r in rs})
+        got = prof[src]
+        assert got["n_docs"] == len(rs)
+        assert abs(got["approx_distinct"] - exact_distinct) <= max(
+            2, 0.06 * exact_distinct
+        ), (src, got["approx_distinct"], exact_distinct)
+        chars = sorted(r["n_chars"] for r in rs)
+        lo = chars[int(0.25 * (len(chars) - 1))]
+        hi = chars[int(0.75 * (len(chars) - 1))]
+        assert lo <= got["p50_chars"] <= hi, (src, got["p50_chars"], lo, hi)
+        assert got["max_chars"] == chars[-1]
+
+
 def test_per_stratum_topk_exact_k(spark):
     out = sampling.per_stratum_topk_sample(spark, SF).collect()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
