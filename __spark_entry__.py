@@ -352,6 +352,124 @@ def _s6_images_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t11_cell_img_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 fragment img-path fix — dead code in the reference's main flow
+    (``_fix_image_paths_in_content``, app/core/html_processor.py:424-445,
+    never called), implemented for completeness: every ``img/@src`` inside
+    an HTML fragment is rewritten to ``images/<basename>``.  The reference
+    walks a DOM; on double-quoted attributes (all this engine's templated
+    fragments, and all pandoc output) the semantics are exactly the
+    lazy-prefix regexp rewrite — JVM-side, map-only, codegen'd."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    p = F.pmod(F.col("doc_id"), F.lit(1000)).cast("string")
+    n = F.pmod(F.col("doc_id"), F.lit(97)).cast("string")
+    frag = F.concat(
+        F.lit("<td>cell "), F.col("doc_id").cast("string"),
+        F.lit(' <img src="media/deep/p'), p, F.lit('.png" alt="a'), n,
+        F.lit('"> and <img src="/abs/dir/x'), p, F.lit('.jpg" alt="b"></td>'),
+    )
+    fixed = F.regexp_replace(frag, r'(src=")[^"]*?([^/"]+)(")', r"$1images/$2$3")
+    return docs.select(
+        "doc_id", frag.alias("cell_html"), fixed.alias("fixed_html")
+    )
+
+
+def _t12_image_appendix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 image appendix — dead code in the reference (the call is
+    commented out, app/core/html_processor.py:93) and latently broken: the
+    appendix template reads ``img['tag']`` (:530) but the image dicts never
+    carry that key (:408-415), so enabling it as-is would KeyError.
+    Implemented for completeness with the reference's documented format;
+    the reference's own markdown rendering (:401-404) fills the HTML slot,
+    the nearest well-defined field.
+
+    Spark shape: the kernel's images array → per-element entry strings via
+    a higher-order ``transform`` (JVM-side, no Python), joined and prefixed
+    — empty image list yields ''."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    p = F.pmod(F.col("doc_id"), F.lit(1000)).cast("string")
+    n = F.pmod(F.col("doc_id"), F.lit(97)).cast("string")
+    title_attr = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(F.lit(' title="Figure '), n, F.lit('"')),
+    ).otherwise(F.lit(""))
+    img_tag = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit('<img src="media/img/p'), p, F.lit('.png" alt="fig '), n,
+            F.lit('"'), title_attr, F.lit(">"),
+        )
+    )
+    html = F.concat(
+        F.lit("<p>doc "), F.col("doc_id").cast("string"), F.lit(" body</p>"),
+        img_tag,
+    )
+    out = extract_transcripts(_templated_turns(docs, html), sort_output=False)
+
+    def entry_str(img, i):
+        idx = (i + 1).cast("string")
+        md = F.concat(
+            F.lit("!["), img.alt, F.lit("]("), img.src,
+            F.when(
+                img.title != "", F.concat(F.lit(' "'), img.title, F.lit('"'))
+            ).otherwise(F.lit("")),
+            F.lit(")"),
+        )
+        return F.concat(
+            idx, F.lit(". **Image "), idx, F.lit(":**\n   - Source: `"),
+            img.src, F.lit("`\n"),
+            F.when(
+                img.alt != "", F.concat(F.lit("   - Alt text: "), img.alt, F.lit("\n"))
+            ).otherwise(F.lit("")),
+            F.when(
+                img.title != "",
+                F.concat(F.lit("   - Title: "), img.title, F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.lit("   - HTML: `"), md, F.lit("`\n\n"),
+        )
+
+    appendix = F.when(F.size("images") == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("\n\n---\n\n## Images Used in Document\n\n"),
+            F.array_join(F.transform("images", entry_str), ""),
+        )
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.size("images").alias("n_images"),
+        appendix.alias("appendix"),
+    )
+
+
+def _t13_relative_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 markdown→images relative path (dead code in the reference main
+    flow — the caller hardcodes "images", html_processor.py:67-69 — and
+    implemented for completeness): the distributed HOF variant computes
+    relpath(html_dir/images, md_dir) per row across four templated layout
+    shapes (same dir / nested md / sibling dir / two levels up); the
+    oracle states the expected literal for each shape, checking the
+    general algorithm against known answers."""
+    from extractor.paths import relative_image_path_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(F.lit("out/conv"), d, F.lit("/main.html"))
+    shape = F.pmod(F.col("doc_id"), F.lit(4))
+    md = (
+        F.when(shape == 0, F.concat(F.lit("out/conv"), d, F.lit("/doc.md")))
+        .when(shape == 1, F.concat(F.lit("out/conv"), d, F.lit("/sub/doc.md")))
+        .when(shape == 2, F.concat(F.lit("out/other"), d, F.lit("/doc.md")))
+        .otherwise(F.lit("out/a/b/doc.md"))
+    )
+    return docs.select(
+        "doc_id",
+        html.alias("html_path"),
+        md.alias("md_path"),
+        relative_image_path_col(html, md).alias("rel_images"),
+    )
+
+
 def _media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path, hash-checked: the synthetic media table's
     typed metadata is a pure function of md5 bytes, so DuckDB can rebuild
@@ -435,6 +553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_table_shapes": _t4_table_shapes,
         "t6_math_modes": _t6_math_modes,
         "s6_images_inventory": _s6_images_inventory,
+        "t11_cell_img_fix": _t11_cell_img_fix,
+        "t12_image_appendix": _t12_image_appendix,
+        "t13_relative_paths": _t13_relative_paths,
         "boilerplate_strip": _boilerplate_strip,
         "layout_linearize": _layout_linearize,
         "images_side_table": _images_side_table,
@@ -1484,6 +1605,66 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY shard ORDER BY order_key, doc_id
                    ) AS INTEGER) AS position
             FROM k
+        """,
+        "t11_cell_img_fix": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     '<td>cell ' || CAST(doc_id AS VARCHAR)
+                     || ' <img src="media/deep/p' || CAST(doc_id % 1000 AS VARCHAR)
+                     || '.png" alt="a' || CAST(doc_id % 97 AS VARCHAR)
+                     || '"> and <img src="/abs/dir/x' || CAST(doc_id % 1000 AS VARCHAR)
+                     || '.jpg" alt="b"></td>' AS cell_html
+              FROM documents
+            )
+            SELECT doc_id, cell_html,
+                   regexp_replace(cell_html, '(src=")[^"]*?([^/"]+)(")',
+                                  '\1images/\2\3', 'g') AS fixed_html
+            FROM f
+        """,
+        "t12_image_appendix": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(doc_id % 1000 AS VARCHAR) AS p,
+                     CAST(doc_id % 97 AS VARCHAR) AS n,
+                     (doc_id % 2 = 0) AS titled,
+                     (doc_id % 5 = 0) AS noimg
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN noimg THEN 0 ELSE 1 END AS INTEGER) AS n_images,
+                   CASE WHEN noimg THEN '' ELSE
+                     chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                     || '## Images Used in Document' || chr(10) || chr(10)
+                     || '1. **Image 1:**' || chr(10)
+                     || '   - Source: `images/p' || p || '.png`' || chr(10)
+                     || '   - Alt text: fig ' || n || chr(10)
+                     || CASE WHEN titled
+                          THEN '   - Title: Figure ' || n || chr(10)
+                          ELSE '' END
+                     || '   - HTML: `![fig ' || n || '](images/p' || p || '.png'
+                     || CASE WHEN titled
+                          THEN ' "Figure ' || n || '"'
+                          ELSE '' END
+                     || ')`' || chr(10) || chr(10)
+                   END AS appendix
+            FROM b
+        """,
+        "t13_relative_paths": """
+            SELECT doc_id,
+                   'out/conv' || CAST(doc_id AS VARCHAR) || '/main.html'
+                     AS html_path,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'out/conv' || CAST(doc_id AS VARCHAR) || '/doc.md'
+                     WHEN 1 THEN 'out/conv' || CAST(doc_id AS VARCHAR) || '/sub/doc.md'
+                     WHEN 2 THEN 'out/other' || CAST(doc_id AS VARCHAR) || '/doc.md'
+                     ELSE 'out/a/b/doc.md' END AS md_path,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'images'
+                     WHEN 1 THEN '../images'
+                     WHEN 2 THEN '../conv' || CAST(doc_id AS VARCHAR) || '/images'
+                     ELSE '../../conv' || CAST(doc_id AS VARCHAR) || '/images'
+                   END AS rel_images
+            FROM documents
         """,
         "funnel_stages": """
             WITH v AS (

@@ -270,7 +270,10 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the per-doc pair table and the c2/c1 count model are
     materialized once (persist/write) and reused across the three
     consumers — inline here so the DuckDB oracle can rebuild the whole
-    computation from the corpus."""
+    computation from the corpus.  The w1-keyed join is Zipf-skewed
+    (stopword heads dominate); AQE skew-join splitting handles it at
+    runtime (enabled in session defaults), and the count-model sides are
+    one row per key so the split partitions stay join-correct."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     t = docs.select("doc_id", _tok_arr().alias("toks")).where(F.size("toks") >= 2)
     bigram_arr = F.expr(

@@ -27,7 +27,6 @@ def test_stratified_sample_stability_under_growth(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").where(
         F.col("doc_id") < 250
     )
-    sub_path = None  # run the same op body on the subset via a temp view
     rate = F.lit(sampling.DEFAULT_RATE_BP)
     for lang, bp in sampling.STRATA_RATES_BP.items():
         rate = F.when(F.col("lang") == lang, bp).otherwise(rate)
