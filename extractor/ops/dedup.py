@@ -238,7 +238,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams are exploded but hit the broadcast LeftSemi immediately — a
     map-side filter, NO shuffle of the gram stream (at extreme gram
     cardinality swap in a bloom filter built from the same hashes, same
-    topology).  The final flag join is also broadcast (hits ≪ corpus)."""
+    topology).  The final flag join is left unhinted: hits are usually
+    ≪ corpus (AQE broadcast-promotes them at runtime) but nothing bounds
+    a pathological contamination rate, so the plan must degrade to a
+    shuffle join rather than force a corpus-order broadcast."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     toks = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
@@ -269,7 +272,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(True))
     )
     return (
-        t.join(F.broadcast(hits), "doc_id", "left")
+        t.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
@@ -363,9 +366,16 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return labels.join(F.broadcast(sizes), "cluster_id").select(
-        "doc_id", "cluster_id", "cluster_size"
+    # cluster_size via a window, not agg+broadcast-join: the size table has
+    # one row per CLUSTER, which at web scale is corpus-order (most dup
+    # clusters are pairs) — never a broadcast side.  One shuffle on
+    # cluster_id either way; the window skips the join entirely.
+    from pyspark.sql.window import Window as _W
+
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(_W.partitionBy("cluster_id")).alias("cluster_size"),
     )
 
 

@@ -40,20 +40,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    customer is small => broadcast (no shuffle for that join at any scale);
-    deterministic tiebreaker on the top-k."""
+    The filtered customer segment auto-broadcasts while it fits (every
+    bench scale) and degrades to a shuffle join at extreme SF — no hint,
+    so the optimizer owns that call; deterministic tiebreaker on the
+    top-k."""
     cust = _read(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
     # Dim-reduction order: filter orders through the selective customer
-    # segment FIRST (broadcast; ~1/5 survive), so the expensive join against
-    # the fact table sees a pre-shrunk build side — AQE converts it to a
+    # segment FIRST (~1/5 survive), so the expensive join against the
+    # fact table sees a pre-shrunk build side — AQE converts it to a
     # broadcast join when the surviving set is small enough, and at 100 TB
     # it degrades gracefully to a shuffle join on the reduced side.
     building_orders = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
         li.join(building_orders, li.l_orderkey == building_orders.o_orderkey)
@@ -69,7 +71,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-dim star join: both dims broadcast, single shuffle for the agg."""
+    """Multi-dim star join: constant dims (nation/region) broadcast by
+    hint; the supplier-derived dim is left unhinted — it scales with SF,
+    so the optimizer broadcast-promotes it while it fits (it does at every
+    bench scale) and degrades to a shuffle join rather than forcing a
+    fact-scale broadcast.  Single shuffle for the agg either way."""
     li = _read(spark, sf_dir, "lineitem")
     supplier = _read(spark, sf_dir, "supplier")
     nation = _read(spark, sf_dir, "nation")
@@ -80,7 +86,7 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "r_name")
     )
     return (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name")
         .agg(
             F.round(
