@@ -587,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_array_aggregate": relational.a2_array_aggregate,
         "percentile_metrics": relational.percentile_metrics,
         "funnel_stages": relational.funnel_stages,
+        "salted_skew_join": relational.salted_skew_join,
         "sketch_profile": textops.sketch_profile,  # rows-only (sketches)
         "pivot_event_hours": relational.pivot_event_hours,
         "argmax_latest_event": relational.argmax_latest_event,
@@ -1665,6 +1666,15 @@ def oracle_sql() -> dict[str, str]:
                      ELSE '../../conv' || CAST(doc_id AS VARCHAR) || '/images'
                    END AS rel_images
             FROM documents
+        """,
+        "salted_skew_join": """
+            WITH dim AS (
+              SELECT lang, count(*) AS lang_docs, sum(n_chars) AS lang_chars
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, dim.lang_docs,
+                   round(d.n_chars / dim.lang_chars, 6) AS char_share
+            FROM documents d JOIN dim USING (lang)
         """,
         "funnel_stages": """
             WITH v AS (

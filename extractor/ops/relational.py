@@ -376,6 +376,53 @@ def s3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upserted.unionByName(inserted)
 
 
+def salted_skew_join(
+    spark: SparkSession, sf_dir: str, salt_buckets: int = 8
+) -> DataFrame:
+    """Explicit key-salting for a skewed equi join — the classic hot-key
+    topology for joining a fact table on a low-cardinality / Zipf key
+    (per-domain stats onto a web corpus, per-language models onto mixed
+    text) when the build side is too large to broadcast and a handful of
+    keys dominate.
+
+    Fact rows get ``salt = pmod(xxhash64(doc_id), K)``; the build side
+    replicates each row K times (``explode(sequence(0, K-1))``); the join
+    key becomes (key, salt), so a hot key spreads over K tasks instead of
+    one straggler.  The output is provably identical to the unsalted join
+    — the DuckDB oracle runs the plain join.  A ``shuffle_hash`` hint pins
+    the shuffle topology the pattern exists for (at fixture scale the tiny
+    build side would otherwise broadcast and no salt would be needed —
+    which is also the right call when it fits; salting is for when it
+    doesn't).  AQE's skewJoin splits oversized shuffle blocks at runtime
+    too; explicit salting additionally balances any downstream
+    aggregation that inherits the (key, salt) distribution."""
+    docs = _read(spark, sf_dir, "documents")
+    dim = docs.groupBy("lang").agg(
+        F.count("*").alias("lang_docs"),
+        F.sum("n_chars").alias("lang_chars"),
+    )
+    salted_dim = dim.select(
+        "lang",
+        "lang_docs",
+        "lang_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("salt"),
+    )
+    fact = docs.select("doc_id", "lang", "n_chars").withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)).cast("int")
+    )
+    return (
+        fact.join(salted_dim.hint("shuffle_hash"), ["lang", "salt"])
+        .select(
+            "doc_id",
+            "lang",
+            "lang_docs",
+            F.round(F.col("n_chars") / F.col("lang_chars"), 6).alias(
+                "char_share"
+            ),
+        )
+    )
+
+
 def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern funnel (MATCH_RECOGNIZE analogue): per user the
     earliest view, the earliest click strictly AFTER that view, and the

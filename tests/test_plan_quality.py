@@ -242,6 +242,22 @@ def test_training_order_single_shuffle(spark):
     assert "Window" in plan
 
 
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted skew join must actually shuffle on the COMPOSITE
+    (key, salt) — no broadcast (the pattern exists for when the build side
+    doesn't fit), and both join inputs partitioned by (lang, salt) so a
+    hot lang spans salt_buckets tasks."""
+    from extractor.ops import relational
+
+    plan = _plan(relational.salted_skew_join(spark, SF))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    import re
+
+    composite = re.findall(r"hashpartitioning\(lang#\d+, salt#\d+", plan)
+    assert len(composite) >= 2, plan  # both sides of the join
+
+
 def test_vocab_topk_no_global_sort(spark):
     """Corpus vocabulary top-k must be TakeOrderedAndProject over a partial
     aggregate — never a full global Sort of the vocabulary."""
