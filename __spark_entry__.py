@@ -588,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_metrics": relational.percentile_metrics,
         "funnel_stages": relational.funnel_stages,
         "salted_skew_join": relational.salted_skew_join,
+        "snapshot_diff_cdc": relational.snapshot_diff_cdc,
+        "zorder_key": relational.zorder_key,
         "sketch_profile": textops.sketch_profile,  # rows-only (sketches)
         "pivot_event_hours": relational.pivot_event_hours,
         "argmax_latest_event": relational.argmax_latest_event,
@@ -1666,6 +1668,46 @@ def oracle_sql() -> dict[str, str]:
                      ELSE '../../conv' || CAST(doc_id AS VARCHAR) || '/images'
                    END AS rel_images
             FROM documents
+        """,
+        "snapshot_diff_cdc": """
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 31 = 0
+                          THEN 'rewritten: ' || substr(text, 1, 40)
+                          ELSE text END AS text
+              FROM old WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM old WHERE doc_id % 113 = 0
+            ),
+            o AS (SELECT doc_id, md5(coalesce(text, '')) AS h_old FROM old),
+            n AS (SELECT doc_id, md5(coalesce(text, '')) AS h_new FROM new),
+            j AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.h_old, n.h_new
+              FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            )
+            SELECT * FROM (
+              SELECT doc_id,
+                     CASE WHEN h_old IS NULL THEN 'insert'
+                          WHEN h_new IS NULL THEN 'delete'
+                          WHEN h_old <> h_new THEN 'update'
+                          ELSE 'unchanged' END AS change,
+                     h_old, h_new
+              FROM j
+            ) WHERE change <> 'unchanged'
+        """,
+        "zorder_key": """
+            SELECT event_id, user_id,
+                   CAST(user_id % 65536 AS BIGINT) AS x_dim,
+                   CAST(event_id % 65536 AS BIGINT) AS y_dim,
+                   CAST(list_sum(list_transform(range(16), i ->
+                     (((user_id % 65536) >> CAST(i AS INTEGER)) & 1)
+                       * (CAST(1 AS BIGINT) << CAST(2 * i AS INTEGER))
+                     + (((event_id % 65536) >> CAST(i AS INTEGER)) & 1)
+                       * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INTEGER))
+                   )) AS BIGINT) AS z_key
+            FROM events
         """,
         "salted_skew_join": """
             WITH dim AS (

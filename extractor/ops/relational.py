@@ -376,6 +376,93 @@ def s3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upserted.unionByName(inserted)
 
 
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff — the Iceberg changelog/CDC read
+    (``table_changes`` between snapshots) expressed as a relational op:
+    classify every key as inserted / deleted / updated between two table
+    states and emit the change rows.  Complements ``changed_buckets``
+    (bucket-granular fingerprint diff for incremental runs) when the
+    consumer needs the actual row deltas.
+
+    The "new" snapshot is synthesized deterministically from the old one
+    (delete every 97th doc, rewrite text of every 31st, insert a shifted
+    id range), so DuckDB rebuilds both sides bit-for-bit.
+
+    Plan: one full-outer equi join on the key, change class from null-side
+    and content-hash comparison — the join shuffles both sides by key once
+    (sort-merge at fact scale), no broadcast of anything unbounded; at
+    10^12 rows the same diff runs bucket-parallel after
+    ``changed_buckets`` prunes untouched buckets (two-level: cheap
+    fingerprints first, row join only on changed buckets)."""
+    old = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        old.where(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(31)) == 0,
+                F.concat(F.lit("rewritten: "), F.substring("text", 1, 40)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            old.where(F.pmod(F.col("doc_id"), F.lit(113)) == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    o = old.select("doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("h_old"))
+    n = new.select("doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("h_new"))
+    joined = o.join(n, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("h_old").isNull(), "insert")
+        .when(F.col("h_new").isNull(), "delete")
+        .when(F.col("h_old") != F.col("h_new"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select("doc_id", change.alias("change"), "h_old", "h_new")
+        .where(F.col("change") != "unchanged")
+    )
+
+
+def morton_key(x, y, bits: int = 16):
+    """Interleaved-bit (Morton / Z-order) key of two non-negative integer
+    columns: x's bit i lands at position 2i, y's at 2i+1.  Pure integer
+    expressions — codegen'd, map-only, engine-exact."""
+    return sum(
+        (
+            (F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+            + (F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+        )
+        for i in range(bits)
+    )
+
+
+def zorder_key(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions — the layout
+    optimization behind OPTIMIZE ZORDER BY / Iceberg sort orders: rows
+    sorted by the interleaved-bit key cluster locally in BOTH dimensions,
+    so min/max file stats prune scans filtered on either column.
+
+    Pure integer bit math (sum over bit positions of shifted masks), so
+    the oracle reproduces it exactly; computing the key is map-only, and
+    the range-partitioned write that would consume it (``repartitionByRange
+    (z_key).sortWithinPartitions(z_key)``) is one shuffle at any scale."""
+    ev = _read(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1 << bits))
+    y = F.pmod(F.col("event_id"), F.lit(1 << bits))
+    z = morton_key(x, y, bits)
+    return ev.select(
+        "event_id",
+        "user_id",
+        x.cast("long").alias("x_dim"),
+        y.cast("long").alias("y_dim"),
+        z.cast("long").alias("z_key"),
+    )
+
+
 def salted_skew_join(
     spark: SparkSession, sf_dir: str, salt_buckets: int = 8
 ) -> DataFrame:
