@@ -613,6 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.simhash,
         "dedup_simhash_pairs": dedup.simhash_neardup_pairs,
         "dedup_clusters": dedup.neardup_clusters,
+        # web-scale CC variant: large-star/small-star (identical output,
+        # O(log^2 n) rounds) — same oracle as dedup_clusters
+        "dedup_clusters_two_phase": lambda spark, sf_dir: dedup.neardup_clusters(
+            spark, sf_dir, algorithm="two_phase"
+        ),
         "chunk_documents": dedup.chunk_documents,
         "train_split_assign": dedup.train_split_assign,
         # sampling / corpus-mixing suite (oracle-checked, md5-keyed)
@@ -741,7 +746,7 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN signed_nz z USING (doc_id)
             )
     """
-    return {
+    oracles = {
         "extract_documents": prose + f"""
             SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
                    extracted_text, 0 AS tables_count, 0 AS math_count,
@@ -1835,3 +1840,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, rk FROM r WHERE rk <= 5
         """,
     }
+    # identical output contract, different distributed algorithm
+    oracles["dedup_clusters_two_phase"] = oracles["dedup_clusters"]
+    return oracles

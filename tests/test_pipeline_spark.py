@@ -219,6 +219,41 @@ def test_neardup_clusters_invariants(spark):
         assert cl == min(docs)
 
 
+def test_two_phase_cc_equals_label_prop(spark):
+    """The large-star/small-star alternation (the documented web-scale
+    swap) must produce the identical (doc_id, cluster_id, cluster_size)
+    assignment as min-label propagation — on the corpus graph AND on an
+    adversarial long chain (diameter >> rounds, where label propagation
+    needs its full iteration budget)."""
+    from pyspark.sql import functions as F
+
+    from extractor.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    a = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in dedup.neardup_clusters(spark, sf).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in dedup.neardup_clusters(
+            spark, sf, algorithm="two_phase"
+        ).collect()
+    }
+    assert a == b
+
+    # adversarial: one chain 0-1-2-...-80 (+ an isolated pair) — two-phase
+    # must converge to the component min in far fewer than 80 rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)] + [(500, 501)], "u long, v long"
+    )
+    got = dedup._cc_two_phase(chain, max_iters=10).collect()
+    labels = {r["doc_id"]: r["cluster_id"] for r in got}
+    for i in range(1, 81):
+        assert labels[i] == 0, (i, labels.get(i))
+    assert labels[501] == 500
+
+
 def test_chunk_documents_reconstruct(spark):
     """Chunk windows with overlap must tile the token stream exactly:
     stripping the overlap from every non-first chunk reconstructs the
