@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "chunk_documents": dedup.chunk_documents,
         "train_split_assign": dedup.train_split_assign,
+        "pretrain_pipeline": dedup.pretrain_pipeline,
         # sampling / corpus-mixing suite (oracle-checked, md5-keyed)
         "stratified_sample": sampling.stratified_sample,
         "corpus_mix_sample": sampling.corpus_mix_sample,
@@ -917,6 +918,53 @@ def oracle_sql() -> dict[str, str]:
                        regexp_split_to_array(trim(text), '[ \t\r\n\f\v]+'),
                        x -> x <> '') AS toks
               FROM documents WHERE text IS NOT NULL
+            ), nz AS (
+              SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+            ), ch AS (
+              SELECT doc_id, toks, n,
+                     CAST(g.s // 48 AS INTEGER) AS chunk_idx,
+                     CAST(g.s AS INTEGER) AS start
+              FROM nz,
+                   unnest(range(0, ((n - 1) // 48) * 48 + 1, 48)) AS g(s)
+            )
+            SELECT doc_id, chunk_idx, CAST(n AS INTEGER) AS doc_tokens,
+                   CAST(len(list_slice(toks, start + 1, start + 64))
+                        AS INTEGER) AS chunk_len,
+                   array_to_string(list_slice(toks, start + 1, start + 64),
+                                   ' ') AS chunk_text
+            FROM ch
+        """,
+        "pretrain_pipeline": r"""
+            WITH gated AS (
+              SELECT doc_id, text,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     length(regexp_replace(text, '\s+', '', 'g'))
+                       / len(regexp_split_to_array(trim(text), '\s+')) AS mean_wl
+              FROM documents
+              WHERE text IS NOT NULL
+                AND n_chars BETWEEN 100 AND 52428800
+            ), kept AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM gated WHERE n_tokens >= 20 AND mean_wl < 15
+              ) WHERE rn = 1
+            ), train AS (
+              SELECT doc_id, text FROM kept
+              WHERE CAST(list_sum(list_transform(range(8), i ->
+                      CAST(strpos('0123456789abcdef',
+                                  substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                         CAST(i + 1 AS INTEGER), 1)) - 1
+                           AS BIGINT)
+                      * (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INTEGER))))
+                    % 1000 AS BIGINT) < 980
+            ), t AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(trim(text), '[ \t\r\n\f\v]+'),
+                       x -> x <> '') AS toks
+              FROM train
             ), nz AS (
               SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
             ), ch AS (

@@ -484,8 +484,16 @@ def chunk_documents(
 
     Chunk starts step by (chunk_tokens - overlap); the final partial chunk
     is kept iff it adds at least one new token (start < n_tokens)."""
-    step = chunk_tokens - overlap
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return chunk_df(docs, chunk_tokens, overlap)
+
+
+def chunk_df(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Chunking over any (doc_id, text) DataFrame — the composable form
+    (see ``chunk_documents`` for semantics)."""
+    step = chunk_tokens - overlap
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
     t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
     # last start = floor((n-1)/step)*step — every start contributes >=1
@@ -571,6 +579,55 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+def pretrain_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """The full pretraining-corpus preparation DAG composed as ONE
+    declarative plan: quality gates → exact-dedup keeper → deterministic
+    train split → token chunking.  Every stage also exists (and is
+    oracle-checked) standalone; the point of this entry is composition —
+    no materialization barrier anywhere, so Catalyst pushes the gates into
+    the scan and pipelines the keeper window, the hash split, and the
+    chunk explode into a plan with exactly ONE data shuffle (the
+    content-hash keeper window; split + chunking are map-only on its
+    output)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(toks)
+    mean_wl = F.length(F.regexp_replace("text", r"\s+", "")) / n_tokens
+    gated = docs.where(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_chars") <= 50 * 1024 * 1024)
+        & (n_tokens >= 20)
+        & (mean_wl < 15)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    train = kept.where(bucket < 980)
+    return chunk_df(train, chunk_tokens, overlap)
 
 
 def line_dedup(

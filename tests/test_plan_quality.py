@@ -242,6 +242,17 @@ def test_training_order_single_shuffle(spark):
     assert "Window" in plan
 
 
+def test_pretrain_pipeline_single_shuffle(spark):
+    """The composed curation→dedup→split→chunk DAG must stay ONE plan
+    with exactly one data shuffle (the content-hash keeper window) — no
+    materialization barriers between operators."""
+    from extractor.ops import dedup
+
+    plan = _plan(dedup.pretrain_pipeline(spark, SF))
+    assert plan.count("Exchange (") == 1, plan
+    assert "Window" in plan and "Generate" in plan  # keeper + chunk explode
+
+
 def test_salted_join_spreads_hot_keys(spark):
     """The salted skew join must actually shuffle on the COMPOSITE
     (key, salt) — no broadcast (the pattern exists for when the build side
