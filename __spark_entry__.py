@@ -573,6 +573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": textops.bigram_lm_score,
         "line_dedup": dedup.line_dedup,
         "pack_sequences": dedup.pack_sequences,
+        # nested prefix-sum variant for unbounded corpora — identical
+        # output, same oracle; the single-partition window shrinks to
+        # n_docs/(bucket_width*l2_width) rows
+        "pack_sequences_two_level": lambda spark, sf_dir: dedup.pack_sequences(
+            spark, sf_dir, two_level=True
+        ),
         # relational operators (oracle-checked)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1890,4 +1896,5 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical output contract, different distributed algorithm
     oracles["dedup_clusters_two_phase"] = oracles["dedup_clusters"]
+    oracles["pack_sequences_two_level"] = oracles["pack_sequences"]
     return oracles

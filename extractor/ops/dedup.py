@@ -710,6 +710,8 @@ def pack_sequences(
     sf_dir: str,
     seq_tokens: int = 256,
     bucket_width: int = 64,
+    two_level: bool = False,
+    l2_width: int = 8,
 ) -> DataFrame:
     """GPT-style sequence packing: documents are laid end-to-end in
     ``doc_id`` order and cut into fixed ``seq_tokens`` training sequences;
@@ -728,9 +730,12 @@ def pack_sequences(
     ``n_docs / bucket_width`` rows, so choose ``bucket_width ≈ n_docs /
     10^6`` (one cheap ``count()`` if unknown) to cap that side at ~10^6
     rows regardless of corpus size; within-bucket windows then hold
-    ``bucket_width`` rows each — both sides bounded.  (For truly unbounded
-    corpora the same construction nests: prefix-sum the subtotals with a
-    second bucketing level instead of one window.)  The default width (64)
+    ``bucket_width`` rows each — both sides bounded.  ``two_level=True``
+    IS the nested construction for truly unbounded corpora: bucket
+    subtotals are themselves bucketed (``l2_width``) and prefix-summed the
+    same way, so the only single-partition window sees
+    ``n_docs / (bucket_width · l2_width)`` rows — identical output
+    (pytest-asserted), one extra tiny shuffle.  The default width (64)
     is sized for the test corpora."""
     from pyspark.sql import Window
 
@@ -742,13 +747,39 @@ def pack_sequences(
         F.floor(F.col("doc_id") / bucket_width).alias("bucket"),
     ).where(F.col("n_tok") > 0)
     totals = d.groupBy("bucket").agg(F.sum("n_tok").alias("bucket_tok"))
-    w_b = (
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        "bucket",
-        F.coalesce(F.sum("bucket_tok").over(w_b), F.lit(0)).alias("bucket_off"),
-    )
+    if two_level:
+        totals = totals.withColumn("b2", F.floor(F.col("bucket") / l2_width))
+        t2 = totals.groupBy("b2").agg(F.sum("bucket_tok").alias("b2_tok"))
+        w2 = Window.orderBy("b2").rowsBetween(Window.unboundedPreceding, -1)
+        off2 = t2.select(
+            "b2",
+            F.coalesce(F.sum("b2_tok").over(w2), F.lit(0)).alias("b2_off"),
+        )
+        w_in2 = (
+            Window.partitionBy("b2")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            totals.join(F.broadcast(off2), "b2")
+            .select(
+                "bucket",
+                (
+                    F.col("b2_off")
+                    + F.coalesce(F.sum("bucket_tok").over(w_in2), F.lit(0))
+                ).alias("bucket_off"),
+            )
+        )
+    else:
+        w_b = (
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            "bucket",
+            F.coalesce(F.sum("bucket_tok").over(w_b), F.lit(0)).alias(
+                "bucket_off"
+            ),
+        )
     w_in = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")

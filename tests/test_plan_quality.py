@@ -291,6 +291,26 @@ def test_tfidf_rank_filter_inside_window(spark):
     assert plan.count("hashpartitioning(doc_id") >= 1, plan
 
 
+def test_pack_sequences_two_level_identical_and_smaller_window(spark):
+    """The nested prefix sum must return byte-identical placements while
+    its single-partition window consumes the second-level aggregate (the
+    plan still has exactly one SinglePartition exchange, now fed by the
+    b2 rollup)."""
+    from extractor.ops import dedup
+
+    single = {
+        tuple(r) for r in dedup.pack_sequences(spark, SF).collect()
+    }
+    double = {
+        tuple(r)
+        for r in dedup.pack_sequences(spark, SF, two_level=True).collect()
+    }
+    assert single == double
+    plan = _plan(dedup.pack_sequences(spark, SF, two_level=True))
+    assert plan.count("SinglePartition") == 1, plan
+    assert "hashpartitioning(b2" in plan, plan  # the nested level exists
+
+
 def test_line_dedup_count_join_shape(spark):
     """line_dedup's aggregations are all partial (map-side combined before
     every shuffle) and the ordered rebuild uses ObjectHashAggregate (partial
