@@ -209,11 +209,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     the selected rows are engine-exact; the reported tf_idf value
     (tf · ln((N+1)/(df+1)), smoothed) is rounded to 4 decimals.
 
-    Plan: one shuffle to (doc, tok) counts; window per doc for totals +
-    rank (same hash partitioning on doc_id — no extra exchange); document
-    frequency is a map-side-combined aggregate over the already-distinct
-    (doc, tok) pairs; the top-k filter runs BEFORE the df join so only
-    k·N rows join against the vocabulary-sized df table."""
+    Plan: ONE corpus scan — (doc, tok) counts (map-side combined), then
+    document frequency as a count window over the tok partitioning and
+    per-doc totals + rank over the doc partitioning, all on the same
+    aggregated relation (three keyed exchanges of the distinct-pair
+    table, never a rescan, never a vocabulary join); the top-k filter
+    applies after ranking so only k·N rows survive."""
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -222,31 +223,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
+    w_tok = Window.partitionBy("tok")
     w_doc = Window.partitionBy("doc_id")
     w_rank = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("tok"))
-    ranked = per_tok.select(
-        "doc_id",
-        "tok",
-        "c",
-        F.sum("c").over(w_doc).alias("doc_toks"),
-        F.row_number().over(w_rank).alias("rk"),
-    ).where(F.col("rk") <= k)
-    df_counts = per_tok.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
-    return (
-        ranked.join(df_counts, "tok")
-        .crossJoin(F.broadcast(n_docs))
+    ranked = (
+        per_tok.withColumn("df", F.count("*").over(w_tok))
         .select(
             "doc_id",
             "tok",
-            F.col("c").cast("long").alias("c"),
-            F.col("rk").cast("int").alias("rk"),
-            F.round(
-                (F.col("c") / F.col("doc_toks"))
-                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
-                4,
-            ).alias("tf_idf"),
+            "c",
+            "df",
+            F.sum("c").over(w_doc).alias("doc_toks"),
+            F.row_number().over(w_rank).alias("rk"),
         )
+        .where(F.col("rk") <= k)
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return ranked.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "tok",
+        F.col("c").cast("long").alias("c"),
+        F.col("rk").cast("int").alias("rk"),
+        F.round(
+            (F.col("c") / F.col("doc_toks"))
+            * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+            4,
+        ).alias("tf_idf"),
     )
 
 

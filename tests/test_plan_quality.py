@@ -289,6 +289,11 @@ def test_tfidf_rank_filter_inside_window(spark):
     plan = _plan(textops.tfidf_top_terms(spark, SF))
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("hashpartitioning(doc_id") >= 1, plan
+    # single corpus scan on the ranked branch (+1 tiny n_docs count): the
+    # df computation must NOT rescan/re-aggregate the corpus
+    scans = [t for _, t in _tree_lines(plan) if t.startswith("Scan parquet")]
+    assert len(scans) == 2, plan
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin Cross", ""), plan
 
 
 def test_pack_sequences_two_level_identical_and_smaller_window(spark):
