@@ -291,9 +291,12 @@ def test_tfidf_rank_filter_inside_window(spark):
     assert plan.count("hashpartitioning(doc_id") >= 1, plan
     # single corpus scan on the ranked branch (+1 tiny n_docs count): the
     # df computation must NOT rescan/re-aggregate the corpus
-    scans = [t for _, t in _tree_lines(plan) if t.startswith("Scan parquet")]
+    tree = [t for _, t in _tree_lines(plan)]
+    scans = [t for t in tree if t.startswith("Scan parquet")]
     assert len(scans) == 2, plan
-    assert "Join" not in plan.replace("BroadcastNestedLoopJoin Cross", ""), plan
+    # no vocabulary join: the only join is the 1-row n_docs cross join
+    joins = [t for t in tree if "Join" in t]
+    assert joins == [j for j in joins if "BroadcastNestedLoopJoin" in j], plan
 
 
 def test_pack_sequences_two_level_identical_and_smaller_window(spark):
