@@ -31,6 +31,9 @@ Three operators:
                                  (``applyInPandasWithState``)
 - ``stream_dedup``             — streaming exact dedup with BOUNDED state
                                  (``dropDuplicatesWithinWatermark``)
+- ``stream_upsert_sink``       — CDC-style continuous MERGE: each micro-
+                                 batch upserts into the target by key via
+                                 ``foreachBatch`` (last-writer-wins)
 """
 
 from __future__ import annotations
@@ -147,6 +150,64 @@ def stream_dedup(
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_upsert_sink(
+    spark: SparkSession,
+    input_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous CDC ingest: every micro-batch MERGEs into the target
+    table keyed on (conv_id, turn_idx), last-writer-wins by event time
+    within a batch.
+
+    The per-batch merge uses the S3 decomposition
+    (``relational.s3_merge_upsert`` topology): surviving target rows come
+    from an anti join whose BROADCAST side is the batch's key set — the
+    10^12-row target never builds a hash table.  On a real deployment the
+    batch body is one Iceberg ``MERGE INTO``; here the CoW result lands
+    via write-temp + atomic rename (the parquet stand-in for a snapshot
+    commit).  Spark's streaming checkpoint makes batch delivery
+    effectively-once; the merge itself is idempotent (re-running a batch
+    yields the same table), so the sink is exactly-once end-to-end."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+
+    def merge_batch(batch_df, batch_id):
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+            F.desc("ts"), F.desc("role")
+        )
+        batch = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = f"{target_dir}.tmp-{batch_id}"
+        if os.path.exists(target_dir):
+            target = batch_df.sparkSession.read.parquet(target_dir)
+            keys = batch.select("conv_id", "turn_idx")
+            kept = target.join(
+                F.broadcast(keys), ["conv_id", "turn_idx"], "left_anti"
+            )
+            kept.unionByName(batch).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(target_dir)
+            os.rename(tmp, target_dir)
+        else:
+            batch.write.mode("overwrite").parquet(target_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

@@ -74,6 +74,59 @@ def test_stream_dedup_drops_redelivered_turns(spark, tmp_path):
     assert got.select("conv_id", "turn_idx").distinct().count() == n_distinct
 
 
+def test_stream_upsert_sink_merges_by_key(spark, tmp_path):
+    """CDC upsert sink: a later micro-batch's rows replace same-key rows,
+    new keys append, untouched keys survive — and the target ends with
+    exactly one row per key."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from extractor.streaming import stream_upsert_sink
+    from extractor.transcripts import TRANSCRIPT_SCHEMA
+
+    inp = str(tmp_path / "in")
+    tgt = str(tmp_path / "tgt")
+    ck = str(tmp_path / "ck")
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(*rs):
+        return spark.createDataFrame(list(rs), TRANSCRIPT_SCHEMA)
+
+    # batch 1: keys (a,0) (a,1) (b,0)
+    rows(
+        ("a", 0, "user", "v1 a0", None, t0),
+        ("a", 1, "assistant", "v1 a1", None, t0),
+        ("b", 0, "user", "v1 b0", None, t0),
+    ).write.mode("append").parquet(inp)
+    q = stream_upsert_sink(spark, inp, tgt, ck)
+    q.awaitTermination(120)
+    assert spark.read.parquet(tgt).count() == 3
+
+    # batch 2: update (a,1), insert (c,0) — restart from the same ckpt
+    rows(
+        ("a", 1, "assistant", "v2 a1", None, t0 + dt.timedelta(hours=1)),
+        ("c", 0, "user", "v1 c0", None, t0 + dt.timedelta(hours=1)),
+    ).write.mode("append").parquet(inp)
+    q = stream_upsert_sink(spark, inp, tgt, ck)
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert got == {
+        ("a", 0): "v1 a0",
+        ("a", 1): "v2 a1",  # updated
+        ("b", 0): "v1 b0",  # untouched
+        ("c", 0): "v1 c0",  # inserted
+    }
+    # exactly one row per key
+    df = spark.read.parquet(tgt)
+    assert df.count() == df.select("conv_id", "turn_idx").distinct().count()
+
+
 def test_stateful_conversation_progress(spark, tmp_path):
     """applyInPandasWithState: per-conversation counters must accumulate
     across micro-batches AND across query restarts (state checkpointed)."""
