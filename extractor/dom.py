@@ -178,6 +178,12 @@ class _TreeBuilder(HTMLParser):
         self.root = Element("[document]")
         self.stack = [self.root]
 
+    def updatepos(self, i, j):
+        # html.parser tracks (lineno, offset) for error reporting on every
+        # chunk; this DOM never reads positions, so skip the line counting
+        # (the return value still advances the parse cursor).
+        return j
+
     def handle_starttag(self, tag, attrs):
         if len(self.stack) > MAX_DOM_DEPTH:
             raise RecursionError(
@@ -187,7 +193,11 @@ class _TreeBuilder(HTMLParser):
         if closers:
             while len(self.stack) > 1 and self.stack[-1].tag in closers:
                 self.stack.pop()
-        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, None)
+        el = Element(
+            tag,
+            {k: (v if v is not None else "") for k, v in attrs} if attrs else {},
+            None,
+        )
         top = self.stack[-1]
         el.parent = top
         top.children.append(el)
