@@ -26,8 +26,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     EqualTo,
-    Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
 )
 
@@ -104,6 +104,42 @@ class TranscriptsReader(DataSourceReader):
             yield from generate_conversation(self.seed, c, self.mean_turns)
 
 
+class TranscriptsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the connector: offset = next unread conversation
+    index, each micro-batch covers ``batch_convs`` conversations.  The
+    offset→rows mapping is a pure function (seeded generator), so
+    ``readBetweenOffsets`` replays any committed range bit-for-bit after a
+    restart — the property Spark needs for exactly-once on a custom
+    source.  The stream is bounded by ``n_convs`` (an unbounded deployment
+    would page real arrivals; offsets work identically)."""
+
+    def __init__(self, options):
+        self.n_convs = int(options.get("n_convs", 200))
+        self.mean_turns = int(options.get("mean_turns", 12))
+        self.seed = int(options.get("seed", 42))
+        self.batch_convs = int(options.get("batch_convs", 50))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"conv": 0}
+
+    def _rows(self, lo: int, hi: int):
+        for c in range(lo, hi):
+            yield from generate_conversation(self.seed, c, self.mean_turns)
+
+    def read(self, start: dict):
+        lo = int(start["conv"])
+        hi = min(lo + self.batch_convs, self.n_convs)
+        # a list_iterator, not a generator: Spark's prefetch cache calls
+        # next() on it AND copy.copy()s it at plan time — generators
+        # support neither.  (SimpleDataSourceStreamReader prefetches
+        # driver-side by design — size batch_convs accordingly.)
+        return iter(list(self._rows(lo, hi))), {"conv": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        # replay path: consumed directly as an iterator (never pickled)
+        return self._rows(int(start["conv"]), int(end["conv"]))
+
+
 class TranscriptsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -114,3 +150,6 @@ class TranscriptsDataSource(DataSource):
 
     def reader(self, schema) -> TranscriptsReader:
         return TranscriptsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> TranscriptsStreamReader:  # noqa: N802
+        return TranscriptsStreamReader(self.options)
