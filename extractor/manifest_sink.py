@@ -1,0 +1,115 @@
+"""Two-phase-commit manifest sink — the S5 output sink with Iceberg-style
+atomic visibility, built on the Python Data Source writer API:
+
+    from extractor.manifest_sink import ManifestParquetDataSource
+    spark.dataSource.register(ManifestParquetDataSource)
+    df.write.format("manifest_parquet").option("path", out).mode("append").save()
+
+Commit protocol (what an Iceberg snapshot commit does, on plain files):
+
+1. every task writes its rows to ``<path>/data/part-<uuid>.parquet`` and
+   returns a :class:`WriterCommitMessage` carrying (file, rows, bytes);
+2. the DRIVER, only after every task succeeded, appends those files to
+   ``<path>/_manifest.json`` via write-temp + ``os.rename`` — the single
+   atomic step; a crash before it leaves data files orphaned but the
+   table state unchanged;
+3. ``abort`` deletes the staged files of the failed attempt.
+
+Readers go through :func:`read_manifest`, which loads EXACTLY the
+manifest-listed files — uncommitted/orphaned part files are invisible, so
+a torn job can never surface partial output (the property the engine's
+bucket checkpoint assumes of its sink).
+
+Scale: commit cost is O(files) driver-side JSON, data never moves twice;
+the manifest doubles as file-level lineage (rows/bytes per part).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, file: str, rows: int, n_bytes: int):
+        self.file = file
+        self.rows = rows
+        self.n_bytes = n_bytes
+
+
+class ManifestParquetWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_parquet requires .option('path', ...)")
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict() for r in iterator]
+        os.makedirs(f"{self.path}/data", exist_ok=True)
+        fname = f"data/part-{uuid.uuid4().hex}.parquet"
+        full = f"{self.path}/{fname}"
+        names = [f.name for f in self.schema.fields]
+        table = pa.Table.from_pydict(
+            {n: [r.get(n) for r in rows] for n in names}
+        )
+        pq.write_table(table, full)
+        return _FileCommit(fname, len(rows), os.path.getsize(full))
+
+    def commit(self, messages) -> None:
+        manifest = f"{self.path}/_manifest.json"
+        entries = [] if self.overwrite else _load_manifest(self.path)
+        for m in messages:
+            if m is not None:
+                entries.append(
+                    {"file": m.file, "rows": m.rows, "bytes": m.n_bytes}
+                )
+        tmp = f"{manifest}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"files": entries}, f)
+        os.rename(tmp, manifest)  # the atomic visibility step
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(f"{self.path}/{m.file}")
+                except FileNotFoundError:
+                    pass
+
+
+class ManifestParquetDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def writer(self, schema, overwrite: bool) -> ManifestParquetWriter:
+        return ManifestParquetWriter(self.options, schema, overwrite)
+
+
+def _load_manifest(path: str) -> list[dict]:
+    try:
+        with open(f"{path}/_manifest.json") as f:
+            return json.load(f)["files"]
+    except FileNotFoundError:
+        return []
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Read exactly the committed files (orphans invisible)."""
+    files = [f"{path}/{e['file']}" for e in _load_manifest(path)]
+    if not files:
+        raise FileNotFoundError(f"no committed files under {path}")
+    return spark.read.parquet(*files)

@@ -1,0 +1,60 @@
+"""Two-phase-commit manifest sink: atomic visibility + orphan invisibility."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from extractor.manifest_sink import ManifestParquetDataSource, read_manifest
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(ManifestParquetDataSource)
+    return spark
+
+
+def test_write_commit_read_roundtrip(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(4).write.format("manifest_parquet").option(
+        "path", out
+    ).mode("append").save()
+
+    manifest = json.load(open(f"{out}/_manifest.json"))
+    assert len(manifest["files"]) == 4
+    assert sum(e["rows"] for e in manifest["files"]) == 1000
+
+    got = read_manifest(spark, out)
+    assert got.count() == 1000
+    assert got.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(1000))
+
+
+def test_orphan_files_invisible(registered, tmp_path):
+    """A data file written but never committed (torn job) must not surface
+    through the manifest reader."""
+    spark = registered
+    out = str(tmp_path / "tbl")
+    spark.range(10).write.format("manifest_parquet").option(
+        "path", out
+    ).mode("append").save()
+    # simulate a torn second job: stage a file, never commit
+    committed = read_manifest(spark, out).count()
+    orphan = f"{out}/data/part-orphan.parquet"
+    spark.range(500).toPandas().to_parquet(orphan)
+    assert read_manifest(spark, out).count() == committed
+    assert os.path.exists(orphan)  # file is there, table ignores it
+
+
+def test_append_accumulates_snapshots(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "tbl")
+    for _ in range(3):
+        spark.range(100).write.format("manifest_parquet").option(
+            "path", out
+        ).mode("append").save()
+    assert read_manifest(spark, out).count() == 300
