@@ -645,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, index_layout="lean"
         ),
         "similarity_ivf_topk": similarity.ivf_topk,  # rows-only (recall-gated)
+        # iterative numeric algorithm (Lloyd's k-means) — rows-only by the
+        # contract's iterative-algorithms clause; invariants pytest-gated
+        "kmeans_topics": similarity.kmeans_topics,
     }
 
 

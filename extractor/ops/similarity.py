@@ -414,3 +414,133 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 4).alias("cosine"),
         (cos >= 0.95).alias("is_near_dup"),
     )
+
+
+def kmeans_topics(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    max_iters: int = 5,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — topic-style
+    clustering without MLlib, the iterative-NUMERIC sibling of the
+    iterative-graph connected components (``dedup._cc_two_phase``).
+
+    Per round: (1) assignment + per-batch PARTIAL centroid sums happen in
+    one Arrow kernel pass (numpy matmul against the broadcast centroid
+    matrix — map-only, the corpus never shuffles and no per-vector rows
+    leave the executors); (2) the kernel emits ≤ k rows per Arrow batch
+    (cluster, [count | dim-sums]) which a map-side-combined
+    groupBy(cluster, dim) reduces to exactly k × (dim+1) scalars before
+    anything reaches the driver; (3) the driver
+    materializes only the k×dim centroid matrix (same bounded-collect
+    contract as the IVF quantizer).  Deterministic: init = first k
+    vectors, fixed iteration count, argmin ties to the lowest cluster id.
+
+    Approximate-by-design (no SQL oracle); the pytest contract asserts
+    monotone inertia decrease, assignment-centroid consistency, and
+    determinism across runs."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = (
+        emb.where(F.col("vec_id") < k).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.stack([np.array(r["embedding"], dtype=np.float64) for r in cent_rows])
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("sq_dist", T.DoubleType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def make_assign(cmat):
+        def assign(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin ties -> lowest id
+                d2 = (
+                    (mat * mat).sum(axis=1, keepdims=True)
+                    - 2.0 * (mat @ cmat.T)
+                    + (cmat * cmat).sum(axis=1)
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values,
+                        "cluster": d2.argmin(axis=1).astype("int32"),
+                        "sq_dist": d2.min(axis=1),
+                        "embedding": pdf["embedding"].values,
+                    }
+                )
+
+        return assign
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            # slot 0 = count, slots 1..dim = dimension sums
+            T.StructField("acc", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def make_partials(cmat):
+        def partials(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d2 = (
+                    (mat * mat).sum(axis=1, keepdims=True)
+                    - 2.0 * (mat @ cmat.T)
+                    + (cmat * cmat).sum(axis=1)
+                )
+                a = d2.argmin(axis=1)
+                out = []
+                for c in np.unique(a):
+                    sel = mat[a == c]
+                    out.append(
+                        (int(c), [float(len(sel))] + sel.sum(axis=0).tolist())
+                    )
+                yield pd.DataFrame(out, columns=["cluster", "acc"])
+
+        return partials
+
+    for _ in range(max_iters):
+        # kernel emits <= k partial rows per Arrow batch; a map-side-
+        # combined (cluster, slot) sum reduces them to k*(dim+1) scalars
+        sums = (
+            emb.select("vec_id", "embedding")
+            .mapInPandas(make_partials(cents), partial_schema)
+            .select("cluster", F.posexplode("acc").alias("slot", "v"))
+            .groupBy("cluster", "slot")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        acc: dict[int, np.ndarray] = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], np.zeros(cents.shape[1] + 1))[
+                r["slot"]
+            ] = r["s"]
+        new_cents = cents.copy()
+        for c, vec in acc.items():
+            if vec[0]:
+                new_cents[c] = vec[1:] / vec[0]
+        if np.allclose(new_cents, cents):
+            break
+        cents = new_cents
+
+    final = emb.select("vec_id", "embedding").mapInPandas(
+        make_assign(cents), assign_schema
+    )
+    return final.select(
+        "vec_id", "cluster", F.round(F.col("sq_dist"), 6).alias("sq_dist")
+    )
