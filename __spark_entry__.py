@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textops.doc_fingerprint,
         "pii_redact": textops.pii_redact,
         "repetition_quality": textops.repetition_quality,
+        "lang_id_chargram": textops.lang_id_chargram,
         "vocab_topk": textops.vocab_topk,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "bigram_lm_score": textops.bigram_lm_score,
@@ -1802,6 +1803,56 @@ def oracle_sql() -> dict[str, str]:
             FROM v
             LEFT JOIN c ON v.user_id = c.user_id
             LEFT JOIN p ON v.user_id = p.user_id
+        """,
+        "lang_id_chargram": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(
+                       regexp_replace(lower(text), '[ \t\r\n\f\v]+', ' ', 'g'),
+                       '') AS bgc
+              FROM documents WHERE text IS NOT NULL
+            ), d2 AS (
+              SELECT * FROM d WHERE len(bgc) >= 2
+            ), doc_bg AS (
+              SELECT doc_id, lang,
+                     bgc[CAST(i AS INTEGER)] || bgc[CAST(i + 1 AS INTEGER)] AS bg
+              FROM (
+                SELECT doc_id, lang, bgc, unnest(range(1, len(bgc))) AS i
+                FROM d2
+              )
+              WHERE length(bgc[CAST(i AS INTEGER)]
+                           || bgc[CAST(i + 1 AS INTEGER)]) = 2
+            ), profiles AS (
+              SELECT plang, bg FROM (
+                SELECT lang AS plang, bg, count(*) AS c,
+                       row_number() OVER (
+                         PARTITION BY lang ORDER BY count(*) DESC, bg
+                       ) AS rk
+                FROM doc_bg GROUP BY lang, bg
+              ) WHERE rk <= 20
+            ), scored AS (
+              SELECT doc_id, plang, count(*) AS hits
+              FROM doc_bg JOIN profiles USING (bg)
+              GROUP BY doc_id, plang
+            ), totals AS (
+              SELECT doc_id, count(*) AS total_bigrams
+              FROM doc_bg GROUP BY doc_id
+            ), best AS (
+              SELECT doc_id, plang AS pred_lang, hits FROM (
+                SELECT doc_id, plang, hits,
+                       row_number() OVER (
+                         PARTITION BY doc_id ORDER BY hits DESC, plang
+                       ) AS rk
+                FROM scored
+              ) WHERE rk = 1
+            )
+            SELECT d2.doc_id, d2.lang,
+                   coalesce(best.pred_lang, 'unknown') AS pred_lang,
+                   CAST(coalesce(best.hits, 0) AS BIGINT) AS hits,
+                   totals.total_bigrams
+            FROM d2
+            LEFT JOIN best ON d2.doc_id = best.doc_id
+            JOIN totals ON d2.doc_id = totals.doc_id
         """,
         "vocab_topk": r"""
             WITH toks AS (

@@ -121,6 +121,77 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_id_chargram(
+    spark: SparkSession, sf_dir: str, top_n: int = 20
+) -> DataFrame:
+    """Character-bigram language ID — the n-gram-profile method (Cavnar &
+    Trenkle 1994, public) that works where word markers can't (Chinese has
+    no spaces, so ``lang_id``'s marker words never fire).
+
+    Self-trained on the corpus's own labels: each language's profile is
+    its ``top_n`` most frequent char bigrams; a document's score per
+    language is how many of its bigram OCCURRENCES fall in that profile,
+    and the prediction is the integer-deterministic argmax (hit count
+    desc, language asc — all hits share the doc's denominator, so ordering
+    by hits equals ordering by rate).
+
+    Plan at scale: profile building is a map-side-combined (lang, bigram)
+    count + top-n window over |langs|·|bigrams| rows; the tiny profile
+    table broadcasts onto the exploded doc bigrams (LeftSemi-style inner
+    join, no bigram shuffle); scoring is one groupBy(doc) partial agg.
+
+    Note: the sandbox corpus draws every language's text from the same
+    synthetic vocabulary, so label-recovery accuracy is not a meaningful
+    metric here — the DuckDB oracle verifies the computation (profiles,
+    hits, argmax) bit-for-bit, which is the testable contract."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    chars = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), "")
+    bigrams = F.expr(
+        "filter(transform(sequence(0, greatest(size(bgc) - 2, 0)), "
+        "i -> concat(bgc[i], bgc[i + 1])), x -> length(x) = 2)"
+    )
+    d = docs.select("doc_id", "lang", chars.alias("bgc")).where(
+        F.size("bgc") >= 2
+    )
+    doc_bg = d.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+    w = Window.partitionBy("plang").orderBy(F.desc("c"), F.asc("bg"))
+    profiles = (
+        doc_bg.groupBy(F.col("lang").alias("plang"), "bg")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .select("plang", "bg")
+    )
+    scored = (
+        doc_bg.join(F.broadcast(profiles), "bg")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("plang")
+    )
+    totals = doc_bg.groupBy("doc_id").agg(F.count("*").alias("total_bigrams"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(w_doc))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("plang").alias("pred_lang"), "hits")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            "total_bigrams",
+        )
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized lowercase text
     (stable across engines), plus a coarse length bucket."""
