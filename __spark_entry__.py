@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_sample": sampling.corpus_mix_sample,
         "training_order": sampling.training_order,
         "per_stratum_topk_sample": sampling.per_stratum_topk_sample,
+        "global_exact_k_sample": sampling.global_exact_k_sample,
         # similarity suite
         "similarity_cosine_topk": similarity.cosine_topk,
         "similarity_embedding_neardup": similarity.embedding_cosine_neardup,
@@ -1932,6 +1933,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                    round(avg(nll), 3) AS lm_score
             FROM s GROUP BY doc_id
+        """,
+        "global_exact_k_sample": """
+            SELECT doc_id, lang, source,
+                   md5('gsample:' || CAST(doc_id AS VARCHAR)) AS sample_key
+            FROM documents
+            ORDER BY sample_key, doc_id
+            LIMIT 100
         """,
         "per_stratum_topk_sample": """
             WITH k AS (

@@ -142,6 +142,25 @@ def training_order(spark: SparkSession, sf_dir: str, n_shards: int = 16) -> Data
     )
 
 
+def global_exact_k_sample(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """Exactly-k corpus-wide keyed sample: rank every document by its md5
+    key and keep the first k — the deterministic replacement for
+    ``df.sample()`` when the output size must be exact (eval sets, human
+    review batches).  The plan is TakeOrderedAndProject over the scan
+    (per-partition top-k then a k-row merge on the driver side of the
+    exchange) — no global sort ever materializes, so it is one cheap pass
+    at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    okey = F.md5(F.concat(F.lit("gsample:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source", okey.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(k)
+    )
+
+
 def per_stratum_topk_sample(
     spark: SparkSession, sf_dir: str, k: int = 5
 ) -> DataFrame:

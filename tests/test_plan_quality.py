@@ -192,6 +192,16 @@ def test_pack_sequences_distributed_prefix_sum(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_global_exact_k_sample_no_global_sort(spark):
+    """Exact-k sampling must plan as TakeOrderedAndProject — per-partition
+    top-k, never a materialized global sort."""
+    from extractor.ops import sampling
+
+    plan = _plan(sampling.global_exact_k_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort (" not in plan, plan
+
+
 def test_stratified_sample_map_only(spark):
     """Keyed sampling is a pure map: scan → project/filter, NO shuffle —
     the decision is a hash + integer compare per row."""
