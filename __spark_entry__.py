@@ -616,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": dedup.dedup_apply,
         "corpus_curation": dedup.corpus_curation,
         "dedup_minhash_lsh": dedup.minhash_lsh_buckets,
+        "dedup_minhash_estimate": dedup.minhash_jaccard_estimate,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_adjacent,
         "dedup_simhash": dedup.simhash,
         "dedup_simhash_pairs": dedup.simhash_neardup_pairs,
@@ -670,6 +671,10 @@ def _dd_md5_bucket(salt: str, mod: int, key: str = "doc_id") -> str:
 def oracle_sql() -> dict[str, str]:
     mh_mins = ",\n            ".join(
         f"min(md5('seed{i}:' || tok)) AS mh_{i}" for i in range(dedup.N_HASHES)
+    )
+    mh_match = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(dedup.N_HASHES)
     )
     band_selects = "\n        UNION ALL\n".join(
         f"        SELECT doc_id, {b} AS band, "
@@ -1562,6 +1567,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc_id
             FROM bands GROUP BY band, bucket HAVING count(*) >= 2
+        """,
+        "dedup_minhash_estimate": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+              FROM documents WHERE text IS NOT NULL
+            ), sig AS (
+              SELECT doc_id,
+            {mh_mins}
+              FROM toks GROUP BY doc_id
+            ), bands AS (
+        {band_selects}
+            ), small AS (
+              SELECT * FROM (
+                SELECT doc_id, band, bucket,
+                       count(*) OVER (PARTITION BY band, bucket) AS bsize
+                FROM bands
+              ) WHERE bsize <= 20
+            ), pairs AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM small x JOIN small y
+                ON x.band = y.band AND x.bucket = y.bucket
+                   AND x.doc_id < y.doc_id
+            ), ts AS (
+              SELECT doc_id, list_distinct(
+                       regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT p.doc_a, p.doc_b,
+                   CAST({mh_match} AS INTEGER) AS matching_components,
+                   round(({mh_match}) / {dedup.N_HASHES}, 4) AS est_jaccard,
+                   round(len(list_intersect(ta.t, tb.t))
+                     / len(list_distinct(list_concat(ta.t, tb.t))), 4)
+                     AS exact_jaccard
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.doc_a
+            JOIN sig sb ON sb.doc_id = p.doc_b
+            JOIN ts ta ON ta.doc_id = p.doc_a
+            JOIN ts tb ON tb.doc_id = p.doc_b
         """,
         "dedup_ngram_jaccard": r"""
             WITH t AS (

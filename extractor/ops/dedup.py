@@ -100,6 +100,106 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_jaccard_estimate(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 20
+) -> DataFrame:
+    """The MinHash estimator itself, closed end-to-end: for every LSH
+    candidate pair, the fraction of agreeing signature components is an
+    unbiased estimate of token-set Jaccard (the property the whole
+    MinHash+LSH stack rests on).  Emitted next to the exact Jaccard so
+    the estimate is auditable row by row; the pytest bounds the mean
+    absolute error against the binomial std for N_HASHES components,
+    and pins the estimator's near-zero bias on UNCONDITIONED pairs vs
+    the positive selection bias on this candidate set (conditioning on
+    a band match inflates agreement — the reason production pipelines
+    re-verify candidates with exact Jaccard rather than trusting the
+    estimate).
+
+    Plan: candidate pairs come from the banded buckets (same single
+    aggregation shuffle as ``minhash_lsh_buckets`` + one self-join keyed
+    on (band, bucket) — bucket-local, never all-pairs); signatures ride
+    along from the scan, so agreement counting is a map over the joined
+    rows.  The exact-Jaccard audit column joins token arrays only for
+    candidate rows (≪ corpus) — at production scale this IS the LSH
+    verify stage.
+
+    Hot-bucket containment (the LSH quadratic trap): a bucket holding m
+    docs yields m(m−1)/2 pairs, and boilerplate-heavy corpora produce
+    mega-buckets (this corpus: one bucket → ~90k pairs from 500 docs).
+    Buckets over ``max_bucket`` docs are EXCLUDED from pairing — standard
+    web-scale practice (such buckets are exact-dup/boilerplate clusters,
+    already handled by exact dedup and line dedup; pairwise verification
+    inside them is pure waste)."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    sig = minhash_signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * BAND_SIZE + j}")
+                            for j in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    exploded = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band"), F.col("bb.bucket"))
+    from pyspark.sql.window import Window
+
+    small = exploded.withColumn(
+        "bsize",
+        F.count("*").over(Window.partitionBy("band", "bucket")),
+    ).where(F.col("bsize") <= max_bucket)
+    pairs = (
+        small.alias("x")
+        .join(small.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), _tokens(F.col("text")).alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), _tokens(F.col("text")).alias("tb"))
+    exact = F.size(F.array_intersect("ta", "tb")) / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("int").alias("matching_components"),
+            F.round(matches / F.lit(N_HASHES), 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard for (doc_id, doc_id+1) pairs — linear verification
     path; at scale the pair source is the LSH candidate buckets instead."""

@@ -219,6 +219,65 @@ def test_neardup_clusters_invariants(spark):
         assert cl == min(docs)
 
 
+def test_minhash_estimator_error_bound(spark):
+    """Two contracts: (1) on UNCONDITIONED pairs (adjacent ids — no LSH
+    selection) the signature-agreement estimate is near-unbiased; (2) on
+    the LSH candidate set the mean absolute error stays inside the
+    N_HASHES=8 binomial envelope (max std 0.5/sqrt(8) ≈ 0.177; a broken
+    estimator sits near 0.5) and the bias is POSITIVE — conditioning on
+    a band match inflates agreement, which is exactly why the verify
+    stage re-checks candidates instead of trusting the estimate."""
+    from pyspark.sql import functions as F
+
+    from extractor.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    # (1) unconditioned: estimate for (i, i+1) pairs straight from sigs
+    docs = spark.read.parquet(f"{sf}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    sig = dedup.minhash_signatures(docs)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(dedup.N_HASHES)],
+    )
+    b = sig.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(dedup.N_HASHES)],
+    )
+    est = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(dedup.N_HASHES)
+    ) / F.lit(dedup.N_HASHES)
+    exact_pairs = dedup.ngram_jaccard_adjacent(spark, sf).select(
+        "doc_a", "jaccard"
+    )
+    unsel = (
+        a.join(b, "doc_a")
+        .select("doc_a", est.alias("est"))
+        .join(exact_pairs, "doc_a")
+    )
+    u = unsel.agg(
+        F.avg(F.col("est") - F.col("jaccard")).alias("bias"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert u["n"] > 100
+    assert abs(u["bias"]) < 0.08, u
+
+    # (2) LSH candidates: bounded MAE, positive selection bias
+    df = dedup.minhash_jaccard_estimate(spark, sf)
+    s = df.agg(
+        F.avg(F.col("est_jaccard") - F.col("exact_jaccard")).alias("bias"),
+        F.avg(F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))).alias(
+            "mae"
+        ),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert s["n"] > 0
+    assert 0 < s["bias"] < 0.3, s
+    assert s["mae"] < 0.25, s
+
+
 def test_two_phase_cc_equals_label_prop(spark):
     """The large-star/small-star alternation (the documented web-scale
     swap) must produce the identical (doc_id, cluster_id, cluster_size)
