@@ -3,12 +3,14 @@ axis; reference analogue: the pandoc DOCX→HTML stage T1,
 ``app/core/pandoc_converter.py:21-118`` — the "turn an opaque layout format
 into linear text" stage, re-expressed as a pure vectorized kernel).
 
-No PDF codec ships in this container, so the *byte decoding* is stubbed
+No PDF codec ships in this container, so the *PDF byte decoding* is stubbed
 exactly like multimodal decode: payloads in our deterministic JSON layout
 format parse for real; real PDF bytes raise ``NotImplementedError`` (callers
 get a contained error row).  Everything downstream of decode — reading-order
 reconstruction, column detection, heading promotion, span bookkeeping, the
-Arrow batch plumbing — is real and tested.
+Arrow batch plumbing — is real and tested.  DOCX bytes, by contrast, need
+no codec: ``extractor/docx.py`` decodes real OOXML packages with stdlib
+``zipfile`` + ``xml.etree`` (the pandoc stage itself, executable here).
 
 Layout document model (what a PDF text-extraction pass produces):
 
