@@ -56,14 +56,19 @@ class ManifestParquetWriter(DataSourceWriter):
     def write(self, iterator) -> WriterCommitMessage:
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         rows = [r.asDict() for r in iterator]
         os.makedirs(f"{self.path}/data", exist_ok=True)
         fname = f"data/part-{uuid.uuid4().hex}.parquet"
         full = f"{self.path}/{fname}"
         names = [f.name for f in self.schema.fields]
+        # explicit arrow schema from the Spark schema: an empty partition or
+        # an all-None column must still write correctly-typed columns, or
+        # read_manifest's multi-file read fails on null-type schema merge
+        arrow_schema = to_arrow_schema(self.schema)
         table = pa.Table.from_pydict(
-            {n: [r.get(n) for r in rows] for n in names}
+            {n: [r.get(n) for r in rows] for n in names}, schema=arrow_schema
         )
         pq.write_table(table, full)
         return _FileCommit(fname, len(rows), os.path.getsize(full))

@@ -494,6 +494,14 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never silently return a non-converged labeling: wrong cluster
+        # assignments with no signal are worse than a loud failure
+        raise RuntimeError(
+            f"label propagation did not converge within max_iters={max_iters}"
+            " (graph diameter exceeds the round budget; raise max_iters or"
+            " use algorithm='two_phase')"
+        )
     # cluster_size via a window, not agg+broadcast-join: the size table has
     # one row per CLUSTER, which at web scale is corpus-order (most dup
     # clusters are pairs) — never a broadcast side.  One shuffle on
@@ -565,6 +573,11 @@ def _cc_two_phase(und: DataFrame, max_iters: int = 25) -> DataFrame:
         if fp_new == fp:
             break
         fp = fp_new
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge within max_iters="
+            f"{max_iters} — O(log^2 n) bound exceeded; raise max_iters"
+        )
     # converged: every edge is (node, component_min)
     return edges.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")

@@ -443,9 +443,15 @@ def kmeans_topics(
     import numpy as np
 
     emb = _emb(spark, sf_dir)
+    # seed = first k rows by vec_id ORDER (not `vec_id < k`, which silently
+    # under-seeds on sparse/non-0-based ids); bounded collect of k rows
     cent_rows = (
-        emb.where(F.col("vec_id") < k).orderBy("vec_id").select("embedding").collect()
+        emb.orderBy("vec_id").limit(k).select("embedding").collect()
     )
+    if len(cent_rows) < k:
+        raise ValueError(
+            f"kmeans_topics needs >= k={k} embeddings, found {len(cent_rows)}"
+        )
     cents = np.stack([np.array(r["embedding"], dtype=np.float64) for r in cent_rows])
 
     assign_schema = T.StructType(

@@ -63,3 +63,31 @@ def test_kmeans_converged_assignment_is_nearest_centroid(spark):
             d2.min(), ((cmat[cents.index(r["cluster"])] - v) ** 2).sum(),
             rel_tol=1e-9, abs_tol=1e-9,
         ), (r["vec_id"], r["cluster"], best)
+
+
+def test_kmeans_sparse_vec_ids_and_too_few_rows(spark, tmp_path):
+    """Seeding must use the first k rows by vec_id ORDER, not `vec_id < k`:
+    sparse / non-0-based ids would otherwise silently under-seed."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            # ids start at 1000 — `vec_id < k` would find zero seed rows
+            "vec_id": np.arange(1000, 1024, dtype=np.int64),
+            "embedding": [
+                rng.normal(size=8).astype(np.float32).tolist()
+                for _ in range(24)
+            ],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/embeddings.parquet")
+    out = similarity.kmeans_topics(spark, sf, k=4, max_iters=3).collect()
+    assert len(out) == 24
+    assert len({r["cluster"] for r in out}) > 1
+
+    with pytest.raises(ValueError, match="needs >= k"):
+        similarity.kmeans_topics(spark, sf, k=100, max_iters=1)

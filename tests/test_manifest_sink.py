@@ -58,3 +58,23 @@ def test_append_accumulates_snapshots(registered, tmp_path):
             "path", out
         ).mode("append").save()
     assert read_manifest(spark, out).count() == 300
+
+
+def test_empty_partition_and_all_none_column_typed_correctly(
+    registered, tmp_path
+):
+    """An empty task partition (and a partition whose column is all-None)
+    must still write correctly-typed parquet part files, or the multi-file
+    read fails on null-type schema merge."""
+    spark = registered
+    out = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, label string"
+    ).repartition(8)  # 8 partitions, 2 rows -> >= 6 empty partitions
+    df.write.format("manifest_parquet").option("path", out).mode(
+        "append"
+    ).save()
+    got = read_manifest(spark, out)
+    assert dict(got.dtypes) == {"id": "bigint", "label": "string"}
+    assert got.count() == 2
+    assert got.where(F.col("label").isNull()).count() == 2

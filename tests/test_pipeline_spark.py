@@ -340,3 +340,17 @@ def test_chunk_documents_reconstruct(spark):
             rebuilt.extend(r["chunk_text"].split()[64 - step :])
         assert rebuilt == toks, doc_id
         assert all(r["doc_tokens"] == len(toks) for r in rows)
+
+
+def test_neardup_clusters_raises_on_iteration_cap(spark):
+    """A non-converged run must raise, never silently return wrong labels
+    (ADVICE r3): max_iters=0 cannot converge on any non-empty graph."""
+    import pytest
+
+    from extractor.ops import dedup
+
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters(spark, sf, max_iters=0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters(spark, sf, max_iters=0, algorithm="two_phase")

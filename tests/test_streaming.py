@@ -127,6 +127,54 @@ def test_stream_upsert_sink_merges_by_key(spark, tmp_path):
     assert df.count() == df.select("conv_id", "turn_idx").distinct().count()
 
 
+def test_stream_upsert_sink_recovers_crash_mid_swap(spark, tmp_path):
+    """Crash between the two swap renames must not lose the merged table:
+    if the process dies after the old target was renamed aside (.bak) but
+    before tmp was renamed in, the next batch restores .bak and merges
+    against it — previously-merged rows survive checkpoint replay."""
+    import datetime as dt
+    import os
+
+    from extractor.streaming import stream_upsert_sink
+    from extractor.transcripts import TRANSCRIPT_SCHEMA
+
+    inp = str(tmp_path / "in")
+    tgt = str(tmp_path / "tgt")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(*rs):
+        return spark.createDataFrame(list(rs), TRANSCRIPT_SCHEMA)
+
+    rows(
+        ("a", 0, "user", "v1 a0", None, t0),
+        ("b", 0, "user", "v1 b0", None, t0),
+    ).write.mode("append").parquet(inp)
+    q = stream_upsert_sink(spark, inp, tgt, ck)
+    q.awaitTermination(120)
+
+    # simulate the crash window: target renamed aside, tmp never landed
+    os.rename(tgt, f"{tgt}.bak")
+    assert not os.path.exists(tgt)
+
+    rows(("c", 0, "user", "v1 c0", None, t0)).write.mode("append").parquet(inp)
+    q = stream_upsert_sink(spark, inp, tgt, ck)
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in spark.read.parquet(tgt).collect()
+    }
+    # without recovery, ("a",0)/("b",0) would be gone (table rebuilt from
+    # the c-only batch); with recovery all three keys are present
+    assert got == {
+        ("a", 0): "v1 a0",
+        ("b", 0): "v1 b0",
+        ("c", 0): "v1 c0",
+    }
+    assert not os.path.exists(f"{tgt}.bak")
+
+
 def test_stateful_conversation_progress(spark, tmp_path):
     """applyInPandasWithState: per-conversation counters must accumulate
     across micro-batches AND across query restarts (state checkpointed)."""
