@@ -116,8 +116,95 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("snapshot_id", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("h", T.DecimalType(38, 0)),
+        T.StructField("schema_key", T.StringType()),
+        T.StructField("recorded_at", T.DoubleType()),
+    ]
+)
+
+
+def _schema_key(cols: list[str]) -> str:
+    return ",".join(sorted(cols))
+
+
+def _bucket_fingerprints(df: DataFrame, n_buckets: int) -> DataFrame:
+    """One (n, h) fingerprint row per bucket: exact decimal SUM of per-row
+    xxhash64 over every column — order-insensitive, multiplicity-sensitive
+    (see ``changed_buckets``)."""
+    cols = sorted(df.columns)
+    return (
+        with_bucket(df, n_buckets)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*cols).cast(T.DecimalType(38, 0))).alias("h"),
+        )
+    )
+
+
+def record_fingerprints(
+    df: DataFrame, ckpt_dir: str, snapshot_id: str, n_buckets: int
+) -> None:
+    """Persist *df*'s per-bucket fingerprints under the checkpoint dir —
+    the commit-time hook that makes the NEXT incremental run's old-side
+    diff a metadata read instead of a full input rescan (the parquet
+    stand-in for Iceberg's snapshot manifest stats)."""
+    spark = df.sparkSession
+    key = _schema_key(df.columns)
+    (
+        _bucket_fingerprints(df, n_buckets)
+        .select(
+            "bucket",
+            F.lit(snapshot_id).alias("snapshot_id"),
+            "n",
+            "h",
+            F.lit(key).alias("schema_key"),
+            F.lit(time.time()).alias("recorded_at"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(f"{ckpt_dir}/fingerprints")
+    )
+
+
+def stored_fingerprints(
+    spark: SparkSession, ckpt_dir: str, snapshot_id: str, schema_key: str
+) -> DataFrame | None:
+    """Latest persisted fingerprint set for *snapshot_id*, or None if the
+    snapshot was never fingerprinted (or under a different schema — those
+    fingerprints are incomparable, so the caller falls back to a scan)."""
+    from pyspark.sql.window import Window
+
+    try:
+        fp = spark.read.schema(FINGERPRINT_SCHEMA).parquet(
+            f"{ckpt_dir}/fingerprints"
+        )
+    except Exception:
+        return None
+    fp = fp.where(
+        (F.col("snapshot_id") == snapshot_id)
+        & (F.col("schema_key") == schema_key)
+    )
+    if not fp.take(1):
+        return None
+    w = Window.partitionBy("bucket").orderBy(F.col("recorded_at").desc())
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("bucket", "n", "h")
+    )
+
+
 def changed_buckets(
-    old_df: DataFrame, new_df: DataFrame, n_buckets: int
+    old_df: DataFrame | None,
+    new_df: DataFrame,
+    n_buckets: int,
+    old_fingerprints: DataFrame | None = None,
 ) -> tuple[list[int], list[int]]:
     """Buckets whose row content changed between two input snapshots — the
     incremental-between-snapshots read (Iceberg's incremental scan logic,
@@ -134,30 +221,34 @@ def changed_buckets(
     decimal(38,0) holds 10^12 rows x 2^63 without overflow (ANSI-safe).
 
     Scale: at 10^12 turns this is two column-pruned scans producing 4096
-    rows each; the appended-data case (Iceberg snapshot diff) can skip the
-    old-side scan entirely by fingerprinting only the new files."""
-    cols = sorted(new_df.columns)
-    if sorted(old_df.columns) != cols:
-        raise ValueError(
-            f"snapshot schemas differ: {sorted(old_df.columns)} vs {cols}"
-        )
-
-    def fp(df: DataFrame) -> DataFrame:
-        return (
-            with_bucket(df, n_buckets)
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(
-                    F.xxhash64(*cols).cast(T.DecimalType(38, 0))
-                ).alias("h"),
+    rows each — and when *old_fingerprints* is supplied (the per-bucket
+    rows persisted by ``record_fingerprints`` at the old run's commit),
+    the old-side scan disappears entirely: the diff reads ≤n_buckets
+    stored rows, matching Iceberg's incremental-read path where the old
+    snapshot's stats live in manifests, not data files."""
+    if old_fingerprints is None:
+        if old_df is None:
+            raise ValueError(
+                "changed_buckets needs old_df or old_fingerprints"
             )
-        )
+        cols = sorted(new_df.columns)
+        if sorted(old_df.columns) != cols:
+            raise ValueError(
+                f"snapshot schemas differ: {sorted(old_df.columns)} vs {cols}"
+            )
+        old_fingerprints = _bucket_fingerprints(old_df, n_buckets)
+    return _diff_fingerprints(
+        old_fingerprints, _bucket_fingerprints(new_df, n_buckets)
+    )
 
-    old = fp(old_df).select(
+
+def _diff_fingerprints(
+    old_fp: DataFrame, new_fp: DataFrame
+) -> tuple[list[int], list[int]]:
+    old = old_fp.select(
         "bucket", F.col("n").alias("n_old"), F.col("h").alias("h_old")
     )
-    new = fp(new_df)
+    new = new_fp.select("bucket", "n", "h")
     joined = new.join(F.broadcast(old), "bucket", "left")
     changed = joined.where(
         F.col("n_old").isNull()
@@ -176,7 +267,7 @@ def changed_buckets(
 
 
 def run_incremental(
-    old_df: DataFrame,
+    old_df: DataFrame | None,
     new_df: DataFrame,
     out_dir: str,
     ckpt_dir: str,
@@ -197,10 +288,43 @@ def run_incremental(
     nothing to replace, so the stale files must be removed explicitly) and
     a ``completed(turns=0)`` row lands under *new_snapshot*.  The result
     equals a clean full run over *new_df* (pytest-asserted, including the
-    fully-deleted-bucket case)."""
+    fully-deleted-bucket case).
+
+    Old-side scan elision: if *old_snapshot*'s per-bucket fingerprints were
+    persisted by a previous run (every ``run_incremental`` records its new
+    side's), the diff uses the stored ≤n_buckets rows and the old snapshot
+    is NEVER scanned — *old_df* may then be ``None``.  With stored
+    fingerprints each snapshot in an incremental chain is scanned exactly
+    once, as its own "new" side."""
     spark = new_df.sparkSession
-    changed_list, deleted_list = changed_buckets(old_df, new_df, n_buckets)
+    key = _schema_key(new_df.columns)
+    old_fp = stored_fingerprints(spark, ckpt_dir, old_snapshot, key)
+    if old_fp is None:
+        if old_df is None:
+            raise ValueError(
+                f"no stored fingerprints for snapshot {old_snapshot!r} "
+                "(schema-compatible) and old_df is None — pass the old "
+                "snapshot DataFrame for a one-time scan"
+            )
+        old_fp = _bucket_fingerprints(old_df, n_buckets)
+    # one new-side scan, materialized once (≤ n_buckets rows), reused for
+    # the diff AND persisted for the next run's old side
+    new_fp = _bucket_fingerprints(new_df, n_buckets).localCheckpoint()
+    changed_list, deleted_list = _diff_fingerprints(old_fp, new_fp)
     changed, deleted = set(changed_list), set(deleted_list)
+    (
+        new_fp.select(
+            "bucket",
+            F.lit(new_snapshot).alias("snapshot_id"),
+            "n",
+            "h",
+            F.lit(key).alias("schema_key"),
+            F.lit(time.time()).alias("recorded_at"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(f"{ckpt_dir}/fingerprints")
+    )
     done_old = {
         r["bucket"]: r["turns"]
         for r in job_status(spark, ckpt_dir, old_snapshot)

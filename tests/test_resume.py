@@ -314,3 +314,55 @@ def test_changed_buckets_catches_nontext_and_multiplicity_changes(spark):
     dup_b = base.unionByName(flipped).unionByName(flipped)
     changed, deleted = changed_buckets(dup_a, dup_b, n_buckets)
     assert changed, "even-multiplicity content swap must dirty its bucket"
+
+
+def test_incremental_uses_stored_fingerprints_without_old_scan(
+    spark, tmp_path
+):
+    """Append-only fast path (round-3 VERDICT #5): run_incremental persists
+    its new side's per-bucket fingerprints, so the NEXT incremental step
+    can diff against the stored rows with old_df=None — the old snapshot
+    is provably never scanned (there is no old DataFrame to scan)."""
+    import pytest
+
+    from extractor.checkpoint import job_status, run_incremental
+
+    n_buckets = 16
+    s1_df = transcripts_df(spark, n_convs=30, mean_turns=8, seed=7)
+    s2_df = transcripts_df(spark, n_convs=40, mean_turns=8, seed=7)
+    s3_df = transcripts_df(spark, n_convs=50, mean_turns=8, seed=7)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_with_checkpoint(
+        s1_df, out, ckpt, snapshot_id="snap-1", n_buckets=n_buckets,
+        groups_per_round=4,
+    )
+    # snap-1 was never fingerprinted (run_with_checkpoint alone): the
+    # no-old-df call must fail loudly, not silently full-run
+    with pytest.raises(ValueError, match="no stored fingerprints"):
+        run_incremental(
+            None, s2_df, out, ckpt,
+            old_snapshot="snap-1", new_snapshot="snap-2",
+            n_buckets=n_buckets, groups_per_round=4,
+        )
+    # one-time scan path records snap-2's fingerprints...
+    s2 = run_incremental(
+        s1_df, s2_df, out, ckpt,
+        old_snapshot="snap-1", new_snapshot="snap-2",
+        n_buckets=n_buckets, groups_per_round=4,
+    )
+    assert s2["status"] == "COMPLETED"
+    # ...so snap-2 -> snap-3 runs with NO old DataFrame at all
+    s3 = run_incremental(
+        None, s3_df, out, ckpt,
+        old_snapshot="snap-2", new_snapshot="snap-3",
+        n_buckets=n_buckets, groups_per_round=4,
+    )
+    assert s3["status"] == "COMPLETED"
+    assert s3["buckets_changed"], "appended convs must dirty buckets"
+    assert len(s3["buckets_changed"]) < n_buckets
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["error"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == _clean_rows(spark, s3_df)
