@@ -302,6 +302,43 @@ def _docx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s9_pdf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 PDF export sink, HASH-CHECKED on pagination: every document's
+    text renders to deterministic PDF 1.4 bytes (``extractor/pdf.py`` — the
+    stdlib stand-in for the reference's Word-COM export,
+    scripts/convert_docx_to_pdf.py:32-66).  The returned line/page counts
+    are parsed BACK OUT of the rendered bytes (``Tj`` operators and
+    ``/Type /Page`` objects), so the oracle's wrap-math reconstruction
+    checks the renderer's actual output, not a shared formula."""
+    import pandas as pd
+    from extractor.pdf import is_valid_pdf, text_to_pdf_bytes
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def render(iterator):
+        for pdf in iterator:
+            blobs = [text_to_pdf_bytes(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_lines": [b.count(b") Tj") for b in blobs],
+                    "n_pages": [b.count(b"/Type /Page ") for b in blobs],
+                    "pdf_bytes": [len(b) for b in blobs],
+                    "valid": [is_valid_pdf(b) for b in blobs],
+                }
+            )
+
+    out = docs.mapInPandas(
+        render,
+        "doc_id long, n_lines long, n_pages long, pdf_bytes long, valid boolean",
+    )
+    return out.select("doc_id", "n_lines", "n_pages", "valid")
+
+
 def _templated_turns(docs: DataFrame, html) -> DataFrame:
     """(doc_id, html) -> kernel input shape (conv_id, turn_idx, text)."""
     return docs.select(
@@ -672,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": similarity.ivf_topk,  # rows-only (recall-gated)
         # --- new in round 4 ---
         "docx_decode": _docx_decode,  # T1 raw-byte path, stdlib OOXML reader
+        "s9_pdf_export": _s9_pdf_export,  # S9 render sink, stdlib PDF writer
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -860,6 +898,22 @@ def oracle_sql() -> dict[str, str]:
         # from doc_id and runs the REAL DOM kernel; the oracle rebuilds the
         # expected markdown by construction (no HTML parsing needed — the
         # templates are fixed up to integer substitutions).
+        "s9_pdf_export": r"""
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                     string_split(text, chr(10)),
+                     s -> greatest(CAST(1 AS BIGINT),
+                                   CAST(ceil(length(s) / 90.0) AS BIGINT))
+                   )) AS BIGINT) AS n_lines,
+                   CAST(ceil(list_sum(list_transform(
+                     string_split(text, chr(10)),
+                     s -> greatest(CAST(1 AS BIGINT),
+                                   CAST(ceil(length(s) / 90.0) AS BIGINT))
+                   )) / 54.0) AS BIGINT) AS n_pages,
+                   TRUE AS valid
+            FROM documents
+            WHERE text IS NOT NULL
+        """,
         "extract_mode_mathjax_toc": r"""
             WITH p AS (
               SELECT doc_id,
