@@ -79,7 +79,9 @@ def adversarial_con(adversarial_sf):
     con.close()
 
 
-@pytest.mark.parametrize("name", ["extract_documents", "dedup_simhash"])
+@pytest.mark.parametrize(
+    "name", ["extract_documents", "dedup_simhash", "s9_pdf_export"]
+)
 def test_oracle_matches_kernel_on_adversarial_corpus(
     spark, adversarial_sf, adversarial_con, name
 ):
