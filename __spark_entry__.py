@@ -953,7 +953,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CAST(doc_id % 7 AS VARCHAR) AS a,
                      CAST(doc_id % 5 AS VARCHAR) AS b,
-                     doc_id % 4 AS m
+                     doc_id % 6 AS m
               FROM documents
             )
             SELECT doc_id,
@@ -967,8 +967,15 @@ def oracle_sql() -> dict[str, str]:
                           || '| hA | hB |' || chr(10) || '| --- | --- |'
                           || chr(10) || '| a' || a || ' | b' || b || ' |'
                           || repeat(chr(10), 3) || 'post'
-                     ELSE 'before $x^{' || b || '}+1$ after'
+                     WHEN 3 THEN 'before $x^{' || b || '}+1$ after'
                           || repeat(chr(10), 2) || 'end' || a
+                     WHEN 4 THEN 'pre' || a || repeat(chr(10), 2)
+                          || '  * bulA' || a || chr(10) || '  * bulB' || b
+                          || repeat(chr(10), 2)
+                          || '  1. numA' || a || chr(10) || '  2. numB' || b
+                          || repeat(chr(10), 2) || 'fin'
+                     ELSE 'see [link' || a || '](https://example.com/doc) end'
+                          || b
                    END AS extracted_text,
                    CASE m WHEN 2 THEN 1 ELSE 0 END AS tables_count,
                    CASE m WHEN 3 THEN 1 ELSE 0 END AS math_count,

@@ -114,7 +114,11 @@ def _para_inline_html(p, rels: dict) -> str:
             inner = "".join(
                 _run_html(r, rels) for r in child.findall(f"{W}r")
             )
-            parts.append(inner)
+            href = rels.get(child.get(f"{R}id"))
+            if href and inner:
+                parts.append(f'<a href="{_esc(href)}">{inner}</a>')
+            else:
+                parts.append(inner)  # anchor-less link degrades to text
         elif child.tag in (f"{M}oMath", f"{M}oMathPara"):
             latex = _omml_to_latex(child)
             # pandoc's default/mathjax DOCX math output is span.math —
@@ -129,6 +133,39 @@ def _para_style(p) -> str | None:
         return None
     style = ppr.find(f"{W}pStyle")
     return style.get(f"{W}val") if style is not None else None
+
+
+def _para_num_id(p) -> str | None:
+    """numId of a list paragraph (w:pPr/w:numPr/w:numId), else None."""
+    num = p.find(f"{W}pPr/{W}numPr/{W}numId")
+    return num.get(f"{W}val") if num is not None else None
+
+
+def _read_num_formats(zf: zipfile.ZipFile) -> dict:
+    """numId → 'bullet' | numbered, from word/numbering.xml (numId →
+    abstractNumId → level-0 numFmt).  Missing part → every list bullet,
+    pandoc's own fallback for packages without numbering definitions."""
+    try:
+        data = zf.read("word/numbering.xml")
+    except KeyError:
+        return {}
+    root = ET.fromstring(data)
+    abstract_fmt = {}
+    for an in root.findall(f"{W}abstractNum"):
+        lvl0 = an.find(f"{W}lvl[@{W}ilvl='0']/{W}numFmt")
+        if lvl0 is None:
+            lvl0 = an.find(f"{W}lvl/{W}numFmt")
+        abstract_fmt[an.get(f"{W}abstractNumId")] = (
+            lvl0.get(f"{W}val") if lvl0 is not None else "bullet"
+        )
+    fmts = {}
+    for num in root.findall(f"{W}num"):
+        aid = num.find(f"{W}abstractNumId")
+        if aid is not None:
+            fmts[num.get(f"{W}numId")] = abstract_fmt.get(
+                aid.get(f"{W}val"), "bullet"
+            )
+    return fmts
 
 
 def _para_html(p, rels: dict) -> str:
@@ -192,18 +229,41 @@ def decode_docx(payload: bytes) -> str:
         except KeyError:
             raise ValueError("DOCX package missing word/document.xml")
         rels = _read_rels(zf)
+        num_fmts = _read_num_formats(zf)
     root = ET.fromstring(doc_xml)
     body = root.find(f"{W}body")
     if body is None:
         return ""
     blocks: list[str] = []
+    items: list[str] = []  # open list run (consecutive numPr paragraphs)
+    list_tag = "ul"
+
+    def flush_list():
+        if items:
+            lis = "".join(f"<li>{i}</li>" for i in items)
+            blocks.append(f"<{list_tag}>{lis}</{list_tag}>")
+            items.clear()
+
     for child in body:
         if child.tag == f"{W}p":
+            num_id = _para_num_id(child)
+            if num_id is not None:
+                tag = (
+                    "ul" if num_fmts.get(num_id, "bullet") == "bullet" else "ol"
+                )
+                if items and tag != list_tag:
+                    flush_list()
+                list_tag = tag
+                items.append(_para_inline_html(child, rels))
+                continue
+            flush_list()
             block = _para_html(child, rels)
             if block:
                 blocks.append(block)
         elif child.tag == f"{W}tbl":
+            flush_list()
             blocks.append(_table_html(child, rels))
+    flush_list()
     return "".join(blocks)
 
 
@@ -232,7 +292,18 @@ _DOC_RELS = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
     '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
     '<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/image" Target="media/image1.png"/>'
+    '<Relationship Id="rId8" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" Target="https://example.com/doc" TargetMode="External"/>'
     "</Relationships>"
+)
+
+_NUMBERING = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<w:numbering xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+    '<w:abstractNum w:abstractNumId="0"><w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/></w:lvl></w:abstractNum>'
+    '<w:abstractNum w:abstractNumId="1"><w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl></w:abstractNum>'
+    '<w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>'
+    '<w:num w:numId="2"><w:abstractNumId w:val="1"/></w:num>'
+    "</w:numbering>"
 )
 
 _W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
@@ -268,10 +339,27 @@ def _math_para(base: str, sup: str) -> str:
     )
 
 
+def _list_para(text: str, num_id: int) -> str:
+    return (
+        f'<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/>'
+        f'<w:numId w:val="{num_id}"/></w:numPr></w:pPr>'
+        f"<w:r><w:t>{text}</w:t></w:r></w:p>"
+    )
+
+
+def _link_para(text: str, tail: str) -> str:
+    return (
+        f'<w:p><w:r><w:t>see </w:t></w:r>'
+        f'<w:hyperlink r:id="rId8"><w:r><w:t>{text}</w:t></w:r></w:hyperlink>'
+        f"<w:r><w:t> {tail}</w:t></w:r></w:p>"
+    )
+
+
 def synth_docx_xml(doc_id: int) -> str:
-    """Deterministic word/document.xml for *doc_id* — four modes covering
-    heading/para, bold+image, header table, OMML superscript math."""
-    a, b, m = doc_id % 7, doc_id % 5, doc_id % 4
+    """Deterministic word/document.xml for *doc_id* — six modes covering
+    heading/para, bold+image, header table, OMML superscript math,
+    bullet+numbered lists (numbering.xml-resolved), and hyperlinks."""
+    a, b, m = doc_id % 7, doc_id % 5, doc_id % 6
     if m == 0:
         body = _wp(f"Title{a}", style="Heading1") + _wp(f"body{b}")
     elif m == 1:
@@ -285,8 +373,20 @@ def synth_docx_xml(doc_id: int) -> str:
             "</w:tbl>"
         )
         body = _wp(f"pre{a}") + tbl + _wp("post")
-    else:
+    elif m == 3:
         body = _math_para("x", str(b)) + _wp(f"end{a}")
+    elif m == 4:
+        # bullet run then numbered run: exercises the tag-switch flush
+        body = (
+            _wp(f"pre{a}")
+            + _list_para(f"bulA{a}", 1)
+            + _list_para(f"bulB{b}", 1)
+            + _list_para(f"numA{a}", 2)
+            + _list_para(f"numB{b}", 2)
+            + _wp("fin")
+        )
+    else:
+        body = _link_para(f"link{a}", f"end{b}")
     return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f"<w:document {_W_NS} {_M_NS} {_R_NS} {_A_NS}>"
@@ -303,6 +403,7 @@ def synth_docx_bytes(doc_id: int) -> bytes:
         ("_rels/.rels", _ROOT_RELS),
         ("word/document.xml", synth_docx_xml(doc_id)),
         ("word/_rels/document.xml.rels", _DOC_RELS),
+        ("word/numbering.xml", _NUMBERING),
         ("word/media/image1.png", "PNGSTUB"),
     ]
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:

@@ -21,29 +21,29 @@ M = "{http://schemas.openxmlformats.org/officeDocument/2006/math}"
 
 
 def test_mode0_heading_paragraph():
-    html = decode_docx(synth_docx_bytes(4))  # m=0, a=4, b=4
-    assert html == "<h1>Title4</h1><p>body4</p>"
+    html = decode_docx(synth_docx_bytes(6))  # m=0, a=6, b=1
+    assert html == "<h1>Title6</h1><p>body1</p>"
 
 
 def test_mode1_bold_image_rels_resolution():
-    html = decode_docx(synth_docx_bytes(5))  # m=1, a=5, b=0
-    assert "<strong>bold5</strong>" in html
+    html = decode_docx(synth_docx_bytes(7))  # m=1, a=0, b=2
+    assert "<strong>bold0</strong>" in html
     # rId7 resolved through word/_rels/document.xml.rels to the media path
     assert '<img src="media/image1.png" alt="" />' in html
-    assert html.endswith("<p>tail0</p>")
+    assert html.endswith("<p>tail2</p>")
 
 
 def test_mode2_header_table():
-    html = decode_docx(synth_docx_bytes(6))  # m=2, a=6, b=1
+    html = decode_docx(synth_docx_bytes(8))  # m=2, a=1, b=3
     assert (
         "<table><tr><th>hA</th><th>hB</th></tr>"
-        "<tr><td>a6</td><td>b1</td></tr></table>" in html
+        "<tr><td>a1</td><td>b3</td></tr></table>" in html
     )
 
 
 def test_mode3_omml_superscript():
-    html = decode_docx(synth_docx_bytes(7))  # m=3, b=2
-    assert '<span class="math inline">x^{2}+1</span>' in html
+    html = decode_docx(synth_docx_bytes(9))  # m=3, b=4
+    assert '<span class="math inline">x^{4}+1</span>' in html
 
 
 def test_decode_is_deterministic():
@@ -55,13 +55,13 @@ def test_kernel_end_to_end():
     """Decoded HTML flows through the real DOM kernel (the full T1 path)."""
     from extractor.kernel import convert_text
 
-    r = convert_text(decode_docx(synth_docx_bytes(6)))
+    r = convert_text(decode_docx(synth_docx_bytes(8)))
     assert r.error is None
     assert r.tables_count == 1
-    assert r.extracted_text.startswith("pre6")
+    assert r.extracted_text.startswith("pre1")
     assert "| hA | hB |" in r.extracted_text
 
-    r = convert_text(decode_docx(synth_docx_bytes(5)))
+    r = convert_text(decode_docx(synth_docx_bytes(7)))
     assert r.images_count == 1
     # T2 normalization: package media path → images/<basename>
     assert r.images[0]["src"] == "images/image1.png"
@@ -85,7 +85,7 @@ def test_error_missing_document_xml():
 def test_missing_rels_degrades_to_default_src():
     """A drawing whose rId has no rels entry gets the fallback media path
     (per-unit degradation, not a raised error)."""
-    xml = synth_docx_xml(5)  # contains rId7 drawing
+    xml = synth_docx_xml(7)  # m=1 contains the rId7 drawing
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr(
@@ -134,3 +134,60 @@ def test_html_escaping_in_runs():
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("word/document.xml", doc)
     assert decode_docx(buf.getvalue()) == "<p>a &lt; b &amp; c</p>"
+
+
+def test_mode4_lists_grouped_and_numbering_resolved():
+    html = decode_docx(synth_docx_bytes(10))  # m=4, a=3, b=0
+    assert "<ul><li>bulA3</li><li>bulB0</li></ul>" in html
+    assert "<ol><li>numA3</li><li>numB0</li></ol>" in html
+
+
+def test_mode5_hyperlink_resolved():
+    html = decode_docx(synth_docx_bytes(11))  # m=5, a=4, b=1
+    assert '<a href="https://example.com/doc">link4</a>' in html
+
+
+def test_hyperlink_without_rel_degrades_to_text():
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<w:body><w:p><w:hyperlink r:id="rId99"><w:r><w:t>orphan</w:t></w:r>'
+        "</w:hyperlink></w:p></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    assert decode_docx(buf.getvalue()) == "<p>orphan</p>"
+
+
+def test_list_without_numbering_part_defaults_to_bullet():
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body>"
+        '<w:p><w:pPr><w:numPr><w:numId w:val="5"/></w:numPr></w:pPr>'
+        "<w:r><w:t>item</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    assert decode_docx(buf.getvalue()) == "<ul><li>item</li></ul>"
+
+
+def test_table_flushes_open_list():
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body>"
+        '<w:p><w:pPr><w:numPr><w:numId w:val="1"/></w:numPr></w:pPr>'
+        "<w:r><w:t>item</w:t></w:r></w:p>"
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>c</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    html = decode_docx(buf.getvalue())
+    assert html.index("</ul>") < html.index("<table>")
