@@ -339,6 +339,46 @@ def _s9_pdf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_lines", "n_pages", "valid")
 
 
+def _pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF write→read roundtrip, HASH-CHECKED: every document renders to
+    PDF 1.4 bytes and is decoded BACK by the stdlib content-stream parser
+    (``extractor/pdf.py:pdf_to_text``); ``roundtrip_ok`` asserts decoded
+    lines == the hard-wrap of the (latin-1-degraded) source text, page
+    count from the decoded structure.  Proves the layout byte-decode path
+    operates on genuine PDF bytes, not a shared in-memory model."""
+    import pandas as pd
+    from extractor.pdf import pdf_to_text, text_to_pdf_bytes, wrap_lines
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def kernel(iterator):
+        for pdf in iterator:
+            ok, pages_out, lines_out = [], [], []
+            for t in pdf["text"]:
+                pages = pdf_to_text(text_to_pdf_bytes(t))
+                flat = [l for p in pages for l in p]
+                degraded = t.encode("latin-1", "replace").decode("latin-1")
+                ok.append(flat == wrap_lines(degraded))
+                pages_out.append(len(pages))
+                lines_out.append(len(flat))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_lines": lines_out,
+                    "n_pages": pages_out,
+                    "roundtrip_ok": ok,
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, n_lines long, n_pages long, roundtrip_ok boolean"
+    )
+
+
 def _templated_turns(docs: DataFrame, html) -> DataFrame:
     """(doc_id, html) -> kernel input shape (conv_id, turn_idx, text)."""
     return docs.select(
@@ -710,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 ---
         "docx_decode": _docx_decode,  # T1 raw-byte path, stdlib OOXML reader
         "s9_pdf_export": _s9_pdf_export,  # S9 render sink, stdlib PDF writer
+        "pdf_roundtrip": _pdf_roundtrip,  # write->decode PDF byte roundtrip
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -898,6 +939,22 @@ def oracle_sql() -> dict[str, str]:
         # from doc_id and runs the REAL DOM kernel; the oracle rebuilds the
         # expected markdown by construction (no HTML parsing needed — the
         # templates are fixed up to integer substitutions).
+        "pdf_roundtrip": r"""
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                     string_split(text, chr(10)),
+                     s -> greatest(CAST(1 AS BIGINT),
+                                   CAST(ceil(length(s) / 90.0) AS BIGINT))
+                   )) AS BIGINT) AS n_lines,
+                   CAST(ceil(list_sum(list_transform(
+                     string_split(text, chr(10)),
+                     s -> greatest(CAST(1 AS BIGINT),
+                                   CAST(ceil(length(s) / 90.0) AS BIGINT))
+                   )) / 54.0) AS BIGINT) AS n_pages,
+                   TRUE AS roundtrip_ok
+            FROM documents
+            WHERE text IS NOT NULL
+        """,
         "s9_pdf_export": r"""
             SELECT doc_id,
                    CAST(list_sum(list_transform(

@@ -55,16 +55,46 @@ class LayoutResult:
 
 
 def decode_layout(payload) -> dict:
-    """STUB boundary: JSON layout docs decode for real; PDF bytes need a
-    parser library not present here."""
+    """Byte-decode boundary.  JSON layout docs decode for real; PDF bytes
+    with UNCOMPRESSED streams (e.g. this engine's own ``extractor/pdf.py``
+    output) also decode for real via the stdlib content-stream parser —
+    each ``Tj`` line becomes a positioned block at the writer's geometry,
+    so the XY-cut linearizer downstream operates on genuine PDF bytes.
+    Only compressed/general PDFs remain a codec stub
+    (``NotImplementedError`` → contained error row)."""
     if payload is None:
         raise ValueError("null payload")
     if isinstance(payload, (bytes, bytearray)):
-        if payload[:5] == b"%PDF-":
-            raise NotImplementedError(
-                "real PDF parsing requires a PDF library (pdfminer/poppler) "
-                "not available in this environment"
+        if bytes(payload[:5]) == b"%PDF-":
+            from .pdf import (
+                FONT_SIZE, LEADING, MARGIN_X, PAGE_W, TOP_Y, pdf_to_text,
             )
+
+            pages = pdf_to_text(bytes(payload))  # may raise NotImplementedError
+            return {
+                "pages": [
+                    {
+                        "page": i + 1,
+                        "width": PAGE_W,
+                        "blocks": [
+                            {
+                                # layout model is top-down: y grows down
+                                # the page (PDF's up-axis TOP_Y - y)
+                                "x": MARGIN_X,
+                                "y": float(LEADING * j),
+                                # ~0.5em per char at 10pt Helvetica
+                                "w": 5.0 * len(line),
+                                "h": LEADING,
+                                "size": FONT_SIZE,
+                                "text": line,
+                            }
+                            for j, line in enumerate(lines)
+                            if line
+                        ],
+                    }
+                    for i, lines in enumerate(pages)
+                ]
+            }
         payload = payload.decode("utf-8")
     return json.loads(payload)
 

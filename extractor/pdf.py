@@ -114,6 +114,69 @@ def text_to_pdf_bytes(text: str) -> bytes:
     return bytes(buf)
 
 
+def pdf_to_text(payload: bytes) -> list[list[str]]:
+    """Decode text back OUT of an uncompressed PDF (the byte-decode side of
+    the T1/layout axis, real for the uncompressed-stream subset): returns
+    pages as lists of lines, parsed from ``(...) Tj`` show-text operators
+    inside ``stream``/``endstream`` blocks with PDF literal-string
+    unescaping.  General PDFs with compressed streams raise
+    ``NotImplementedError`` (a codec stub, same contract as image decode);
+    anything non-PDF raises ``ValueError``."""
+    if payload is None:
+        raise ValueError("null payload")
+    if not bytes(payload).startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    payload = bytes(payload)
+    if b"/Filter" in payload:
+        raise NotImplementedError(
+            "compressed PDF streams require a codec library not available "
+            "in this environment (only uncompressed streams decode)"
+        )
+    pages: list[list[str]] = []
+    found_text = False
+    pos = 0
+    while True:
+        s = payload.find(b"stream\n", pos)
+        if s < 0:
+            break
+        if payload[s - 3 : s] == b"end":  # matched inside "endstream\n"
+            pos = s + len(b"stream\n")
+            continue
+        e = payload.find(b"\nendstream", s)
+        if e < 0:
+            break  # torn stream: stop rather than loop
+        body = payload[s + len(b"stream\n") : e]
+        pos = e + len(b"\nendstream")
+        if b"BT" not in body:
+            continue
+        found_text = True
+        lines: list[str] = []
+        i = 0
+        while True:
+            i = body.find(b"(", i)
+            if i < 0:
+                break
+            # scan to the matching unescaped ')'
+            j, chunk = i + 1, bytearray()
+            while j < len(body):
+                c = body[j : j + 1]
+                if c == b"\\" and j + 1 < len(body):
+                    chunk += body[j + 1 : j + 2]
+                    j += 2
+                    continue
+                if c == b")":
+                    break
+                chunk += c
+                j += 1
+            if body[j + 1 : j + 4].strip()[:2] == b"Tj":
+                lines.append(chunk.decode("latin-1"))
+            i = j + 1
+        pages.append(lines)
+    if not found_text:
+        raise ValueError("no text content streams found in PDF")
+    return pages
+
+
 def is_valid_pdf(payload: bytes) -> bool:
     """Structural check used by the export query's ``valid`` column: header
     + EOF marker + a startxref offset that actually points at the xref."""

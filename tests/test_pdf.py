@@ -67,3 +67,39 @@ def test_stream_lengths_exact():
     declared = int(pdf[at + 8 : pdf.find(b" ", at + 8)])
     start = pdf.find(b"stream\n", at) + len(b"stream\n")
     assert pdf[start + declared : start + declared + len(b"\nendstream")] == b"\nendstream"
+
+
+def test_pdf_to_text_roundtrip_exact():
+    from extractor.pdf import pdf_to_text
+
+    for t in (
+        "hello (world) \\ test\n" + "x" * 200 + "\n\nlast",
+        "",
+        "\n".join("line %d (%s) \\" % (i, "a" * (i % 120)) for i in range(300)),
+    ):
+        pages = pdf_to_text(text_to_pdf_bytes(t))
+        assert [l for p in pages for l in p] == wrap_lines(t), repr(t[:30])
+        assert len(pages) == n_pages(t)
+
+
+def test_pdf_to_text_rejects_general_pdfs():
+    import pytest
+
+    from extractor.pdf import pdf_to_text
+
+    with pytest.raises(NotImplementedError):
+        pdf_to_text(b"%PDF-1.5\nx /Filter /FlateDecode y")
+    with pytest.raises(ValueError):
+        pdf_to_text(b"not a pdf")
+
+
+def test_layout_decodes_own_pdf_bytes():
+    """decode_layout consumes REAL PDF bytes (the engine's uncompressed
+    subset) and the XY-cut linearizer reads them in order."""
+    from extractor.layout import decode_layout, linearize_layout
+
+    doc = decode_layout(text_to_pdf_bytes("alpha\nbeta\n\ngamma"))
+    r = linearize_layout(doc)
+    assert r.error is None
+    assert r.n_pages == 1 and r.n_blocks == 3  # blank line emits no block
+    assert r.text.split() == ["alpha", "beta", "gamma"]  # reading order
