@@ -1,6 +1,12 @@
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running smoke (JVM cold starts, submit jobs)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from extractor.session import get_spark
