@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from extractor.boilerplate import strip_boilerplate_batch
 from extractor.layout import parse_layout_batch, synth_layout_doc
-from extractor.ops import dedup, relational, sampling, similarity, textops
+from extractor.ops import (
+    dedup,
+    maintenance,
+    relational,
+    sampling,
+    similarity,
+    textops,
+)
 from extractor.pipeline import (
     extract_transcripts,
     lineage_manifest,
@@ -751,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_decode": _docx_decode,  # T1 raw-byte path, stdlib OOXML reader
         "s9_pdf_export": _s9_pdf_export,  # S9 render sink, stdlib PDF writer
         "pdf_roundtrip": _pdf_roundtrip,  # write->decode PDF byte roundtrip
+        # Iceberg rewrite_data_files / OPTIMIZE analogue, content-verified
+        "compact_table": maintenance.compact_table,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -939,6 +948,13 @@ def oracle_sql() -> dict[str, str]:
         # from doc_id and runs the REAL DOM kernel; the oracle rebuilds the
         # expected markdown by construction (no HTML parsing needed — the
         # templates are fixed up to integer substitutions).
+        "compact_table": r"""
+            SELECT count(*) AS rows,
+                   16 AS files_before,
+                   4 AS files_after,
+                   TRUE AS content_match
+            FROM events
+        """,
         "pdf_roundtrip": r"""
             SELECT doc_id,
                    CAST(list_sum(list_transform(

@@ -1,0 +1,118 @@
+"""Table-maintenance verbs: small-file compaction (Iceberg's
+``rewrite_data_files`` / Delta ``OPTIMIZE``) on the parquet table model.
+
+Why it's core at 100 TB: a 10^12-turn table written by thousands of
+streaming micro-batches or bucket-group commits accumulates millions of
+small files; scan throughput then dies on file-open overhead and the
+driver's file index.  The maintenance pass rewrites fragmented partitions
+into target-size files WITHOUT changing content, verified by a
+multiplicity-sensitive content fingerprint (the same decimal xxhash-sum
+used by ``extractor.checkpoint.changed_buckets``).
+
+Scale posture: the rewrite is one round-robin ``repartition(n_target)``
+(a single shuffle of the compacted partition's data — unavoidable, it IS
+the rewrite) + two column-pruned fingerprint scans producing one row
+each.  On Iceberg this maps to ``CALL system.rewrite_data_files(...)``
+with the same verify step free from snapshot statistics.  The swap is the
+crash-safe rename-aside sequence (old → .bak, tmp → live, drop .bak),
+matching ``extractor.streaming.stream_upsert_sink``.
+"""
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+def _content_fingerprint(df: DataFrame):
+    cols = sorted(df.columns)
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(*cols).cast(T.DecimalType(38, 0))).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), row["h"]
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def compact_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+    target_files: int | None = None,
+) -> dict:
+    """Rewrite *table_dir* into ``target_files`` (or size-derived) files.
+
+    Returns a stats dict; raises if the rewritten content fingerprint does
+    not equal the source's (the rewrite is then rolled back by simply not
+    swapping).  Idempotent: re-running on a compacted table rewrites to
+    the same file count."""
+    files_before = _list_parquet_files(table_dir)
+    bytes_before = sum(os.path.getsize(f) for f in files_before)
+    df = spark.read.parquet(table_dir)
+    n_before, h_before = _content_fingerprint(df)
+    n_target = target_files or max(
+        1, math.ceil(bytes_before / target_file_bytes)
+    )
+
+    tmp, bak = f"{table_dir}.compact-tmp", f"{table_dir}.compact-bak"
+    for leftover in (tmp, bak):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+
+    n_after, h_after = _content_fingerprint(spark.read.parquet(tmp))
+    if (n_after, h_after) != (n_before, h_before):
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction content mismatch on {table_dir}: "
+            f"{(n_before, h_before)} -> {(n_after, h_after)}; not swapping"
+        )
+    os.rename(table_dir, bak)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(bak)
+    files_after = _list_parquet_files(table_dir)
+    return {
+        "rows": n_before,
+        "files_before": len(files_before),
+        "files_after": len(files_after),
+        "bytes_before": bytes_before,
+        "bytes_after": sum(os.path.getsize(f) for f in files_after),
+        "content_match": True,
+    }
+
+
+def compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: fragment the events table into 16 files in a temp
+    dir (the post-streaming-ingest state), compact to 4, and report the
+    verified stats.  Deterministic: row count from the corpus, file counts
+    pinned by round-robin repartition (events ≫ 16 rows at every SF)."""
+    import tempfile
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="compact-demo-")
+    frag = os.path.join(work, "events")
+    try:
+        events.repartition(16).write.mode("overwrite").parquet(frag)
+        stats = compact_files(spark, frag, target_files=4)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                stats["rows"],
+                stats["files_before"],
+                stats["files_after"],
+                stats["content_match"],
+            )
+        ],
+        "rows long, files_before int, files_after int, content_match boolean",
+    )
