@@ -48,13 +48,15 @@ def compact_files(
     table_dir: str,
     target_file_bytes: int = 128 << 20,
     target_files: int | None = None,
+    codec: str | None = None,
 ) -> dict:
     """Rewrite *table_dir* into ``target_files`` (or size-derived) files.
 
     Returns a stats dict; raises if the rewritten content fingerprint does
     not equal the source's (the rewrite is then rolled back by simply not
     swapping).  Idempotent: re-running on a compacted table rewrites to
-    the same file count."""
+    the same file count.  *codec* (e.g. ``zstd``) recompresses during the
+    rewrite — the Iceberg rewrite-with-codec-change maintenance case."""
     files_before = _list_parquet_files(table_dir)
     bytes_before = sum(os.path.getsize(f) for f in files_before)
     df = spark.read.parquet(table_dir)
@@ -67,7 +69,10 @@ def compact_files(
     for leftover in (tmp, bak):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
-    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    writer = df.repartition(n_target).write.mode("overwrite")
+    if codec:
+        writer = writer.option("compression", codec)
+    writer.parquet(tmp)
 
     n_after, h_after = _content_fingerprint(spark.read.parquet(tmp))
     if (n_after, h_after) != (n_before, h_before):

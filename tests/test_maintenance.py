@@ -53,3 +53,16 @@ def test_stale_tmp_and_bak_cleaned(spark, tmp_path):
     assert stats["files_after"] == 2
     assert not os.path.exists(f"{path}.compact-tmp")
     assert not os.path.exists(f"{path}.compact-bak")
+
+
+def test_codec_change_during_rewrite(spark, tmp_path):
+    """Rewrite-with-recompression: zstd output is smaller than an
+    uncompressed source, content identical."""
+    path = str(tmp_path / "tbl")
+    spark.range(20000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("s")
+    ).repartition(8).write.option("compression", "none").parquet(path)
+    before_bytes = sum(os.path.getsize(f) for f in _list_parquet_files(path))
+    stats = compact_files(spark, path, target_files=2, codec="zstd")
+    assert stats["content_match"] and stats["files_after"] == 2
+    assert stats["bytes_after"] < before_bytes
