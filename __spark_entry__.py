@@ -314,11 +314,13 @@ def _s9_pdf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     text renders to deterministic PDF 1.4 bytes (``extractor/pdf.py`` — the
     stdlib stand-in for the reference's Word-COM export,
     scripts/convert_docx_to_pdf.py:32-66).  The returned line/page counts
-    are parsed BACK OUT of the rendered bytes (``Tj`` operators and
-    ``/Type /Page`` objects), so the oracle's wrap-math reconstruction
-    checks the renderer's actual output, not a shared formula."""
+    are parsed BACK OUT of the rendered bytes (``pdf_to_text``'s
+    content-stream parse — NOT raw substring counts, which a document
+    whose text contains the literal ``) Tj`` would inflate), so the
+    oracle's wrap-math reconstruction checks the renderer's actual
+    output, not a shared formula."""
     import pandas as pd
-    from extractor.pdf import is_valid_pdf, text_to_pdf_bytes
+    from extractor.pdf import is_valid_pdf, pdf_to_text, text_to_pdf_bytes
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -329,11 +331,12 @@ def _s9_pdf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     def render(iterator):
         for pdf in iterator:
             blobs = [text_to_pdf_bytes(t) for t in pdf["text"]]
+            parsed = [pdf_to_text(b) for b in blobs]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_lines": [b.count(b") Tj") for b in blobs],
-                    "n_pages": [b.count(b"/Type /Page ") for b in blobs],
+                    "n_lines": [sum(len(p) for p in pgs) for pgs in parsed],
+                    "n_pages": [len(pgs) for pgs in parsed],
                     "pdf_bytes": [len(b) for b in blobs],
                     "valid": [is_valid_pdf(b) for b in blobs],
                 }
@@ -776,6 +779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_markdown_cleanup": textops.t10_markdown_cleanup,
         "token_stats": textops.token_stats,
         "quality_score": textops.quality_score,
+        # ---- position 51+: green in r3, rotated OUT of this round's
+        # 50-entry driver window (the window ends at quality_score above;
+        # line_dedup / pack_sequences* were pushed out by the round-4
+        # insertions and should lead the round-5 rotation) ----
         "line_dedup": dedup.line_dedup,
         "pack_sequences": dedup.pack_sequences,
         # nested prefix-sum variant for unbounded corpora — identical
@@ -784,7 +791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_two_level": lambda spark, sf_dir: dedup.pack_sequences(
             spark, sf_dir, two_level=True
         ),
-        # ---- position 51+: green in r3, rotated out of this round's window ----
         "extract_transcripts_pipeline": _extract_synth_transcripts,
         "layout_linearize": _layout_linearize,
         "images_side_table": _images_side_table,

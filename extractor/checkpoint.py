@@ -147,6 +147,27 @@ def _bucket_fingerprints(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def _write_fingerprints(
+    fp_df: DataFrame, ckpt_dir: str, snapshot_id: str, schema_key: str
+) -> None:
+    """Single writer for the fingerprint table (column order, stamping,
+    layout) — every persist path MUST go through here so the fixed-schema
+    read in ``stored_fingerprints`` never meets divergent rows."""
+    (
+        fp_df.select(
+            "bucket",
+            F.lit(snapshot_id).alias("snapshot_id"),
+            "n",
+            "h",
+            F.lit(schema_key).alias("schema_key"),
+            F.lit(time.time()).alias("recorded_at"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(f"{ckpt_dir}/fingerprints")
+    )
+
+
 def record_fingerprints(
     df: DataFrame, ckpt_dir: str, snapshot_id: str, n_buckets: int
 ) -> None:
@@ -154,21 +175,11 @@ def record_fingerprints(
     the commit-time hook that makes the NEXT incremental run's old-side
     diff a metadata read instead of a full input rescan (the parquet
     stand-in for Iceberg's snapshot manifest stats)."""
-    spark = df.sparkSession
-    key = _schema_key(df.columns)
-    (
-        _bucket_fingerprints(df, n_buckets)
-        .select(
-            "bucket",
-            F.lit(snapshot_id).alias("snapshot_id"),
-            "n",
-            "h",
-            F.lit(key).alias("schema_key"),
-            F.lit(time.time()).alias("recorded_at"),
-        )
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(f"{ckpt_dir}/fingerprints")
+    _write_fingerprints(
+        _bucket_fingerprints(df, n_buckets),
+        ckpt_dir,
+        snapshot_id,
+        _schema_key(df.columns),
     )
 
 
@@ -312,19 +323,7 @@ def run_incremental(
     new_fp = _bucket_fingerprints(new_df, n_buckets).localCheckpoint()
     changed_list, deleted_list = _diff_fingerprints(old_fp, new_fp)
     changed, deleted = set(changed_list), set(deleted_list)
-    (
-        new_fp.select(
-            "bucket",
-            F.lit(new_snapshot).alias("snapshot_id"),
-            "n",
-            "h",
-            F.lit(key).alias("schema_key"),
-            F.lit(time.time()).alias("recorded_at"),
-        )
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(f"{ckpt_dir}/fingerprints")
-    )
+    _write_fingerprints(new_fp, ckpt_dir, new_snapshot, key)
     done_old = {
         r["bucket"]: r["turns"]
         for r in job_status(spark, ckpt_dir, old_snapshot)

@@ -223,14 +223,20 @@ def decode_docx(payload: bytes) -> str:
         raise ValueError(f"expected bytes, got {type(payload).__name__}")
     if payload[:2] != b"PK":
         raise ValueError("not a DOCX (zip) payload")
-    with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
-        try:
-            doc_xml = zf.read("word/document.xml")
-        except KeyError:
-            raise ValueError("DOCX package missing word/document.xml")
-        rels = _read_rels(zf)
-        num_fmts = _read_num_formats(zf)
-    root = ET.fromstring(doc_xml)
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            try:
+                doc_xml = zf.read("word/document.xml")
+            except KeyError:
+                raise ValueError("DOCX package missing word/document.xml")
+            rels = _read_rels(zf)
+            num_fmts = _read_num_formats(zf)
+        root = ET.fromstring(doc_xml)
+    except (zipfile.BadZipFile, ET.ParseError) as exc:
+        # keep the documented per-row containment contract: corrupt
+        # packages / malformed XML surface as ValueError, never as
+        # library-specific exceptions that escape a caller's catch
+        raise ValueError(f"corrupt DOCX package: {exc}") from exc
     body = root.find(f"{W}body")
     if body is None:
         return ""

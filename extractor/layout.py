@@ -66,9 +66,7 @@ def decode_layout(payload) -> dict:
         raise ValueError("null payload")
     if isinstance(payload, (bytes, bytearray)):
         if bytes(payload[:5]) == b"%PDF-":
-            from .pdf import (
-                FONT_SIZE, LEADING, MARGIN_X, PAGE_W, TOP_Y, pdf_to_text,
-            )
+            from .pdf import FONT_SIZE, LEADING, MARGIN_X, PAGE_W, pdf_to_text
 
             pages = pdf_to_text(bytes(payload))  # may raise NotImplementedError
             return {
@@ -78,8 +76,9 @@ def decode_layout(payload) -> dict:
                         "width": PAGE_W,
                         "blocks": [
                             {
-                                # layout model is top-down: y grows down
-                                # the page (PDF's up-axis TOP_Y - y)
+                                # emitted directly in the layout model's
+                                # top-down coordinates (y grows down the
+                                # page): line j sits at j leadings
                                 "x": MARGIN_X,
                                 "y": float(LEADING * j),
                                 # ~0.5em per char at 10pt Helvetica

@@ -57,6 +57,18 @@ def compact_files(
     swapping).  Idempotent: re-running on a compacted table rewrites to
     the same file count.  *codec* (e.g. ``zstd``) recompresses during the
     rewrite — the Iceberg rewrite-with-codec-change maintenance case."""
+    tmp, bak = f"{table_dir}.compact-tmp", f"{table_dir}.compact-bak"
+    # crash recovery (same contract as streaming.stream_upsert_sink): a
+    # death between the two swap renames leaves the table missing and the
+    # backup present — restore it before anything else; a .bak alongside a
+    # live table means the swap completed and the leftover is safe to drop
+    if os.path.exists(bak):
+        if not os.path.exists(table_dir):
+            os.rename(bak, table_dir)
+        else:
+            shutil.rmtree(bak)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale partial rewrite
     files_before = _list_parquet_files(table_dir)
     bytes_before = sum(os.path.getsize(f) for f in files_before)
     df = spark.read.parquet(table_dir)
@@ -64,11 +76,6 @@ def compact_files(
     n_target = target_files or max(
         1, math.ceil(bytes_before / target_file_bytes)
     )
-
-    tmp, bak = f"{table_dir}.compact-tmp", f"{table_dir}.compact-bak"
-    for leftover in (tmp, bak):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
     writer = df.repartition(n_target).write.mode("overwrite")
     if codec:
         writer = writer.option("compression", codec)

@@ -40,8 +40,11 @@ def test_pdf_roundtrip_arbitrary_latin1(t):
 def test_pdf_never_raises_and_counts_consistent(t):
     pdf = text_to_pdf_bytes(t)  # unicode degrades, never raises
     assert is_valid_pdf(pdf)
-    assert pdf.count(b") Tj") == n_lines(t)
-    assert pdf.count(b"/Type /Page ") == n_pages(t)
+    # counts via the content-stream PARSE (escape-aware) — raw substring
+    # counts would overcount text containing ') Tj' / '/Type /Page '
+    pages = pdf_to_text(pdf)
+    assert sum(len(p) for p in pages) == n_lines(t)
+    assert len(pages) == n_pages(t)
 
 
 @settings(max_examples=100, deadline=None)

@@ -191,3 +191,15 @@ def test_table_flushes_open_list():
         zf.writestr("word/document.xml", doc)
     html = decode_docx(buf.getvalue())
     assert html.index("</ul>") < html.index("<table>")
+
+
+def test_corrupt_zip_and_xml_raise_valueerror():
+    """Containment contract: corrupt packages surface as ValueError, not
+    BadZipFile / ParseError (which would escape per-row catches)."""
+    with pytest.raises(ValueError, match="corrupt DOCX"):
+        decode_docx(b"PK\x03\x04garbage-not-a-zip")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<w:document truncated")
+    with pytest.raises(ValueError, match="corrupt DOCX"):
+        decode_docx(buf.getvalue())

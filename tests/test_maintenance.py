@@ -66,3 +66,16 @@ def test_codec_change_during_rewrite(spark, tmp_path):
     stats = compact_files(spark, path, target_files=2, codec="zstd")
     assert stats["content_match"] and stats["files_after"] == 2
     assert stats["bytes_after"] < before_bytes
+
+
+def test_crash_between_swap_renames_recovers(spark, tmp_path):
+    """Death after table->bak but before tmp->table leaves no live table;
+    the next compact_files call must restore the backup, not crash."""
+    path = _frag(spark, tmp_path, n_files=6, rows=1000)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    os.rename(path, f"{path}.compact-bak")  # simulate the crash window
+    stats = compact_files(spark, path, target_files=2)
+    assert stats["files_before"] == 6 and stats["files_after"] == 2
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert not os.path.exists(f"{path}.compact-bak")

@@ -35,10 +35,19 @@ def test_xref_offsets_point_at_objects():
 
 
 def test_counts_read_back_from_bytes_match_wrap_math():
-    for t in ("", "x", "a" * 91, "l1\n\nl3", "b" * (WRAP_COLS * LINES_PER_PAGE + 1)):
-        pdf = text_to_pdf_bytes(t)
-        assert pdf.count(b") Tj") == n_lines(t), repr(t[:20])
-        assert pdf.count(b"/Type /Page ") == n_pages(t), repr(t[:20])
+    from extractor.pdf import pdf_to_text
+
+    # includes adversarial text containing the PDF operators themselves —
+    # substring counting over the bytes would overcount these
+    for t in (
+        "", "x", "a" * 91, "l1\n\nl3",
+        "b" * (WRAP_COLS * LINES_PER_PAGE + 1),
+        "contains ) Tj inside a line",
+        "and /Type /Page too",
+    ):
+        pages = pdf_to_text(text_to_pdf_bytes(t))
+        assert sum(len(p) for p in pages) == n_lines(t), repr(t[:20])
+        assert len(pages) == n_pages(t), repr(t[:20])
 
 
 def test_wrap_math():
