@@ -354,8 +354,12 @@ def _pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     PDF 1.4 bytes and is decoded BACK by the stdlib content-stream parser
     (``extractor/pdf.py:pdf_to_text``); ``roundtrip_ok`` asserts decoded
     lines == the hard-wrap of the (latin-1-degraded) source text, page
-    count from the decoded structure.  Proves the layout byte-decode path
-    operates on genuine PDF bytes, not a shared in-memory model."""
+    count from the decoded structure.  ``flate_ok`` does the same through
+    the ``/Filter /FlateDecode`` write mode (zlib-compressed content
+    streams, the dominant real-world PDF encoding) and additionally
+    asserts the two decodes agree page-for-page.  Proves the layout
+    byte-decode path operates on genuine PDF bytes — both encodings —
+    not a shared in-memory model."""
     import pandas as pd
     from extractor.pdf import pdf_to_text, text_to_pdf_bytes, wrap_lines
 
@@ -367,7 +371,7 @@ def _pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(iterator):
         for pdf in iterator:
-            ok, pages_out, lines_out = [], [], []
+            ok, flate, pages_out, lines_out = [], [], [], []
             for t in pdf["text"]:
                 pages = pdf_to_text(text_to_pdf_bytes(t))
                 flat = [l for p in pages for l in p]
@@ -375,18 +379,62 @@ def _pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ok.append(flat == wrap_lines(degraded))
                 pages_out.append(len(pages))
                 lines_out.append(len(flat))
+                flate.append(
+                    pdf_to_text(text_to_pdf_bytes(t, compress=True)) == pages
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_lines": lines_out,
                     "n_pages": pages_out,
                     "roundtrip_ok": ok,
+                    "flate_ok": flate,
                 }
             )
 
     return docs.mapInPandas(
-        kernel, "doc_id long, n_lines long, n_pages long, roundtrip_ok boolean"
+        kernel,
+        "doc_id long, n_lines long, n_pages long, "
+        "roundtrip_ok boolean, flate_ok boolean",
     )
+
+
+def _link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph side table, HASH-CHECKED: deterministic anchors built
+    from ``documents.doc_id`` (1–3 external links + one fragment link per
+    doc) drive the REAL stdlib DOM parser (``extractor/ops/links.py`` →
+    ``extractor/dom.py``); the oracle reconstructs every (href, anchor,
+    is_internal, domain) row in SQL.  The structured companion to the
+    linearizer's inline ``[text](href)`` rendering
+    (``extractor/linearize.py:185-193``) — the op a URL frontier /
+    per-domain curation rollup starts from."""
+    from extractor.ops.links import extract_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    m = F.pmod(d, F.lit(3))
+
+    def ext(i: int):
+        return F.concat(
+            F.lit('<a href="https://site'),
+            F.pmod(d + F.lit(i), F.lit(50)).cast("string"),
+            F.lit(".example.com/p"),
+            F.pmod(d, F.lit(100)).cast("string"),
+            F.lit('?i=%d">ref ' % i),
+            F.pmod(d, F.lit(10)).cast("string"),
+            F.lit("-%d</a>" % i),
+        )
+
+    html = F.concat(
+        F.lit("<p>intro</p>"),
+        ext(0),
+        F.when(m >= 1, ext(1)).otherwise(F.lit("")),
+        F.when(m >= 2, ext(2)).otherwise(F.lit("")),
+        F.lit('<a href="#sec'),
+        F.pmod(d, F.lit(4)).cast("string"),
+        F.lit('">jump</a><p>end</p>'),
+    )
+    return extract_links(docs.select("doc_id", html.alias("html")))
 
 
 def _templated_turns(docs: DataFrame, html) -> DataFrame:
@@ -764,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iceberg rewrite_data_files / OPTIMIZE analogue, content-verified
         "compact_table": maintenance.compact_table,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
+        # link-graph side table over the real DOM parser (templated oracle)
+        "link_graph": _link_graph,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
         "extraction_lineage": _extraction_lineage,
@@ -780,9 +830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": textops.token_stats,
         "quality_score": textops.quality_score,
         # ---- position 51+: green in r3, rotated OUT of this round's
-        # 50-entry driver window (the window ends at quality_score above;
-        # line_dedup / pack_sequences* were pushed out by the round-4
-        # insertions and should lead the round-5 rotation) ----
+        # 50-entry driver window (the window ends at token_stats above —
+        # quality_score was displaced by the late-round link_graph
+        # insertion; quality_score / line_dedup / pack_sequences* should
+        # lead the round-5 rotation) ----
         "line_dedup": dedup.line_dedup,
         "pack_sequences": dedup.pack_sequences,
         # nested prefix-sum variant for unbounded corpora — identical
@@ -973,7 +1024,8 @@ def oracle_sql() -> dict[str, str]:
                      s -> greatest(CAST(1 AS BIGINT),
                                    CAST(ceil(length(s) / 90.0) AS BIGINT))
                    )) / 54.0) AS BIGINT) AS n_pages,
-                   TRUE AS roundtrip_ok
+                   TRUE AS roundtrip_ok,
+                   TRUE AS flate_ok
             FROM documents
             WHERE text IS NOT NULL
         """,
@@ -992,6 +1044,32 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS valid
             FROM documents
             WHERE text IS NOT NULL
+        """,
+        "link_graph": r"""
+            WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+                 ext AS (
+                   SELECT d.doc_id,
+                          'https://site'
+                            || CAST((d.doc_id + t.i) % 50 AS VARCHAR)
+                            || '.example.com/p'
+                            || CAST(d.doc_id % 100 AS VARCHAR)
+                            || '?i=' || CAST(t.i AS VARCHAR) AS href,
+                          'ref ' || CAST(d.doc_id % 10 AS VARCHAR)
+                            || '-' || CAST(t.i AS VARCHAR) AS anchor,
+                          FALSE AS is_internal,
+                          'site' || CAST((d.doc_id + t.i) % 50 AS VARCHAR)
+                            || '.example.com' AS domain
+                   FROM d, (SELECT UNNEST([0, 1, 2]) AS i) t
+                   WHERE t.i = 0 OR d.m >= t.i
+                 )
+            SELECT * FROM ext
+            UNION ALL
+            SELECT doc_id,
+                   '#sec' || CAST(doc_id % 4 AS VARCHAR) AS href,
+                   'jump' AS anchor,
+                   TRUE AS is_internal,
+                   CAST(NULL AS VARCHAR) AS domain
+            FROM d
         """,
         "extract_mode_mathjax_toc": r"""
             WITH p AS (

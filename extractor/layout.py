@@ -3,10 +3,11 @@ axis; reference analogue: the pandoc DOCX→HTML stage T1,
 ``app/core/pandoc_converter.py:21-118`` — the "turn an opaque layout format
 into linear text" stage, re-expressed as a pure vectorized kernel).
 
-No PDF codec ships in this container, so the *PDF byte decoding* is stubbed
-exactly like multimodal decode: payloads in our deterministic JSON layout
-format parse for real; real PDF bytes raise ``NotImplementedError`` (callers
-get a contained error row).  Everything downstream of decode — reading-order
+No PDF codec library ships in this container, so byte decoding is stdlib:
+payloads in our deterministic JSON layout format parse for real, and real
+PDF bytes with uncompressed or FlateDecode content streams decode for real
+(``extractor/pdf.py``); only non-Flate filters raise ``NotImplementedError``
+(callers get a contained error row).  Everything downstream of decode — reading-order
 reconstruction, column detection, heading promotion, span bookkeeping, the
 Arrow batch plumbing — is real and tested.  DOCX bytes, by contrast, need
 no codec: ``extractor/docx.py`` decodes real OOXML packages with stdlib
@@ -56,11 +57,13 @@ class LayoutResult:
 
 def decode_layout(payload) -> dict:
     """Byte-decode boundary.  JSON layout docs decode for real; PDF bytes
-    with UNCOMPRESSED streams (e.g. this engine's own ``extractor/pdf.py``
-    output) also decode for real via the stdlib content-stream parser —
-    each ``Tj`` line becomes a positioned block at the writer's geometry,
-    so the XY-cut linearizer downstream operates on genuine PDF bytes.
-    Only compressed/general PDFs remain a codec stub
+    with uncompressed OR FlateDecode streams (this engine's own
+    ``extractor/pdf.py`` output in both modes, plus the dominant
+    real-world encoding) decode for real via the stdlib content-stream
+    parser — each show-text line becomes a positioned block at the
+    writer's geometry, so the XY-cut linearizer downstream operates on
+    genuine PDF bytes.  Only non-Flate filters (DCT/LZW/CCITT images,
+    filter chains, predictors) remain a codec stub
     (``NotImplementedError`` → contained error row)."""
     if payload is None:
         raise ValueError("null payload")

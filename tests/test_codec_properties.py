@@ -36,6 +36,19 @@ def test_pdf_roundtrip_arbitrary_latin1(t):
 
 
 @settings(max_examples=100, deadline=None)
+@given(latin1_text)
+def test_pdf_flate_roundtrip_matches_uncompressed(t):
+    """The FlateDecode write path decodes to the identical structure as
+    the uncompressed one for arbitrary latin-1 text — writer compression
+    and decoder inflation are exact inverses."""
+    blob = text_to_pdf_bytes(t, compress=True)
+    assert is_valid_pdf(blob)
+    pages = pdf_to_text(blob)
+    assert [l for p in pages for l in p] == wrap_lines(t)
+    assert pages == pdf_to_text(text_to_pdf_bytes(t))
+
+
+@settings(max_examples=100, deadline=None)
 @given(any_text)
 def test_pdf_never_raises_and_counts_consistent(t):
     pdf = text_to_pdf_bytes(t)  # unicode degrades, never raises

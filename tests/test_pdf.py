@@ -91,15 +91,91 @@ def test_pdf_to_text_roundtrip_exact():
         assert len(pages) == n_pages(t)
 
 
-def test_pdf_to_text_rejects_general_pdfs():
+def test_pdf_to_text_rejects_non_flate_filters():
     import pytest
 
     from extractor.pdf import pdf_to_text
 
-    with pytest.raises(NotImplementedError):
-        pdf_to_text(b"%PDF-1.5\nx /Filter /FlateDecode y")
+    def one_stream_pdf(dict_extra: bytes, body: bytes) -> bytes:
+        return (
+            b"%%PDF-1.5\n1 0 obj\n<< /Length %d %s >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(body), dict_extra, body)
+        )
+
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        pdf_to_text(one_stream_pdf(b"/Filter /LZWDecode", b"BT x ET"))
+    # filter CHAIN ending in Flate is still out of scope
+    with pytest.raises(NotImplementedError, match="ASCII85"):
+        pdf_to_text(
+            one_stream_pdf(b"/Filter [/ASCII85Decode /FlateDecode]", b"BT ET")
+        )
+    # predictor-coded flate
+    import zlib
+
+    with pytest.raises(NotImplementedError, match="predictor"):
+        pdf_to_text(
+            one_stream_pdf(
+                b"/Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
+                zlib.compress(b"BT (x) Tj ET"),
+            )
+        )
     with pytest.raises(ValueError):
         pdf_to_text(b"not a pdf")
+    # corrupt flate data is a ValueError, not a crash
+    with pytest.raises(ValueError, match="corrupt"):
+        pdf_to_text(one_stream_pdf(b"/Filter /FlateDecode", b"BT not-zlib ET"))
+
+
+def test_flate_roundtrip_exact():
+    """compress=True output decodes to the identical line/page structure —
+    the writer/decoder pair covers the dominant real-world PDF encoding."""
+    from extractor.pdf import pdf_to_text
+
+    for t in (
+        "hello (world) \\ test\n" + "x" * 200 + "\n\nlast",
+        "",
+        "\n".join("line %d (%s) \\" % (i, "a" * (i % 120)) for i in range(300)),
+    ):
+        blob = text_to_pdf_bytes(t, compress=True)
+        assert blob == text_to_pdf_bytes(t, compress=True)  # deterministic
+        assert is_valid_pdf(blob)
+        assert len(blob) < len(text_to_pdf_bytes(t)) or len(t) < 400
+        pages = pdf_to_text(blob)
+        assert [l for p in pages for l in p] == wrap_lines(t), repr(t[:30])
+        assert pages == pdf_to_text(text_to_pdf_bytes(t))
+
+
+def _content_pdf(body: bytes) -> bytes:
+    """Minimal single-stream PDF wrapping a raw content stream body."""
+    return (
+        b"%%PDF-1.4\n4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(body), body)
+    )
+
+
+def test_foreign_pdf_operators_decode():
+    """Operators our own writer never emits but real PDFs use constantly:
+    hex strings, TJ kerning arrays, ' and \" show ops, octal escapes."""
+    from extractor.pdf import pdf_to_text
+
+    # hex string + Tj
+    assert pdf_to_text(_content_pdf(b"BT <48656C6C6F> Tj ET")) == [["Hello"]]
+    # odd-length hex pads a trailing 0 nibble
+    assert pdf_to_text(_content_pdf(b"BT <48656C6C6F2> Tj ET")) == [["Hello "]]
+    # TJ array with kerning numbers joins string elements into ONE line
+    assert pdf_to_text(
+        _content_pdf(b"BT [(He) -120 (l) 30 <6C6F>] TJ ET")
+    ) == [["Hello"]]
+    # ' and " show-next-line operators
+    assert pdf_to_text(_content_pdf(b"BT (a) ' 2 1 (b) \" ET")) == [["a", "b"]]
+    # octal + named escapes + continuation + nested balanced parens
+    assert pdf_to_text(
+        _content_pdf(b"BT (\\110i\\tthere\\\n joined (nested) ok) Tj ET")
+    ) == [["Hi\tthere joined (nested) ok"]]
+    # plain [ ... ] that is NOT followed by TJ emits nothing
+    assert pdf_to_text(
+        _content_pdf(b"BT [(dropped)] TD (kept) Tj ET")
+    ) == [["kept"]]
 
 
 def test_layout_decodes_own_pdf_bytes():
