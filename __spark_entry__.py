@@ -16,6 +16,7 @@ stitch), the boilerplate/layout heuristic kernels, and ANN top-k
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -437,6 +438,84 @@ def _link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(docs.select("doc_id", html.alias("html")))
 
 
+def _format_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-sniffing format router, HASH-CHECKED end-to-end: each document
+    becomes one of five deterministic payloads (raw HTML bytes, a real
+    synthetic .docx zip, real PDF 1.4 bytes, a JSON layout doc, plain
+    text) and ``extractor/router.py`` must sniff the format from content
+    alone and route it through the matching decoder — OOXML reader, PDF
+    content-stream parse + XY-cut, DOM kernel, or passthrough.  The oracle
+    reconstructs (format, extracted_text, counts) per doc_id in SQL.  This
+    is the reference's extension dispatch
+    (``app/core/document_converter.py:285-290``) content-sniffed for a
+    world where inputs are opaque binary columns, not named files."""
+    import pandas as pd
+    from extractor.docx import synth_docx_bytes
+    from extractor.pdf import text_to_pdf_bytes
+    from extractor.router import route_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                m, a, b = i % 5, i % 7, i % 3
+                if m == 0:
+                    payloads.append(
+                        f"<h1>Doc {a}</h1><p>body {b} &amp; tail</p>".encode()
+                    )
+                elif m == 1:
+                    payloads.append(synth_docx_bytes(i))
+                elif m == 2:
+                    payloads.append(
+                        text_to_pdf_bytes(f"pdf doc {a}\nline two {b}")
+                    )
+                elif m == 3:
+                    payloads.append(
+                        json.dumps(
+                            {
+                                "pages": [
+                                    {
+                                        "page": 1,
+                                        "width": 612.0,
+                                        "blocks": [
+                                            {
+                                                "x": 72.0,
+                                                "y": 0.0,
+                                                "w": 100.0,
+                                                "h": 12.0,
+                                                "size": 10.0,
+                                                "text": f"layout {a}",
+                                            }
+                                        ],
+                                    }
+                                ]
+                            }
+                        ).encode()
+                    )
+                else:
+                    payloads.append(f"plain *text* {a}\r\nline {b}".encode())
+            routed = route_batch(pd.Series(payloads))
+            routed.insert(0, "doc_id", ids.values)
+            yield routed
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, format string, extracted_text string, "
+        "tables_count int, math_count int, images_count int, error string",
+    ).select(
+        "doc_id",
+        "format",
+        "extracted_text",
+        "tables_count",
+        "math_count",
+        "images_count",
+    )
+
+
 def _templated_turns(docs: DataFrame, html) -> DataFrame:
     """(doc_id, html) -> kernel input shape (conv_id, turn_idx, text)."""
     return docs.select(
@@ -814,6 +893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # link-graph side table over the real DOM parser (templated oracle)
         "link_graph": _link_graph,
+        # byte-sniffing format dispatch: html/docx/pdf/layout/text payloads
+        # routed by content alone through the real decoders (hash-checked)
+        "format_router": _format_router,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
         "extraction_lineage": _extraction_lineage,
@@ -1137,6 +1219,56 @@ def oracle_sql() -> dict[str, str]:
                    CASE m WHEN 2 THEN 1 ELSE 0 END AS tables_count,
                    CASE m WHEN 3 THEN 1 ELSE 0 END AS math_count,
                    CASE m WHEN 1 THEN 1 ELSE 0 END AS images_count
+            FROM p
+        """,
+        "format_router": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     doc_id % 5 AS m,
+                     CAST(doc_id % 7 AS VARCHAR) AS a,
+                     CAST(doc_id % 3 AS VARCHAR) AS b,
+                     CAST(doc_id % 5 AS VARCHAR) AS b5,
+                     doc_id % 6 AS m6
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE m
+                     WHEN 0 THEN 'html'
+                     WHEN 1 THEN 'docx'
+                     WHEN 2 THEN 'pdf'
+                     WHEN 3 THEN 'layout_json'
+                     ELSE 'text'
+                   END AS format,
+                   CASE m
+                     WHEN 0 THEN '# Doc ' || a || repeat(chr(10), 2)
+                          || 'body ' || b || ' & tail'
+                     WHEN 1 THEN CASE m6
+                       WHEN 0 THEN '# Title' || a || repeat(chr(10), 2)
+                            || 'body' || b5
+                       WHEN 1 THEN '**bold' || a || '**' || repeat(chr(10), 2)
+                            || '![](images/image1.png)caption'
+                            || repeat(chr(10), 2) || 'tail' || b5
+                       WHEN 2 THEN 'pre' || a || repeat(chr(10), 3)
+                            || '| hA | hB |' || chr(10) || '| --- | --- |'
+                            || chr(10) || '| a' || a || ' | b' || b5 || ' |'
+                            || repeat(chr(10), 3) || 'post'
+                       WHEN 3 THEN 'before $x^{' || b5 || '}+1$ after'
+                            || repeat(chr(10), 2) || 'end' || a
+                       WHEN 4 THEN 'pre' || a || repeat(chr(10), 2)
+                            || '  * bulA' || a || chr(10) || '  * bulB' || b5
+                            || repeat(chr(10), 2)
+                            || '  1. numA' || a || chr(10) || '  2. numB' || b5
+                            || repeat(chr(10), 2) || 'fin'
+                       ELSE 'see [link' || a || '](https://example.com/doc) end'
+                            || b5
+                     END
+                     WHEN 2 THEN 'pdf doc ' || a || ' line two ' || b
+                     WHEN 3 THEN 'layout ' || a
+                     ELSE 'plain *text* ' || a || chr(10) || 'line ' || b
+                   END AS extracted_text,
+                   CASE WHEN m = 1 AND m6 = 2 THEN 1 ELSE 0 END AS tables_count,
+                   CASE WHEN m = 1 AND m6 = 3 THEN 1 ELSE 0 END AS math_count,
+                   CASE WHEN m = 1 AND m6 = 1 THEN 1 ELSE 0 END AS images_count
             FROM p
         """,
         "t4_table_shapes": r"""
