@@ -516,6 +516,66 @@ def _format_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frontier_hrefs(docs: DataFrame) -> DataFrame:
+    """(doc_id, href) with six deterministic href families per doc_id,
+    one per RFC-3986 normalization branch: mixed-case scheme/host +
+    default port + tracking param + unsorted query + trailing slash +
+    fragment (m=0), bare www host with empty path (m=1), tracking-only
+    query (m=2), fragment-only link (m=3, NULL), non-http scheme (m=4,
+    NULL), nested path + gclid scrub (m=5)."""
+    d = F.col("doc_id")
+    m = F.pmod(d, F.lit(6))
+    k = F.pmod(d, F.lit(50)).cast("string")
+    j = F.pmod(d, F.lit(100)).cast("string")
+    href = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://www.Site"), k, F.lit(".Example.COM:443/p"), j,
+            F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(m == 1, F.concat(
+            F.lit("http://WWW.site"), k, F.lit(".example.com")))
+        .when(m == 2, F.concat(
+            F.lit("https://site"), k, F.lit(".example.com/p"), j,
+            F.lit("?utm_campaign=c&utm_medium=m")))
+        .when(m == 3, F.concat(F.lit("#sec"), j))
+        .when(m == 4, F.concat(
+            F.lit("ftp://site"), k, F.lit(".example.com/f")))
+        .otherwise(F.concat(
+            F.lit("https://site"), k, F.lit(".example.com/p"), j,
+            F.lit("/sub/?z=9&gclid=abc&a=1")))
+    )
+    return docs.select("doc_id", href.alias("href"))
+
+
+def _url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-3986 syntax-based URL canonicalization, HASH-CHECKED: the six
+    templated href families (see ``_frontier_hrefs``) go through the
+    pure-codegen ``normalize_url`` expression — lowercased scheme/host,
+    www/port/fragment dropped, trailing slash stripped, tracking params
+    scrubbed, surviving query params sorted; fragment-only and non-http
+    links come back NULL.  The oracle states each family's canonical
+    spelling directly in SQL."""
+    from extractor.ops.links import normalize_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return normalize_links(_frontier_hrefs(docs)).select(
+        "doc_id", "url", "url_domain"
+    )
+
+
+def _url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-frontier rollup over canonicalized links (count /
+    distinct-URL / distinct-source / min-URL seed) — map-only
+    canonicalization then the standard two-level multi-distinct agg
+    (Expand + two exchanges; the exact path the oracle can check —
+    ``url_frontier(approx=True)`` is the plan-gated single-shuffle HLL
+    variant for 100 TB).  Oracle: the same rollup in SQL over the
+    reconstructed canonical URLs."""
+    from extractor.ops.links import url_frontier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return url_frontier(_frontier_hrefs(docs))
+
+
 def _templated_turns(docs: DataFrame, html) -> DataFrame:
     """(doc_id, html) -> kernel input shape (conv_id, turn_idx, text)."""
     return docs.select(
@@ -896,6 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-sniffing format dispatch: html/docx/pdf/layout/text payloads
         # routed by content alone through the real decoders (hash-checked)
         "format_router": _format_router,
+        # RFC-3986 URL canonicalization + per-domain crawl-frontier rollup
+        "url_normalize": _url_normalize,
+        "url_frontier": _url_frontier,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
         "extraction_lineage": _extraction_lineage,
@@ -1270,6 +1333,57 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN m = 1 AND m6 = 3 THEN 1 ELSE 0 END AS math_count,
                    CASE WHEN m = 1 AND m6 = 1 THEN 1 ELSE 0 END AS images_count
             FROM p
+        """,
+        "url_normalize": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     doc_id % 6 AS m,
+                     CAST(doc_id % 50 AS VARCHAR) AS k,
+                     CAST(doc_id % 100 AS VARCHAR) AS j
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE m
+                     WHEN 0 THEN 'https://site' || k || '.example.com/p' || j
+                          || '?a=1&b=2'
+                     WHEN 1 THEN 'http://site' || k || '.example.com/'
+                     WHEN 2 THEN 'https://site' || k || '.example.com/p' || j
+                     WHEN 5 THEN 'https://site' || k || '.example.com/p' || j
+                          || '/sub?a=1&z=9'
+                   END AS url,
+                   CASE WHEN m IN (0, 1, 2, 5)
+                        THEN 'site' || k || '.example.com'
+                   END AS url_domain
+            FROM p
+        """,
+        "url_frontier": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     doc_id % 6 AS m,
+                     CAST(doc_id % 50 AS VARCHAR) AS k,
+                     CAST(doc_id % 100 AS VARCHAR) AS j
+              FROM documents
+            ), n AS (
+              SELECT doc_id,
+                     CASE m
+                       WHEN 0 THEN 'https://site' || k || '.example.com/p'
+                            || j || '?a=1&b=2'
+                       WHEN 1 THEN 'http://site' || k || '.example.com/'
+                       WHEN 2 THEN 'https://site' || k || '.example.com/p' || j
+                       WHEN 5 THEN 'https://site' || k || '.example.com/p'
+                            || j || '/sub?a=1&z=9'
+                     END AS url,
+                     'site' || k || '.example.com' AS url_domain
+              FROM p
+            )
+            SELECT url_domain AS domain,
+                   COUNT(*) AS n_links,
+                   COUNT(DISTINCT url) AS n_urls,
+                   COUNT(DISTINCT doc_id) AS n_src_docs,
+                   MIN(url) AS sample_url
+            FROM n
+            WHERE url IS NOT NULL
+            GROUP BY url_domain
         """,
         "t4_table_shapes": r"""
             WITH p AS (

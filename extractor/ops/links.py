@@ -67,3 +67,94 @@ def extract_links(df: DataFrame, html_col: str = "html",
         F.col("href").startswith("#").alias("is_internal"),
         F.lower(F.parse_url("href", F.lit("HOST"))).alias("domain"),
     )
+
+
+# --- URL canonicalization + frontier rollup --------------------------------
+#
+# The reference never touches URLs as data (links are only rendered inline,
+# linearize.py:185-193); these are the training-pipeline companions: a crawl
+# frontier and URL-level dedup both require one canonical spelling per page.
+# Published canonicalization rules (RFC 3986 §6 syntax-based normalization +
+# the tracking-parameter scrub every large crawler applies).
+
+# one-regex membership test for analytics/click-tracking query parameters
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref_src)="
+
+
+def normalize_url(col) -> "F.Column":
+    """Canonical spelling of an absolute http(s) URL, NULL otherwise.
+
+    Pure codegen'd column expression (zero Python in the hot path):
+
+    * scheme + host lowercased, leading ``www.`` dropped;
+    * port and fragment dropped (``parse_url`` parts exclude both);
+    * path: trailing slash stripped (root stays ``/``), empty path → ``/``;
+    * query: tracking params (``utm_*``, ``gclid``, ``fbclid``, ``msclkid``,
+      ``mc_eid``, ``ref_src``) and empty pairs removed, the rest sorted
+      bytewise so param order never splits a URL's identity; dropped
+      entirely when nothing survives.
+
+    Relative URLs, fragments, and non-http(s) schemes return NULL — the
+    frontier only enqueues absolute fetchable pages.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    proto = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(c, F.lit("HOST"))), r"^www\.", ""
+    )
+    raw_path = F.parse_url(c, F.lit("PATH"))
+    path = F.when(
+        raw_path.isNull() | (raw_path == "") | (raw_path == "/"), F.lit("/")
+    ).otherwise(F.regexp_replace(raw_path, r"/$", ""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")), "&"),
+            lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    ok = proto.isin("http", "https") & host.isNotNull() & (host != "")
+    return F.when(ok, F.concat(proto, F.lit("://"), host, path, query))
+
+
+def normalize_links(links: DataFrame, href_col: str = "href") -> DataFrame:
+    """Add ``url`` (canonical) + ``url_domain`` columns to a link table.
+
+    Map-only: both are column expressions over the existing rows, so the
+    link table keeps its partitioning — at 100 TB this is a free pass over
+    the extract_links output, not a job."""
+    url = normalize_url(href_col)
+    return links.withColumns({
+        "url": url,
+        "url_domain": F.parse_url(url, F.lit("HOST")),
+    })
+
+
+def url_frontier(links: DataFrame, href_col: str = "href",
+                 approx: bool = False) -> DataFrame:
+    """Per-domain crawl-frontier rollup over canonicalized links.
+
+    ``(domain, n_links, n_urls, n_src_docs, sample_url)`` — total anchor
+    count, distinct canonical URLs, distinct linking documents, and the
+    bytewise-min canonical URL as a deterministic seed sample.
+
+    Scale shape: canonicalization is map-only, then the aggregation.
+    Exact mode (the oracle path) pays the standard two-level
+    multi-distinct plan — Expand (3× the link rows, partial-aggregated
+    map-side) → exchange on (domain, url, doc, gid) → exchange on domain;
+    correct but the first shuffle carries near-link-cardinality keys.
+    ``approx=True`` is the 100 TB path: HLL++ ``approx_count_distinct``
+    partials are constant-size and mergeable, so the whole rollup is ONE
+    shuffle on domain with no Expand (plan-gated in tests), and domain
+    cardinality (~10^8 domains vs ~10^11 pages) keeps reducer keys
+    small."""
+    n = normalize_links(links, href_col).where(F.col("url").isNotNull())
+    distinct = F.approx_count_distinct if approx else F.countDistinct
+    return n.groupBy(F.col("url_domain").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_links"),
+        distinct("url").alias("n_urls"),
+        distinct("doc_id").alias("n_src_docs"),
+        F.min("url").alias("sample_url"),
+    )

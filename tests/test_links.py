@@ -1,0 +1,132 @@
+"""Link graph, URL canonicalization, and frontier rollup
+(extractor/ops/links.py).
+
+The reference only renders anchors inline (linearize.py:185-193 parity is
+covered by the golden fixtures); these ops surface links as data.  URL
+rules follow RFC 3986 §6 syntax-based normalization + the standard
+tracking-parameter scrub.
+"""
+import pytest
+
+from pyspark.sql import functions as F
+
+from extractor.ops.links import (
+    extract_links,
+    normalize_links,
+    normalize_url,
+    url_frontier,
+)
+
+
+def _norm(spark, *urls):
+    df = spark.createDataFrame([(u,) for u in urls], "href string")
+    return [r[0] for r in df.select(normalize_url("href")).collect()]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # scheme+host lowercase, www/port/fragment drop, trailing slash,
+        # tracking scrub, param sort — the everything case
+        (
+            "HTTPS://www.Site.Example.COM:443/p1/?utm_source=x&b=2&a=1#frag",
+            "https://site.example.com/p1?a=1&b=2",
+        ),
+        # empty path -> "/"
+        ("http://WWW.site.example.com", "http://site.example.com/"),
+        # root path keeps its slash
+        ("https://a.com/", "https://a.com/"),
+        # tracking-only query dropped entirely
+        ("https://a.com/p?utm_campaign=c&utm_medium=m", "https://a.com/p"),
+        # gclid/fbclid scrub inside a nested path
+        ("https://a.com/p/sub/?z=9&gclid=abc&a=1", "https://a.com/p/sub?a=1&z=9"),
+        # non-default port is also dropped (parts-based rebuild, documented)
+        ("https://a.com:8443/x", "https://a.com/x"),
+        # params that merely START with a tracking name survive the scrub
+        ("https://a.com/p?gclid2=keep&gclid=drop", "https://a.com/p?gclid2=keep"),
+        # empty pairs (&&) removed
+        ("https://a.com/p?&&a=1&", "https://a.com/p?a=1"),
+        # fragment-only / relative / non-http(s) -> NULL
+        ("#sec1", None),
+        ("/relative/path", None),
+        ("ftp://site.example.com/f", None),
+        ("mailto:x@example.com", None),
+        (None, None),
+    ],
+)
+def test_normalize_url(spark, raw, expected):
+    assert _norm(spark, raw) == [expected]
+
+
+def test_normalize_url_identity_collapses_spelling_variants(spark):
+    variants = [
+        "https://www.A.com/p?b=2&a=1",
+        "HTTPS://a.com:443/p/?a=1&b=2&utm_source=t",
+        "https://a.com/p?a=1&b=2#sec",
+    ]
+    assert len(set(_norm(spark, *variants))) == 1
+
+
+def test_normalize_links_is_map_only(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.com/p?b=2&a=1")], "doc_id long, href string"
+    )
+    out = normalize_links(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    row = out.collect()[0]
+    assert row["url"] == "https://a.com/p?a=1&b=2"
+    assert row["url_domain"] == "a.com"
+
+
+def test_url_frontier_rollup(spark):
+    rows = [
+        (1, "https://www.A.com/p?b=2&a=1"),     # same page, 3 spellings
+        (1, "HTTPS://a.com:443/p/?a=1&b=2"),
+        (2, "https://a.com/p?a=1&b=2&utm_source=t"),
+        (2, "https://a.com/other"),              # second page, same domain
+        (3, "http://b.com"),                     # second domain
+        (3, "#frag"),                            # dropped
+        (3, "ftp://c.com/x"),                    # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, href string")
+    got = {r["domain"]: r.asDict() for r in url_frontier(df).collect()}
+    assert set(got) == {"a.com", "b.com"}
+    a = got["a.com"]
+    assert a["n_links"] == 4
+    assert a["n_urls"] == 2
+    assert a["n_src_docs"] == 2
+    assert a["sample_url"] == "https://a.com/other"
+    b = got["b.com"]
+    assert (b["n_links"], b["n_urls"], b["n_src_docs"]) == (1, 1, 1)
+    assert b["sample_url"] == "http://b.com/"
+
+
+def test_url_frontier_plan_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.com/p")], "doc_id long, href string"
+    )
+    exact = url_frontier(df)._jdf.queryExecution().executedPlan().toString()
+    # exact mode: the standard two-level multi-distinct plan — one Expand,
+    # exchange on (domain, url, doc, gid), then exchange on domain
+    assert "Expand" in exact
+    assert exact.count("Exchange hashpartitioning") == 2
+    # approx (100 TB) mode: mergeable HLL partials — ONE shuffle, no Expand
+    hll = url_frontier(df, approx=True)
+    plan = hll._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" not in plan
+    row = hll.collect()[0]
+    assert (row["n_links"], row["n_urls"], row["n_src_docs"]) == (1, 1, 1)
+
+
+def test_extract_links_feeds_frontier(spark):
+    html = (
+        '<p>x</p><a href="https://www.A.com/p?b=2&a=1">one</a>'
+        '<a href="#s">jump</a><a>no-href</a>'
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    links = extract_links(df)
+    assert links.count() == 2  # href-less anchor skipped
+    front = url_frontier(links).collect()
+    assert len(front) == 1 and front[0]["domain"] == "a.com"
