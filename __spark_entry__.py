@@ -576,6 +576,31 @@ def _url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_frontier(_frontier_hrefs(docs))
 
 
+def _domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over a deterministic domain graph,
+    HASH-CHECKED: edges (src = doc_id%50, dst = (7·src + doc_id÷50)%50,
+    one-third of rows dropped by a (src+2t)%3 predicate so out-degrees
+    vary) run 4 rounds of the EXACT integer-arithmetic power iteration
+    (``extractor/ops/links.py::pagerank`` — floor-division contributions,
+    order-independent sums), and the oracle unrolls the same 4 rounds as
+    chained SQL CTEs.  The classic iterative web-graph algorithm, in a
+    formulation an engine-independent oracle can verify bit-for-bit."""
+    from extractor.ops.links import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s = F.pmod(F.col("doc_id"), F.lit(50))
+    t = F.expr("doc_id DIV 50")
+    edges = (
+        docs.where(F.pmod(s + F.lit(2) * t, F.lit(3)) != 0)
+        .select(
+            s.alias("src"),
+            F.pmod(F.lit(7) * s + t, F.lit(50)).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=4)
+
+
 def _templated_turns(docs: DataFrame, html) -> DataFrame:
     """(doc_id, html) -> kernel input shape (conv_id, turn_idx, text)."""
     return docs.select(
@@ -959,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFC-3986 URL canonicalization + per-domain crawl-frontier rollup
         "url_normalize": _url_normalize,
         "url_frontier": _url_frontier,
+        # iterative web-graph algorithm, exact-integer formulation
+        "domain_pagerank": _domain_pagerank,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
         "extraction_lineage": _extraction_lineage,
@@ -1384,6 +1411,58 @@ def oracle_sql() -> dict[str, str]:
             FROM n
             WHERE url IS NOT NULL
             GROUP BY url_domain
+        """,
+        "domain_pagerank": r"""
+            WITH e AS (
+              SELECT DISTINCT
+                     doc_id % 50 AS src,
+                     (7 * (doc_id % 50) + doc_id // 50) % 50 AS dst
+              FROM documents
+              WHERE ((doc_id % 50) + 2 * (doc_id // 50)) % 3 <> 0
+            ), deg AS (
+              SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+            ), n AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), r0 AS (
+              SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM n
+            ), r1 AS (
+              SELECT n.node,
+                     150000000000 + COALESCE(SUM(
+                       (r.rank * 85) // (100 * deg.outdeg)), 0) AS rank
+              FROM n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN deg ON deg.src = e.src
+              LEFT JOIN r0 r ON r.node = e.src
+              GROUP BY n.node
+            ), r2 AS (
+              SELECT n.node,
+                     150000000000 + COALESCE(SUM(
+                       (r.rank * 85) // (100 * deg.outdeg)), 0) AS rank
+              FROM n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN deg ON deg.src = e.src
+              LEFT JOIN r1 r ON r.node = e.src
+              GROUP BY n.node
+            ), r3 AS (
+              SELECT n.node,
+                     150000000000 + COALESCE(SUM(
+                       (r.rank * 85) // (100 * deg.outdeg)), 0) AS rank
+              FROM n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN deg ON deg.src = e.src
+              LEFT JOIN r2 r ON r.node = e.src
+              GROUP BY n.node
+            ), r4 AS (
+              SELECT n.node,
+                     150000000000 + COALESCE(SUM(
+                       (r.rank * 85) // (100 * deg.outdeg)), 0) AS rank
+              FROM n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN deg ON deg.src = e.src
+              LEFT JOIN r3 r ON r.node = e.src
+              GROUP BY n.node
+            )
+            SELECT node, CAST(rank AS BIGINT) AS rank FROM r4
         """,
         "t4_table_shapes": r"""
             WITH p AS (

@@ -130,3 +130,50 @@ def test_extract_links_feeds_frontier(spark):
     assert links.count() == 2  # href-less anchor skipped
     front = url_frontier(links).collect()
     assert len(front) == 1 and front[0]["domain"] == "a.com"
+
+
+# --- pagerank --------------------------------------------------------------
+
+def test_pagerank_hand_computed_one_iteration(spark):
+    from extractor.ops.links import pagerank
+
+    # a -> b, a -> c, b -> c : outdeg(a)=2, outdeg(b)=1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iterations=1, scale=1000).collect()}
+    # base = 1000*15//100 = 150; contrib(a->x) = 1000*85 // 200 = 425;
+    # contrib(b->c) = 1000*85 // 100 = 850
+    assert got == {"a": 150, "b": 150 + 425, "c": 150 + 425 + 850}
+
+
+def test_pagerank_mass_and_determinism(spark):
+    from extractor.ops.links import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (3 * i + 1) % 7) for i in range(20)], "src long, dst long"
+    ).distinct()
+    a = sorted(map(tuple, pagerank(edges, iterations=3).collect()))
+    b = sorted(map(tuple, pagerank(edges, iterations=3).collect()))
+    assert a == b  # exact integer arithmetic: bit-identical across runs
+    total = sum(r for _, r in a)
+    n = len(a)
+    # no dangling nodes in this graph: mass conserved up to floor loss
+    assert total <= n * 10 ** 12
+    assert total > n * 10 ** 12 - n * 3 * 10 ** 3
+
+
+def test_pagerank_broadcasts_ranks_not_edges(spark):
+    from extractor.ops.links import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    plan = (pagerank(edges, iterations=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    # every rank-onto-edges join is broadcast (one per iteration, plus the
+    # outdeg join) — the edge table is never the shuffled side of a join;
+    # the remaining SortMergeJoins are the node-sized rebase joins
+    assert plan.count("BroadcastHashJoin") >= 3
+    # contribution sums are partial-aggregated map-side before the
+    # node-cardinality exchange
+    assert "partial_sum" in plan
