@@ -601,6 +601,71 @@ def _domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=4)
 
 
+def _asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (``extractor/ops/temporal.py``): each click
+    event attributed to the latest preceding view by the same user —
+    union + keyed-window carry-forward, ONE shuffle, no join node.  The
+    oracle is DuckDB's native ``ASOF LEFT JOIN``, so the semantics are
+    checked against an independent first-class implementation."""
+    from extractor.ops.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        clicks, views, on="ts", by="user_id", right_cols=("event_id", "value")
+    )
+
+
+def _range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via bin bucketing
+    (``extractor/ops/temporal.py::range_join``): events tagged with every
+    overlapping campaign window (20 deterministic 12-hour windows on an
+    8-hour stride, so some events match 0/1/2 campaigns).  The bin trick
+    replaces Catalyst's nested-loop cross plan with an equi-join on
+    4-hour bins + exact between-filter; the oracle is DuckDB's native
+    inequality (IE) join."""
+    from extractor.ops.temporal import range_join
+
+    H = 3_600 * 1_000_000
+    base = 1_704_067_200 * 1_000_000  # 2024-01-01 00:00:00 UTC
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts"
+    )
+    camp = spark.range(20).select(
+        F.col("id").alias("campaign_id"),
+        F.timestamp_micros(F.lit(base) + F.col("id") * F.lit(8 * H))
+        .cast("timestamp_ntz")
+        .alias("start_ts"),
+        F.timestamp_micros(
+            F.lit(base) + F.col("id") * F.lit(8 * H) + F.lit(12 * H)
+        )
+        .cast("timestamp_ntz")
+        .alias("end_ts"),
+    )
+    return range_join(ev, camp, bin_us=4 * H).select(
+        "event_id", "campaign_id", "start_ts"
+    )
+
+
+def _cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, hour): all four grouping
+    combinations in one pass (Expand-based, single shuffle) — the
+    OLAP-cube companion to the existing ROLLUP entry.  Integer-only
+    aggregates keep the oracle hash-exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.hour("ts").alias("hr"), "user_id"
+    )
+    return ev.cube("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_uid"),
+    )
+
+
 def _templated_turns(docs: DataFrame, html) -> DataFrame:
     """(doc_id, html) -> kernel input shape (conv_id, turn_idx, text)."""
     return docs.select(
@@ -986,6 +1051,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_frontier": _url_frontier,
         # iterative web-graph algorithm, exact-integer formulation
         "domain_pagerank": _domain_pagerank,
+        # temporal joins Spark lacks: as-of (union+window) and range (bins)
+        "asof_view_attribution": _asof_view_attribution,
+        "range_join_campaigns": _range_join_campaigns,
+        # OLAP cube grouping sets (companion to rollup_event_hierarchy)
+        "cube_event_stats": _cube_event_stats,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
         "extraction_lineage": _extraction_lineage,
@@ -1411,6 +1481,40 @@ def oracle_sql() -> dict[str, str]:
             FROM n
             WHERE url IS NOT NULL
             GROUP BY url_domain
+        """,
+        "asof_view_attribution": r"""
+            WITH c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ), v AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'view'
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.event_id AS asof_event_id,
+                   v.value    AS asof_value,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS asof_lag_us
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "range_join_campaigns": r"""
+            WITH camp AS (
+              SELECT i AS campaign_id,
+                     TIMESTAMP '2024-01-01 00:00:00' + to_hours(8 * i)
+                       AS start_ts,
+                     TIMESTAMP '2024-01-01 00:00:00' + to_hours(8 * i + 12)
+                       AS end_ts
+              FROM range(20) t(i)
+            )
+            SELECT e.event_id, camp.campaign_id, camp.start_ts
+            FROM events e
+            JOIN camp ON e.ts BETWEEN camp.start_ts AND camp.end_ts
+        """,
+        "cube_event_stats": r"""
+            SELECT event_type, hour(ts) AS hr,
+                   COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_uid
+            FROM events
+            GROUP BY CUBE (event_type, hour(ts))
         """,
         "domain_pagerank": r"""
             WITH e AS (

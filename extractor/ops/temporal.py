@@ -1,0 +1,146 @@
+"""Temporal join operators Spark's DataFrame API lacks: as-of join and
+range (interval-containment) join.
+
+The reference has no time-series surface at all; these are the two
+canonical "custom operator" gaps called out for training-data pipelines
+(event attribution, campaign/window tagging, sensor alignment).  Both are
+implemented as compositions of existing DataFrame ops — no Python in the
+hot path, no driver-side loops — using the two published scale patterns:
+
+* **as-of** via union + partitioned window ("last non-null carry-forward"),
+  the same shape pandas' ``merge_asof`` distributes to: ONE shuffle on the
+  key, a single window pass, no per-key iteration and no range explosion.
+* **range join** via bin bucketing (the trick behind Databricks'
+  ``RANGE_JOIN`` hint): ranges explode to the fixed-width bins they cover,
+  points compute their bin for free, the join becomes an equi-join on bin
+  followed by an exact between-filter — turning the O(n·m) cross filter
+  Catalyst would otherwise plan (BroadcastNestedLoopJoin) into a hash
+  join whose cost tracks matches, not pairs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch_us(c: Column) -> Column:
+    """Exact epoch microseconds for TIMESTAMP and TIMESTAMP_NTZ alike
+    (NTZ casts through LTZ using the session zone — pin the session to
+    UTC, as ``extractor.session.get_spark`` does, for absolute fidelity;
+    differences and bin widths are zone-shift-invariant either way)."""
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: tuple = (),
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row attach the latest right row
+    of the same ``by`` key with ``right.on <= left.on`` (ties: the right
+    row at the exact same instant matches).  Right columns come back
+    prefixed ``asof_``, plus ``asof_lag_us`` (exact integer microsecond
+    gap); all NULL when no right row precedes the left row, or when the
+    gap exceeds ``tolerance_us``.
+
+    Scale shape: union the two sides (map-only), ONE shuffle partitioning
+    by ``by``, one ordered window doing last-non-null carry-forward, then
+    filter back to left rows.  No join node at all, so no skew/broadcast
+    decision to get wrong; cost is a sort within each key partition.
+    Right rows sharing an exact (by, on) instant must be unique (dedup
+    upstream) — carry-forward would otherwise pick the last in sort
+    order, which is nondeterministic across engines."""
+    right_cols = tuple(right_cols)
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_cols],
+        F.lit(None).cast("long").alias("_r_us"),
+    )
+    r = right.select(
+        *[
+            F.col(c) if c in (on, by) else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in left_cols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        _epoch_us(F.col(on)).alias("_r_us"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        *left_cols,
+        "_side",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in right_cols],
+        F.last("_r_us", ignorenulls=True).over(w).alias("_m_us"),
+    )
+    out = carried.where(F.col("_side") == 1).drop("_side")
+    lag = _epoch_us(F.col(on)) - F.col("_m_us")
+    if tolerance_us is not None:
+        ok = lag <= F.lit(int(tolerance_us))
+        out = out.select(
+            *left_cols,
+            *[F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
+              for c in right_cols],
+            F.when(ok, lag).alias("asof_lag_us"),
+        )
+    else:
+        out = out.select(
+            *left_cols,
+            *[F.col(f"asof_{c}") for c in right_cols],
+            lag.alias("asof_lag_us"),
+        )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_ts: str = "ts",
+    range_start: str = "start_ts",
+    range_end: str = "end_ts",
+    bin_us: int = 4 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Interval-containment join: every (point, range) pair with
+    ``range_start <= point_ts <= range_end`` (inclusive both ends).
+    Returns all point columns + all range columns.
+
+    Scale shape: each range explodes to the ``ceil(len/bin)+1`` fixed
+    bins it covers; each point computes its single bin map-side; the pair
+    space is then an equi-join on bin (hash join, AQE-eligible) plus the
+    exact between-filter.  A containing pair shares exactly one bin (the
+    point's), so no post-join dedup is needed.  Pick ``bin_us`` near the
+    median range length: the explode factor stays ~2 rows per range while
+    each bin's candidate set stays near its true match set.  Catalyst's
+    own plan for the raw inequality predicate is a nested-loop cross —
+    O(points × ranges) — which this composition avoids entirely."""
+    p = points.withColumn(
+        "_bin", F.floor(_epoch_us(F.col(point_ts)) / F.lit(bin_us))
+    )
+    r = ranges.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch_us(F.col(range_start)) / F.lit(bin_us)),
+                F.floor(_epoch_us(F.col(range_end)) / F.lit(bin_us)),
+            )
+        ),
+    )
+    return (
+        p.join(r, "_bin")
+        .where(
+            F.col(point_ts).between(F.col(range_start), F.col(range_end))
+        )
+        .drop("_bin")
+    )
