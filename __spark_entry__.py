@@ -666,6 +666,26 @@ def _cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-on-read: the events table's ``props`` JSON
+    string column parsed JVM-side with ``from_json`` (typed struct, no
+    Python, codegen'd) and aggregated per event_type — the standard
+    "JSON column in a lakehouse table" access path.  Integer-only
+    aggregates keep the oracle hash-exact; DuckDB parses the same JSON
+    with ``json_extract``."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("k").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_k"),
+    )
+
+
 def _templated_turns(docs: DataFrame, html) -> DataFrame:
     """(doc_id, html) -> kernel input shape (conv_id, turn_idx, text)."""
     return docs.select(
@@ -1056,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_campaigns": _range_join_campaigns,
         # OLAP cube grouping sets (companion to rollup_event_hierarchy)
         "cube_event_stats": _cube_event_stats,
+        # semi-structured: JSON column schema-on-read (from_json, JVM-side)
+        "json_props_stats": _json_props_stats,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
         "extraction_lineage": _extraction_lineage,
@@ -1515,6 +1537,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_uid
             FROM events
             GROUP BY CUBE (event_type, hour(ts))
+        """,
+        "json_props_stats": r"""
+            WITH t AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   COUNT(k) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k,
+                   MAX(k) AS max_k,
+                   COUNT(DISTINCT k) AS n_k
+            FROM t
+            GROUP BY event_type
         """,
         "domain_pagerank": r"""
             WITH e AS (
