@@ -601,6 +601,27 @@ def _domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=4)
 
 
+def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over a deterministic document graph, HASH-CHECKED:
+    raw edges (u = doc_id%30, v = (doc_id DIV 30)%30, ~60% kept by a
+    (u+2v)%5 predicate; self-loops and duplicates left in deliberately)
+    run the degree-ordered oriented wedge count
+    (``extractor/ops/links.py::triangle_count`` — the O(m^1.5)
+    MapReduce-style formulation that survives power-law degree skew),
+    and the oracle recomputes the same census with a canonical a<b<c
+    three-way self-join in DuckDB.  One row: (n_nodes, n_edges,
+    n_triangles)."""
+    from extractor.ops.links import triangle_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    u = F.pmod(F.col("doc_id"), F.lit(30))
+    v = F.pmod(F.expr("doc_id DIV 30"), F.lit(30))
+    edges = docs.where(F.pmod(u + F.lit(2) * v, F.lit(5)) < 3).select(
+        u.alias("src"), v.alias("dst")
+    )
+    return triangle_count(edges)
+
+
 def _asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (``extractor/ops/temporal.py``): each click
     event attributed to the latest preceding view by the same user —
@@ -1060,7 +1081,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip": _pdf_roundtrip,  # write->decode PDF byte roundtrip
         # Iceberg rewrite_data_files / OPTIMIZE analogue, content-verified
         "compact_table": maintenance.compact_table,
-        "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # link-graph side table over the real DOM parser (templated oracle)
         "link_graph": _link_graph,
         # byte-sniffing format dispatch: html/docx/pdf/layout/text payloads
@@ -1078,6 +1098,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_event_stats": _cube_event_stats,
         # semi-structured: JSON column schema-on-read (from_json, JVM-side)
         "json_props_stats": _json_props_stats,
+        # broadcast-bloom decontamination prefilter: same output contract
+        # as decontaminate_ngram (shared oracle), map-side bit_get topology
+        "decontaminate_bloom": dedup.decontaminate_bloom,
+        # degree-ordered triangle census (Suri–Vassilvitskii orientation)
+        "triangle_count": _triangle_count,
+        # IR inverted index with capped posting lists (OOM-safe collect)
+        "inverted_index": textops.inverted_index,
+        # UAX #15 NFC canonicalization, Arrow kernel vs DuckDB ICU oracle
+        "nfc_normalize_stats": textops.nfc_normalize_stats,
+        # ---- position 50+: green in r3, rotated OUT of this round's
+        # 50-entry driver window (ends at nfc_normalize_stats above) ----
+        "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
         "extraction_lineage": _extraction_lineage,
@@ -1093,11 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_markdown_cleanup": textops.t10_markdown_cleanup,
         "token_stats": textops.token_stats,
         "quality_score": textops.quality_score,
-        # ---- position 51+: green in r3, rotated OUT of this round's
-        # 50-entry driver window (the window ends at token_stats above —
-        # quality_score was displaced by the late-round link_graph
-        # insertion; quality_score / line_dedup / pack_sequences* should
-        # lead the round-5 rotation) ----
+        # (everything below was green in r3; quality_score / line_dedup /
+        # pack_sequences* should lead the round-5 rotation) ----
         "line_dedup": dedup.line_dedup,
         "pack_sequences": dedup.pack_sequences,
         # nested prefix-sum variant for unbounded corpora — identical
@@ -2825,8 +2854,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, rk FROM r WHERE rk <= 5
         """,
+        "triangle_count": """
+            WITH raw AS (
+              SELECT doc_id % 30 AS src, (doc_id // 30) % 30 AS dst
+              FROM documents
+              WHERE (doc_id % 30 + 2 * ((doc_id // 30) % 30)) % 5 < 3
+            ), und AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM raw WHERE src <> dst
+            ), nodes AS (
+              SELECT u AS node FROM und UNION SELECT v FROM und
+            ), tri AS (
+              SELECT count(*) AS n_triangles
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                   (SELECT count(*) FROM und) AS n_edges,
+                   (SELECT n_triangles FROM tri) AS n_triangles
+        """,
+        "inverted_index": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+                x -> x <> '')) AS tok
+              FROM documents WHERE text IS NOT NULL
+            ), per AS (
+              SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), capped AS (
+              SELECT tok, doc_id, tf,
+                     row_number() OVER (
+                       PARTITION BY tok ORDER BY doc_id
+                     ) AS rn
+              FROM per
+            )
+            SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS tf_total,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     FILTER (WHERE rn <= 16) AS postings
+            FROM capped GROUP BY tok
+        """,
+        "nfc_normalize_stats": """
+            SELECT doc_id,
+                   length(s) AS len_raw,
+                   length(nfc_normalize(s)) AS len_nfc,
+                   md5(nfc_normalize(s)) AS nfc_md5
+            FROM (
+              SELECT doc_id,
+                     text || repeat('e' || chr(769),
+                                    CAST(doc_id % 3 + 1 AS INT))
+                          || 'A' || chr(778) AS s
+              FROM documents WHERE text IS NOT NULL
+            )
+        """,
     }
     # identical output contract, different distributed algorithm
     oracles["dedup_clusters_two_phase"] = oracles["dedup_clusters"]
     oracles["pack_sequences_two_level"] = oracles["pack_sequences"]
+    # bloom prefilter + exact verify is output-identical to the exact path
+    oracles["decontaminate_bloom"] = oracles["decontaminate_ngram"]
     return oracles

@@ -327,21 +327,11 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_N = 8  # n-gram length for test-set decontamination
 
 
-def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Test-set decontamination: flag training documents sharing any
-    8-gram with a benchmark set (here: the leading 8-gram of every 50th
-    document — the sources themselves flag, as they should when the eval
-    set was drawn from the corpus).  The pre-training staple alongside
-    dedup; hash = md5 over the space-joined gram, so fully oracle-checkable.
-
-    Plan (100 TB posture): the benchmark gram set is tiny → broadcast; doc
-    grams are exploded but hit the broadcast LeftSemi immediately — a
-    map-side filter, NO shuffle of the gram stream (at extreme gram
-    cardinality swap in a bloom filter built from the same hashes, same
-    topology).  The final flag join is left unhinted: hits are usually
-    ≪ corpus (AQE broadcast-promotes them at runtime) but nothing bounds
-    a pathological contamination rate, so the plan must degrade to a
-    shuffle join rather than force a corpus-order broadcast."""
+def _decon_frames(spark: SparkSession, sf_dir: str):
+    """Shared decontamination inputs: ``t`` (doc_id, lang, toks), the
+    distinct benchmark-gram hashes ``bench`` (g), and the exploded
+    per-document gram stream ``doc_grams`` (doc_id, g).  Grams are md5
+    over the space-joined token window — fully oracle-checkable."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     toks = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
@@ -365,8 +355,107 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.where(F.size("toks") >= DECON_N)
         .select("doc_id", F.explode(grams).alias("g"))
     )
+    return t, bench, doc_grams
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing any
+    8-gram with a benchmark set (here: the leading 8-gram of every 50th
+    document — the sources themselves flag, as they should when the eval
+    set was drawn from the corpus).  The pre-training staple alongside
+    dedup; hash = md5 over the space-joined gram, so fully oracle-checkable.
+
+    Plan (100 TB posture): the benchmark gram set is tiny → broadcast; doc
+    grams are exploded but hit the broadcast LeftSemi immediately — a
+    map-side filter, NO shuffle of the gram stream (at extreme gram
+    cardinality swap in a bloom filter built from the same hashes, same
+    topology).  The final flag join is left unhinted: hits are usually
+    ≪ corpus (AQE broadcast-promotes them at runtime) but nothing bounds
+    a pathological contamination rate, so the plan must degrade to a
+    shuffle join rather than force a corpus-order broadcast."""
+    t, bench, doc_grams = _decon_frames(spark, sf_dir)
     hits = (
         doc_grams.join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        t.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("is_contaminated"),
+        )
+    )
+
+
+BLOOM_BITS = 1 << 16  # bitmap width; 1,024 int64 words broadcast as a literal
+BLOOM_K = 5  # hash functions per gram
+
+
+def _bloom_words(positions) -> list[int]:
+    """Pack set-bit positions into signed-int64 words (Spark LongType)."""
+    words = [0] * (BLOOM_BITS // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_positions(g_col):
+    """The BLOOM_K bit positions for one gram hash: pmod(xxhash64(i, g), m).
+    Seeds vary by prepending the hash index as a first xxhash64 column."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), g_col), F.lit(BLOOM_BITS))
+        for i in range(BLOOM_K)
+    ]
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination with a BROADCAST BLOOM PREFILTER — same
+    output as :func:`decontaminate` (bit-for-bit; they share one oracle
+    SQL), different 100 TB topology for the regime where the benchmark
+    gram set is itself too large to broadcast as a set.
+
+    Plan: the benchmark grams are folded into a fixed-width bloom bitmap
+    (BLOOM_K xxhash64 probes into BLOOM_BITS bits) — a bounded driver
+    collect of at most BLOOM_BITS distinct positions, shipped to every
+    task as ONE constant-size array<bigint> literal regardless of
+    benchmark cardinality (at a 1B-gram benchmark, size m for the target
+    false-positive rate: m = 2^33 bits ≈ 1 GiB still broadcasts; the
+    exact gram set would not).  Every document gram is then tested
+    map-side with ``bit_get`` — JVM-side, codegen'd, NO join, NO shuffle
+    of the gram stream — and only the bloom survivors (true hits + the
+    FPR·|grams| false positives) reach the exact verify semi-join that
+    restores exactness.  Bloom filters never yield false NEGATIVES, so
+    prefilter + exact verify ≡ exact semi-join.
+
+    The shuffle-facing volume drops from |doc grams| to |survivors|; at
+    FPR ≈ 2% that is a ~50× reduction of the stage-boundary traffic for
+    an uncontaminated corpus."""
+    t, bench, doc_grams = _decon_frames(spark, sf_dir)
+
+    # bounded collect: ≤ BLOOM_BITS distinct positions, independent of corpus
+    positions = [
+        r[0]
+        for r in bench.select(
+            F.explode(F.array(*_bloom_positions(F.col("g")))).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    bits = F.lit(_bloom_words(positions))  # constant array<bigint> literal
+
+    def might_contain(g_col):
+        cond = F.lit(True)
+        for h in _bloom_positions(g_col):
+            word = F.get(bits, F.floor(h / F.lit(64)).cast("int"))
+            cond = cond & (F.bit_get(word, (h % 64).cast("int")) == 1)
+        return cond
+
+    survivors = doc_grams.where(might_contain(F.col("g")))  # map-side, no join
+    hits = (
+        survivors.join(F.broadcast(bench), "g", "left_semi")  # kills FPs
         .select("doc_id")
         .distinct()
         .withColumn("hit", F.lit(True))

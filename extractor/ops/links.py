@@ -224,3 +224,84 @@ def pagerank(edges: DataFrame, iterations: int = 5,
             )
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected simple graph given as a
+    (src, dst) edge table (either orientation, duplicates/self-loops
+    tolerated): one row ``(n_nodes, n_edges, n_triangles)``.
+
+    Algorithm: degree-ordered edge orientation (Cohen / Suri–Vassilvitskii
+    MapReduce triangle counting).  Every edge is directed from its
+    lower-(degree, id) endpoint to the higher, so each triangle has
+    exactly one "apex" node with two out-edges and is counted exactly
+    once; the per-node out-degree under this orientation is bounded by
+    O(sqrt(m)), so the wedge relation is O(m^1.5) rows instead of the
+    Σ deg² blowup a naive wedge join suffers on skewed web graphs —
+    THE property that makes the plan survive a power-law degree
+    distribution at web scale.
+
+    Spark shape: degrees are one agg shuffle (node cardinality); the
+    degree attach is a broadcast join (node-sized table onto edges — at
+    10^8+ nodes swap for a sort-merge join on the bucketed node key, the
+    topology is unchanged); wedges are an equi self-join of the oriented
+    edge table on its apex (one hash shuffle of m rows), and the closing
+    test is an equi join of wedges against oriented edges on the
+    (lo, hi) pair — every join is an equi join, no cross products, and
+    the count aggregate is map-side combined down to one row per task."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total order for the orientation: (deg, node) packed into one long
+    # (node ids must fit 32 bits — true of any hashed/dictionary node key)
+    rank = deg.select(
+        "node",
+        (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("rk"),
+    )
+    ru = rank.select(F.col("node").alias("u"), F.col("rk").alias("rk_u"))
+    rv = rank.select(F.col("node").alias("v"), F.col("rk").alias("rk_v"))
+    oriented = (
+        und.join(F.broadcast(ru), "u")
+        .join(F.broadcast(rv), "v")
+        .select(
+            F.when(F.col("rk_u") < F.col("rk_v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.when(F.col("rk_u") < F.col("rk_v"), F.col("rk_v"))
+            .otherwise(F.col("rk_u"))
+            .alias("rk_b"),
+            F.when(F.col("rk_u") < F.col("rk_v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("b"),
+        )
+    )
+    o1 = oriented.select(
+        F.col("a").alias("apex"), F.col("b").alias("x"), F.col("rk_b").alias("rk_x")
+    )
+    o2 = oriented.select(
+        F.col("a").alias("apex"), F.col("b").alias("y"), F.col("rk_b").alias("rk_y")
+    )
+    # each unordered out-pair once: order the wedge arms by the SAME total
+    # order used for the orientation, so the closing edge is oriented x->y
+    wedges = o1.join(o2, "apex").where(F.col("rk_x") < F.col("rk_y"))
+    closing = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    # three 1-row aggregates composed into one plan (bounded cross joins)
+    n_tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

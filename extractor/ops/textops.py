@@ -446,3 +446,90 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str,
+                   max_postings: int = 16) -> DataFrame:
+    """Inverted-index build — the IR-side companion to ``vocab_topk``:
+    one row per distinct token with its document frequency, total term
+    frequency, and a CAPPED ascending posting list (first *max_postings*
+    doc_ids, comma-joined so the oracle hash is string-exact).
+
+    Scale shape: (tok, doc_id) term frequencies are one map-side-combined
+    agg shuffle; the posting cap is applied with a row_number window over
+    the SAME tok partitioning BEFORE the final collect_list, so a
+    stop-word token ("the": ~every doc on the open web) contributes at
+    most *max_postings* elements to any in-memory list — an UNCAPPED
+    collect_list per token is the classic inverted-index OOM at web
+    scale.  df/tf still aggregate over the full relation, exactly."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    per = (
+        docs.select("doc_id", F.explode(_tok_arr()).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    capped = per.withColumn("rn", F.row_number().over(w))
+    return capped.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= max_postings, F.col("doc_id"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def nfc_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over the corpus — the canonicalization
+    step every multilingual training pipeline runs before dedup/hashing
+    (composed vs decomposed accents otherwise defeat exact-hash dedup).
+
+    Spark has no built-in normalizer, so this is an Arrow ``mapInPandas``
+    kernel (batched, zero per-row Python round-trips) over
+    ``unicodedata.normalize("NFC", ...)``; a deterministic DECOMPOSED
+    suffix (combining acute/ring repeated ``doc_id % 3 + 1`` times) is
+    appended first so composition demonstrably fires on every row.  The
+    oracle recomputes with DuckDB's ICU ``nfc_normalize`` — two
+    independent conformant implementations of UAX #15 must agree on
+    length and md5 per document.  Map-only: no shuffle, no join."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+
+    def kernel(iterator):
+        import hashlib
+        import unicodedata
+
+        import pandas as pd
+
+        for batch in iterator:
+            ids, raw_len, nfc_len, digest = [], [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                s = text + "é" * (int(doc_id) % 3 + 1) + "Å"
+                n = unicodedata.normalize("NFC", s)
+                ids.append(int(doc_id))
+                raw_len.append(len(s))
+                nfc_len.append(len(n))
+                digest.append(hashlib.md5(n.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "len_raw": raw_len,
+                    "len_nfc": nfc_len,
+                    "nfc_md5": digest,
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, len_raw long, len_nfc long, nfc_md5 string"
+    )

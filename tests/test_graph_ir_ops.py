@@ -1,0 +1,188 @@
+"""Late-round-4 operators: degree-ordered triangle census
+(extractor/ops/links.py), IR inverted index + NFC normalization
+(extractor/ops/textops.py), and the broadcast-bloom decontamination
+prefilter (extractor/ops/dedup.py).
+
+All four also carry DuckDB oracles in ``__spark_entry__``; these tests pin
+the hand-checkable semantics (known tiny graphs, brute-force recompute,
+unicodedata parity, bloom ≡ exact) and the plan shapes the oracles can't
+see.
+"""
+import collections
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from extractor.ops import dedup, textops
+from extractor.ops.links import triangle_count
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_count(df).collect()[0]
+
+
+def test_triangle_count_hand_graph(spark):
+    # und = {1-2, 2-3, 1-3, 3-4, 1-4}; triangles {1,2,3} and {1,3,4};
+    # the self-loop (2,2) and reversed duplicate (2,1) must be cleaned
+    r = _tri(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 1), (2, 2), (2, 1)])
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
+
+
+def test_triangle_count_complete_k5(spark):
+    edges = [(a, b) for a in range(5) for b in range(5) if a != b]
+    r = _tri(spark, edges)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (5, 10, 10)
+
+
+def test_triangle_count_triangle_free(spark):
+    # path graph: plenty of wedges, zero closures
+    r = _tri(spark, [(i, i + 1) for i in range(6)])
+    assert r["n_triangles"] == 0 and r["n_edges"] == 6
+
+
+def test_triangle_count_skewed_hub(spark):
+    # star hub 0 with 6 spokes has wedges at the hub but no triangle until
+    # a spoke-spoke edge closes one; the degree orientation must count it
+    # exactly once (the hub is the HIGH-degree endpoint, so neither hub
+    # wedge arm originates at the hub — the skew-safety property)
+    star = [(0, i) for i in range(1, 7)]
+    assert _tri(spark, star)["n_triangles"] == 0
+    assert _tri(spark, star + [(1, 2)])["n_triangles"] == 1
+
+
+def test_triangle_count_plan_all_equi_joins(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    plan = _plan(triangle_count(df))
+    # the wedge and closing joins must be equi joins; the only non-equi
+    # nodes allowed are the final three 1-row aggregate cross joins
+    assert "CartesianProduct" not in plan, plan
+
+
+def _brute_force_index(max_postings=16):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    df_c = collections.Counter()
+    tf_c = collections.Counter()
+    posts = collections.defaultdict(list)
+    for doc_id, text in sorted(zip(docs["doc_id"], docs["text"])):
+        if text is None:
+            continue
+        toks = [t for t in re.split("[ \t\r\n\f\v]+", text.lower()) if t]
+        cnt = collections.Counter(toks)
+        for tok, n in cnt.items():
+            df_c[tok] += 1
+            tf_c[tok] += n
+            if len(posts[tok]) < max_postings:
+                posts[tok].append(int(doc_id))
+    return df_c, tf_c, posts
+
+
+def test_inverted_index_matches_brute_force(spark):
+    out = textops.inverted_index(spark, SF).toPandas()
+    df_c, tf_c, posts = _brute_force_index()
+    assert set(out["tok"]) == set(df_c)
+    for row in out.itertuples(index=False):
+        assert row.df == df_c[row.tok], row.tok
+        assert row.tf_total == tf_c[row.tok], row.tok
+        assert row.postings == ",".join(str(d) for d in posts[row.tok]), row.tok
+
+
+def test_inverted_index_posting_cap_exercised(spark):
+    # the cap is the whole point (stop-word OOM guard): the corpus must
+    # actually contain a token with df > 16, and its posting list must be
+    # exactly the 16 smallest doc_ids
+    out = textops.inverted_index(spark, SF).toPandas()
+    hot = out[out["df"] > 16]
+    assert len(hot) > 0, "fixture corpus has no token with df > 16"
+    for row in hot.itertuples(index=False):
+        assert row.postings.count(",") == 15, row.tok
+
+
+def test_inverted_index_two_shuffles(spark):
+    # (tok, doc_id) agg shuffle + tok shuffle shared by the window and the
+    # final agg (the window's hashpartitioning(tok) satisfies the groupBy)
+    plan = _plan(textops.inverted_index(spark, SF))
+    assert plan.count("Exchange (") <= 2, plan
+
+
+def test_nfc_matches_unicodedata(spark):
+    import hashlib
+    import unicodedata
+
+    import pyarrow.parquet as pq
+
+    out = (
+        textops.nfc_normalize_stats(spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    n = 0
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        s = text + "é" * (int(doc_id) % 3 + 1) + "Å"
+        norm = unicodedata.normalize("NFC", s)
+        row = out.loc[int(doc_id)]
+        assert row["len_raw"] == len(s)
+        assert row["len_nfc"] == len(norm)
+        assert row["nfc_md5"] == hashlib.md5(norm.encode("utf-8")).hexdigest()
+        # composition demonstrably fired: é/Å composed to single points
+        assert row["len_nfc"] < row["len_raw"]
+        n += 1
+    assert n == len(out)
+
+
+def test_nfc_is_map_only(spark):
+    plan = _plan(textops.nfc_normalize_stats(spark, SF))
+    assert "Exchange" not in plan, f"NFC kernel must not shuffle:\n{plan}"
+
+
+def test_bloom_words_bit_packing():
+    # signed-int64 conversion: bit 63 set -> negative long (Spark LongType)
+    words = dedup._bloom_words([0, 63, 64, dedup.BLOOM_BITS - 1])
+    assert words[0] == (1 | (1 << 63)) - (1 << 64)  # bits 0 and 63
+    assert words[1] == 1  # bit 64 -> word 1 bit 0
+    assert words[-1] == -(1 << 63)  # last bit -> sign bit of last word
+    assert len(words) == dedup.BLOOM_BITS // 64
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    # bloom prefilter + exact verify must be OUTPUT-IDENTICAL to the
+    # exact semi-join path (no false negatives by construction; false
+    # positives killed by the verify join)
+    exact = sorted(
+        map(tuple, dedup.decontaminate(spark, SF).collect())
+    )
+    bloom = sorted(
+        map(tuple, dedup.decontaminate_bloom(spark, SF).collect())
+    )
+    assert exact == bloom
+    assert any(r[2] for r in exact), "fixture corpus flags no documents"
+
+
+def test_decontaminate_bloom_filter_is_join_free(spark):
+    # the gram-stream prefilter must be a codegen'd Filter (bit_get over a
+    # literal array), NOT a join: exactly the exact path's join count
+    t, bench, doc_grams = dedup._decon_frames(spark, SF)
+    exact_plan = _plan(dedup.decontaminate(spark, SF))
+    bloom_plan = _plan(dedup.decontaminate_bloom(spark, SF))
+    assert bloom_plan.count("Join") == exact_plan.count("Join"), bloom_plan
+    assert "bit_get" in bloom_plan
