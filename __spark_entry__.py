@@ -1107,8 +1107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": textops.inverted_index,
         # UAX #15 NFC canonicalization, Arrow kernel vs DuckDB ICU oracle
         "nfc_normalize_stats": textops.nfc_normalize_stats,
-        # ---- position 50+: green in r3, rotated OUT of this round's
-        # 50-entry driver window (ends at nfc_normalize_stats above) ----
+        # ---- position 50+: rotated OUT of this round's 50-entry driver
+        # window (ends at nfc_normalize_stats above).  bm25_topk landed
+        # after the window filled — it should LEAD the round-5 rotation ----
+        # Okapi BM25 ranked retrieval, exact-integer micro-unit scoring
+        "bm25_topk": textops.bm25_topk,
+        # windowed-hash substring-duplication profile (suffix-array-dedup
+        # approximation); JVM-side window generation, two-level distinct agg
+        "substring_dup_profile": dedup.substring_dup_profile,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -2894,6 +2900,81 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
                      FILTER (WHERE rn <= 16) AS postings
             FROM capped GROUP BY tok
+        """,
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+                x -> x <> '')) AS tok
+              FROM documents WHERE text IS NOT NULL
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY doc_id
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl
+            ), vocab AS (
+              SELECT tok, sum(tf) AS cnt, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY tok
+            ), q AS (
+              SELECT tok, df FROM (
+                SELECT tok, df, row_number() OVER (
+                  ORDER BY cnt DESC, tok
+                ) AS r FROM vocab
+              ) WHERE r IN (5, 10, 15)
+            ), scored AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       ln((stats.n_docs - q.df + CAST(0.5 AS DOUBLE))
+                          / (q.df + CAST(0.5 AS DOUBLE))
+                          + CAST(1.0 AS DOUBLE))
+                       * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                       / (tf.tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+                       * CAST(1000000 AS DOUBLE)
+                     ) AS BIGINT) AS s_micro
+              FROM tf
+              JOIN q ON tf.tok = q.tok
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25_micro DESC, doc_id LIMIT 50
+        """,
+        "substring_dup_profile": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(text) >= 32
+                          THEN (length(text) - 32) // 16 + 1
+                          ELSE 0 END AS n_windows
+              FROM documents WHERE text IS NOT NULL
+            ), w AS (
+              SELECT doc_id, md5(substr(text, i * 16 + 1, 32)) AS h
+              FROM d, unnest(range(0, n_windows)) AS t(i)
+              WHERE n_windows > 0
+            ), dup AS (
+              SELECT h FROM (SELECT DISTINCT h, doc_id FROM w)
+              GROUP BY h HAVING count(*) > 1
+            ), dpd AS (
+              SELECT doc_id, count(*) AS n_dup_windows
+              FROM w WHERE h IN (SELECT h FROM dup)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(d.n_windows AS BIGINT) AS n_windows,
+                   CAST(coalesce(dpd.n_dup_windows, 0) AS BIGINT)
+                     AS n_dup_windows,
+                   CASE WHEN d.n_windows > 0
+                        THEN round(CAST(coalesce(dpd.n_dup_windows, 0)
+                                        AS DOUBLE) / d.n_windows, 6)
+                        ELSE CAST(0.0 AS DOUBLE) END AS dup_fraction
+            FROM d LEFT JOIN dpd USING (doc_id)
         """,
         "nfc_normalize_stats": """
             SELECT doc_id,

@@ -1011,3 +1011,80 @@ def pack_sequences(
         (end_seq - seq_id + 1).alias("n_seqs_spanned"),
         (end_seq > seq_id).alias("crosses_boundary"),
     )
+
+
+SUBSTR_W = 32  # duplicated-substring window width (chars)
+SUBSTR_STRIDE = 16  # window stride
+
+
+def substring_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity duplication profile — the windowed-hash
+    approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    long-substring matches matter even when whole documents differ).
+    Every document is cut into 32-char windows on a 16-char stride; a
+    window is DUPLICATED if its hash occurs in more than one document.
+    Output per document: ``n_windows``, ``n_dup_windows``,
+    ``dup_fraction`` (rounded 6) — the signal a curation pass thresholds
+    on before the expensive span-splitting rewrite.
+
+    Scale shape (100 TB): windows are generated JVM-side
+    (``transform(sequence(...))`` + ``Column.substr`` — no Python, no
+    UDF) and exploded map-side; the duplicate set is the standard
+    two-level distinct-then-count aggregate (each level map-side
+    combined, one shuffle each on the hash key — never a
+    count(distinct) holding per-group sets); the flag join is LEFT SEMI
+    on the hash, unhinted so AQE picks broadcast when the dup set is
+    small and degrades to shuffle when a template-heavy corpus makes it
+    large.  Per-doc rollup is one final agg shuffle on doc_id."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    L = F.length("text")
+    n_win = F.when(
+        L >= SUBSTR_W,
+        ((L - F.lit(SUBSTR_W)) / F.lit(SUBSTR_STRIDE)).cast("long") + 1,
+    ).otherwise(F.lit(0))
+    d = docs.select("doc_id", "text", n_win.alias("n_windows"))
+    w = d.where(F.col("n_windows") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_windows") - 1),
+                lambda i: F.md5(
+                    F.col("text").substr(
+                        i * SUBSTR_STRIDE + F.lit(1), F.lit(SUBSTR_W)
+                    )
+                ),
+            )
+        ).alias("h"),
+    )
+    dup = (
+        w.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    dup_per_doc = (
+        w.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        d.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.when(F.col("n_windows") > 0,
+                   F.round(
+                       F.coalesce("n_dup_windows", F.lit(0))
+                       .cast("double") / F.col("n_windows"),
+                       6,
+                   ))
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

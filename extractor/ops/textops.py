@@ -533,3 +533,88 @@ def nfc_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, "doc_id long, len_raw long, len_nfc long, nfc_md5 string"
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_RANKS = (5, 10, 15)  # global vocab ranks used as the query terms
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; the Okapi BM25
+    formula every production search stack runs) — the retrieval capstone
+    on the :func:`inverted_index` family: score every document against a
+    deterministic query (the tokens at global vocabulary ranks 5/10/15 by
+    total count, tie-broken on the token) and return the top-*k* by score.
+
+    EXACT-INTEGER oracle trick (same family as the integer PageRank):
+    each per-(doc, term) partial score is computed in float64 from a
+    per-row-deterministic expression — no float ever crosses an
+    order-sensitive aggregate — then rounded to integer MICRO-units
+    before the per-doc sum, so the sum is exact long arithmetic and the
+    result hash-matches an independent engine bit-for-bit.  ``avgdl`` is
+    built as sum/count explicitly (not ``avg``) so both engines produce
+    the identical float64.
+
+    Scale shape (100 TB): tf is the one big (doc_id, tok) agg shuffle
+    (map-side combined); dl reuses tf (no second explode pass); the
+    global top-15 vocabulary probe is TakeOrderedAndProject (no global
+    sort); query terms (3 rows) and the 1-row corpus stats broadcast onto
+    the tf stream map-side; only the tf rows matching a query term reach
+    the doc-level join+sum; the final top-k is again
+    TakeOrderedAndProject.  Nothing collects more than 15 rows."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    tf = (
+        docs.select("doc_id", F.explode(_tok_arr()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    vocab = tf.groupBy("tok").agg(
+        F.sum("tf").alias("cnt"), F.count("*").cast("long").alias("df")
+    )
+    top = vocab.orderBy(F.desc("cnt"), "tok").limit(max(BM25_QUERY_RANKS))
+    from pyspark.sql.window import Window
+
+    q = (
+        top.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "tok")),
+        )
+        .where(F.col("r").isin(*BM25_QUERY_RANKS))
+        .select("tok", "df")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    matched = tf.join(F.broadcast(q), "tok").join(dl, "doc_id").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    part = (
+        idf
+        * (F.col("tf") * (k1 + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        matched.select(
+            "doc_id",
+            F.round(part * F.lit(1_000_000)).cast("long").alias("s_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("s_micro").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(k)
+    )

@@ -186,3 +186,52 @@ def test_decontaminate_bloom_filter_is_join_free(spark):
     bloom_plan = _plan(dedup.decontaminate_bloom(spark, SF))
     assert bloom_plan.count("Join") == exact_plan.count("Join"), bloom_plan
     assert "bit_get" in bloom_plan
+
+
+def _brute_force_substring_profile():
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    win = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        hs = [
+            hashlib.md5(text[p:p + 32].encode("utf-8")).hexdigest()
+            for p in range(0, len(text) - 31, 16)
+        ]
+        win[int(doc_id)] = hs
+    owners = collections.defaultdict(set)
+    for d, hs in win.items():
+        for h in hs:
+            owners[h].add(d)
+    out = {}
+    for d, hs in win.items():
+        n_dup = sum(1 for h in hs if len(owners[h]) > 1)
+        frac = round(n_dup / len(hs), 6) if hs else 0.0
+        out[d] = (len(hs), n_dup, frac)
+    return out
+
+
+def test_substring_dup_profile_matches_brute_force(spark):
+    rows = dedup.substring_dup_profile(spark, SF).collect()
+    expect = _brute_force_substring_profile()
+    assert {r["doc_id"] for r in rows} == set(expect)
+    for r in rows:
+        e = expect[r["doc_id"]]
+        assert (r["n_windows"], r["n_dup_windows"]) == e[:2], r
+        assert abs(r["dup_fraction"] - e[2]) < 1e-9, r
+    # the corpus must actually exercise the duplicate path
+    assert any(r["n_dup_windows"] > 0 for r in rows)
+
+
+def test_substring_dup_profile_plan_no_expand_no_python(spark):
+    # two-level distinct-then-count (no count(distinct) Expand pass) and
+    # fully JVM-side window generation (no Python/Arrow stage)
+    plan = _plan(dedup.substring_dup_profile(spark, SF))
+    assert "Expand" not in plan, plan
+    assert "Python" not in plan, plan

@@ -1,0 +1,96 @@
+"""Okapi BM25 ranked retrieval (extractor/ops/textops.py::bm25_topk).
+
+A third, pure-Python implementation of the same formula pins the
+semantics (the DuckDB oracle in __spark_entry__ is the second); plan
+gates pin the top-k and broadcast shapes the 100 TB posture depends on.
+"""
+import collections
+import math
+import re
+
+from extractor.ops import textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _brute_force_bm25(k=50):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    tf = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        toks = [t for t in re.split("[ \t\r\n\f\v]+", text.lower()) if t]
+        tf[int(doc_id)] = collections.Counter(toks)
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n_docs = len(dl)
+    avgdl = float(sum(dl.values())) / n_docs
+    cnt = collections.Counter()
+    df_c = collections.Counter()
+    for c in tf.values():
+        for tok, n in c.items():
+            cnt[tok] += n
+            df_c[tok] += 1
+    ranked = sorted(cnt, key=lambda t: (-cnt[t], t))
+    query = [ranked[r - 1] for r in textops.BM25_QUERY_RANKS]
+    k1, b = textops.BM25_K1, textops.BM25_B
+    scores = collections.Counter()
+    n_terms = collections.Counter()
+    for d, c in tf.items():
+        for tok in query:
+            if tok not in c:
+                continue
+            idf = math.log(
+                (n_docs - df_c[tok] + 0.5) / (df_c[tok] + 0.5) + 1.0
+            )
+            part = (
+                idf
+                * (c[tok] * (k1 + 1.0))
+                / (c[tok] + k1 * (1.0 - b + b * dl[d] / avgdl))
+            )
+            scores[d] += int(round(part * 1_000_000))
+            n_terms[d] += 1
+    top = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+    return [(d, n_terms[d], scores[d]) for d in top]
+
+
+def test_bm25_matches_pure_python(spark):
+    out = [
+        (r["doc_id"], r["n_terms"], r["bm25_micro"])
+        for r in textops.bm25_topk(spark, SF).collect()
+    ]
+    expect = _brute_force_bm25()
+    assert len(out) == len(expect)
+    # integer micro-unit scores must agree exactly; Python round() is
+    # banker's vs Spark HALF_UP, so allow 1 micro-unit per matched term
+    # ONLY on the score (ordering mismatches would still fail the zip)
+    for (d1, t1, s1), (d2, t2, s2) in zip(out, expect):
+        assert d1 == d2 and t1 == t2, (out[:5], expect[:5])
+        assert abs(s1 - s2) <= t1, (d1, s1, s2)
+
+
+def test_bm25_scores_positive_and_bounded(spark):
+    rows = textops.bm25_topk(spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r["bm25_micro"] > 0 for r in rows)
+    assert all(1 <= r["n_terms"] <= len(textops.BM25_QUERY_RANKS) for r in rows)
+    # descending by score with doc_id tie-break
+    keys = [(-r["bm25_micro"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_bm25_plan_topk_and_broadcast(spark):
+    plan = _plan(textops.bm25_topk(spark, SF))
+    # final top-k must be TakeOrderedAndProject (no materialized global
+    # sort) and the 3-row query-term join must be a broadcast
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
