@@ -622,6 +622,22 @@ def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly LOCF resample of the events value series per user
+    (``extractor/ops/temporal.py::gap_fill_locf``): per-user hourly grid
+    spanning each user's own range, last-event-in-bucket reduction
+    (deterministic ts/event_id tie-break), empty buckets carry forward
+    and flag ``is_gap``.  Values are carried verbatim — no float
+    arithmetic — so the DuckDB oracle (same grid via ``range``, same
+    ``IGNORE NULLS`` running window) hash-matches exactly."""
+    from extractor.ops.temporal import gap_fill_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return gap_fill_locf(ev)
+
+
 def _asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (``extractor/ops/temporal.py``): each click
     event attributed to the latest preceding view by the same user —
@@ -1115,6 +1131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowed-hash substring-duplication profile (suffix-array-dedup
         # approximation); JVM-side window generation, two-level distinct agg
         "substring_dup_profile": dedup.substring_dup_profile,
+        # per-key LOCF grid resample (batch analogue of a watermarked
+        # streaming resample); grid-sized windows, never event-sized
+        "gap_fill_hourly": _gap_fill_hourly,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -2946,6 +2965,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(s_micro) AS BIGINT) AS bm25_micro
             FROM scored GROUP BY doc_id
             ORDER BY bm25_micro DESC, doc_id LIMIT 50
+        """,
+        "gap_fill_hourly": """
+            WITH e AS (
+              SELECT user_id AS k, epoch_us(ts) AS us, value AS v,
+                     event_id AS tb, epoch_us(ts) // 3600000000 AS bucket
+              FROM events
+            ), pb AS (
+              SELECT k, bucket, v, TRUE AS has_row FROM (
+                SELECT k, bucket, v,
+                       row_number() OVER (
+                         PARTITION BY k, bucket ORDER BY us DESC, tb DESC
+                       ) AS rn
+                FROM e) WHERE rn = 1
+            ), bounds AS (
+              SELECT k, min(bucket) AS b0, max(bucket) AS b1
+              FROM e GROUP BY k
+            ), grid AS (
+              SELECT k, unnest(range(b0, b1 + 1)) AS bucket FROM bounds
+            )
+            SELECT g.k AS user_id,
+                   CAST(g.bucket * 3600000000 AS BIGINT) AS bucket_us,
+                   last_value(pb.v IGNORE NULLS) OVER (
+                     PARTITION BY g.k ORDER BY g.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value_filled,
+                   (pb.has_row IS NULL) AS is_gap
+            FROM grid g LEFT JOIN pb USING (k, bucket)
         """,
         "substring_dup_profile": """
             WITH d AS (

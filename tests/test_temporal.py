@@ -94,3 +94,51 @@ def test_range_join_plan_is_hash_join_not_nested_loop(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_gap_fill_locf_hand_series(spark):
+    from extractor.ops.temporal import gap_fill_locf
+
+    H = dt.timedelta(hours=1)
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    ev = spark.createDataFrame(
+        [
+            # user 10: events in hours 0 and 3 -> gaps at 1, 2 carry 1.0
+            (1, 10, t0, 1.0),
+            (2, 10, t0 + 3 * H, 4.0),
+            # same-instant tie in hour 3: higher event_id wins
+            (3, 10, t0 + 3 * H, 5.0),
+            # user 20: single event -> single-bucket grid, no gaps
+            (4, 20, t0 + 10 * H, 9.0),
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+    out = {
+        (r["user_id"], r["bucket_us"]): (r["value_filled"], r["is_gap"])
+        for r in gap_fill_locf(ev).collect()
+    }
+    us = 3_600 * 1_000_000
+    h0 = 473_352  # epoch hours of 2024-01-01 00:xx UTC
+    assert out[(10, h0 * us)] == (1.0, False)
+    assert out[(10, (h0 + 1) * us)] == (1.0, True)  # gap carries 1.0
+    assert out[(10, (h0 + 2) * us)] == (1.0, True)
+    assert out[(10, (h0 + 3) * us)] == (5.0, False)  # tie: event_id 3 wins
+    assert out[(20, (h0 + 10) * us)] == (9.0, False)
+    assert len(out) == 5  # user 10: 4 buckets; user 20: 1 bucket
+
+
+def test_gap_fill_locf_plan_no_python_no_cartesian(spark):
+    from extractor.ops.temporal import gap_fill_locf
+
+    ev = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1), 1.0)],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+    plan = gap_fill_locf(ev)._sc._jvm.PythonSQLUtils.explainString(
+        gap_fill_locf(ev)._jdf.queryExecution(), "formatted"
+    )
+    # no Python execution stage (the createDataFrame source's
+    # applySchemaToPythonRDD scan is not one) and no cross product
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "CartesianProduct"):
+        assert node not in plan, node
