@@ -1134,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-key LOCF grid resample (batch analogue of a watermarked
         # streaming resample); grid-sized windows, never event-sized
         "gap_fill_hourly": _gap_fill_hourly,
+        # per-vector int8 scalar quantization (map-only HOF projection)
+        "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -2965,6 +2967,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(s_micro) AS BIGINT) AS bm25_micro
             FROM scored GROUP BY doc_id
             ORDER BY bm25_micro DESC, doc_id LIMIT 50
+        """,
+        "embedding_quantize_int8": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN list_max(list_transform(embedding,
+                                                       x -> abs(x))) > 0
+                          THEN CAST(127.0 AS DOUBLE)
+                               / list_max(list_transform(embedding,
+                                                         x -> abs(x)))
+                          ELSE CAST(0.0 AS DOUBLE) END AS scale
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   CAST(round(scale * 1000000) AS BIGINT) AS scale_micro,
+                   array_to_string(list_transform(embedding,
+                     x -> CAST(CAST(round(x * scale) AS INT) AS VARCHAR)),
+                     ',') AS q_codes
+            FROM s
         """,
         "gap_fill_hourly": """
             WITH e AS (

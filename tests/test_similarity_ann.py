@@ -108,3 +108,46 @@ def test_ann_candidate_join_is_bucket_local_broadcast(spark, layout):
     # the corpus-side assignment kernel must feed a join directly
     assert "MapInPandas" in plan, plan
     _assert_streamed_spines_shuffle_free(plan)
+
+
+def test_embedding_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized values must sit within half a quantization step of the
+    originals (the defining property of round-to-nearest symmetric
+    quantization), codes must fit int8, and the plan must be map-only."""
+    import numpy as np
+
+    from extractor.ops.similarity import embedding_quantize_int8
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["vec_id"]: r for r in embedding_quantize_int8(spark, sf).collect()}
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    assert len(out) == len(emb)
+    for vec_id, v in zip(emb["vec_id"], emb["embedding"]):
+        r = out[int(vec_id)]
+        codes = np.array([int(c) for c in r["q_codes"].split(",")])
+        assert codes.min() >= -127 and codes.max() <= 127
+        scale = r["scale_micro"] / 1e6
+        if scale == 0:
+            assert not codes.any()
+            continue
+        deq = codes / scale
+        step = 1.0 / scale
+        assert np.abs(deq - np.asarray(v, dtype=np.float64)).max() <= (
+            0.5 * step + 1e-6
+        )
+        # the max-|x| element must map to ±127 exactly
+        assert np.abs(codes).max() == 127
+
+
+def test_embedding_quantize_plan_map_only(spark):
+    from extractor.ops.similarity import embedding_quantize_int8
+
+    df = embedding_quantize_int8(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, node
