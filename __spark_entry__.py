@@ -1136,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_hourly": _gap_fill_hourly,
         # per-vector int8 scalar quantization (map-only HOF projection)
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
+        # bucketBy layout: join + agg replan to ZERO Exchange (plan-gated)
+        "bucketed_colocated_join": maintenance.bucketed_colocated_join,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -2967,6 +2969,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(s_micro) AS BIGINT) AS bm25_micro
             FROM scored GROUP BY doc_id
             ORDER BY bm25_micro DESC, doc_id LIMIT 50
+        """,
+        "bucketed_colocated_join": """
+            SELECT o.o_custkey AS custkey, c.c_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   CAST(min(o.o_orderkey) AS BIGINT) AS first_order
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
         """,
         "embedding_quantize_int8": """
             WITH s AS (

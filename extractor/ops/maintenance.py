@@ -128,3 +128,71 @@ def compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows long, files_before int, files_after int, content_match boolean",
     )
+
+
+BUCKET_N = 16  # bucket count for the co-located join layout
+BUCKET_DIR = "/tmp/spark_graft_bucketed"  # external-table location
+
+
+def write_bucketed(
+    df: DataFrame, spark: SparkSession, table: str, key: str,
+    n_buckets: int = BUCKET_N,
+) -> None:
+    """Persist *df* as a bucketed, bucket-sorted external parquet table —
+    the layout that makes repeated joins/aggregations on *key*
+    SHUFFLE-FREE: both sides of an equi-join on the bucket key with equal
+    bucket counts read co-located, pre-sorted buckets, so Catalyst plans
+    a SortMergeJoin with NO Exchange on either side (Iceberg: a
+    ``bucket(N, key)`` partition transform; Hive/Spark tables: this exact
+    ``bucketBy``).  Writing costs one shuffle ONCE; every downstream join
+    on the key then skips its per-query shuffle — the standard trade for
+    a fact table joined repeatedly on the same key at 100 TB."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", f"{BUCKET_DIR}/{table}")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order rollup over BUCKETED layouts: orders and customer
+    are both persisted bucketed by custkey (same bucket count), then
+    joined and aggregated — the join and the aggregation both reuse the
+    bucket layout, so the per-query plan has ZERO Exchange nodes
+    (pytest-gated).  Money is summed in exact integer cents
+    (per-row round, then long sum) so the oracle — the same rollup as a
+    plain SQL join over the raw parquet — hash-matches bit-for-bit."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long").alias(
+            "cents"
+        ),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    sfx = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    t_o, t_c = f"bkt_orders{sfx}", f"bkt_customer{sfx}"
+    write_bucketed(orders, spark, t_o, "custkey")
+    write_bucketed(cust, spark, t_c, "custkey")
+    # MERGE hint: with a broadcast-sized dim Catalyst would otherwise pick
+    # BroadcastHashJoin and skip the bucketed scan entirely; the point of
+    # the layout is the shuffle-free sort-merge path a 100 TB fact/fact
+    # join takes, so pin it (at real scale neither side broadcasts and
+    # the hint is redundant)
+    return (
+        spark.table(t_o)
+        .hint("MERGE")
+        .join(spark.table(t_c), "custkey")
+        .groupBy("custkey", "c_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.min("o_orderkey").cast("long").alias("first_order"),
+        )
+    )

@@ -79,3 +79,44 @@ def test_crash_between_swap_renames_recovers(spark, tmp_path):
     after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert after == before
     assert not os.path.exists(f"{path}.compact-bak")
+
+
+def test_bucketed_colocated_join_zero_exchange(spark):
+    """The whole point of the bucketBy layout: the equi-join AND the
+    downstream aggregation on the bucket key plan with ZERO Exchange
+    nodes (both sides read co-located buckets; the agg reuses the join's
+    output partitioning), via SortMergeJoin."""
+    from extractor.ops.maintenance import bucketed_colocated_join
+
+    df = bucketed_colocated_join(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    from extractor.ops.maintenance import bucketed_colocated_join
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, bucketed_colocated_join(spark, sf).collect()))
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    plain = sorted(
+        map(
+            tuple,
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy(orders.o_custkey.alias("custkey"), "c_name")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+                ).cast("long").alias("total_cents"),
+                F.min("o_orderkey").cast("long").alias("first_order"),
+            )
+            .collect(),
+        )
+    )
+    assert got == plain
