@@ -1138,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
         # bucketBy layout: join + agg replan to ZERO Exchange (plan-gated)
         "bucketed_colocated_join": maintenance.bucketed_colocated_join,
+        # PMI collocation mining (sum-of-logs, exact micro-unit oracle)
+        "collocations_pmi": textops.collocations_pmi,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -2969,6 +2971,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(s_micro) AS BIGINT) AS bm25_micro
             FROM scored GROUP BY doc_id
             ORDER BY bm25_micro DESC, doc_id LIMIT 50
+        """,
+        "collocations_pmi": r"""
+            WITH tk AS (
+              SELECT list_filter(
+                regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+                x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), bg AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM tk, unnest(range(1, len(toks))) AS t(i)
+              WHERE len(toks) >= 2
+            ), p AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+            ), m1 AS (
+              SELECT w1, sum(c12) AS cw1 FROM p GROUP BY w1
+            ), m2 AS (
+              SELECT w2, sum(c12) AS cw2 FROM p GROUP BY w2
+            ), n AS (
+              SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM p
+            )
+            SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+                   CAST(round(
+                     (ln(CAST(p.c12 AS DOUBLE))
+                      + ln(CAST(n.n_bigrams AS DOUBLE))
+                      - ln(CAST(m1.cw1 AS DOUBLE))
+                      - ln(CAST(m2.cw2 AS DOUBLE))) * 1000000
+                   ) AS BIGINT) AS pmi_micro
+            FROM p JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+            WHERE p.c12 >= 5
+            ORDER BY pmi_micro DESC, p.w1, p.w2 LIMIT 100
         """,
         "bucketed_colocated_join": """
             SELECT o.o_custkey AS custkey, c.c_name,

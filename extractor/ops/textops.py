@@ -618,3 +618,61 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
         .orderBy(F.desc("bm25_micro"), "doc_id")
         .limit(k)
     )
+
+
+PMI_MIN_COUNT = 5  # collocation support floor
+PMI_TOPK = 100
+
+
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token pairs (Church & Hanks) — the corpus-analysis staple for
+    multiword-expression discovery.  ``pmi = ln c12 + ln N − ln cw1 −
+    ln cw2`` (sum-of-logs, NOT ln of the ratio: ``c12 · N`` overflows
+    int64 once N reaches web scale, and every term here stays a
+    per-row-deterministic float64 of a single bigint), rounded to integer
+    micro-units (the BM25/PageRank exact-integer oracle pattern), support
+    floor ``c12 ≥ 5``, top-100 by (pmi, w1, w2).
+
+    Scale shape (100 TB): bigrams are built map-side
+    (``transform(sequence)``) and reduced by ONE map-side-combined agg
+    shuffle; the w1/w2 margins are re-aggregations of the (much smaller)
+    distinct-pair relation, joined back unhinted — AQE broadcasts them at
+    test scale and degrades to (skew-split) shuffle joins on a Zipf web
+    vocabulary; N is a 1-row aggregate cross-joined as a broadcast; the
+    final top-k is TakeOrderedAndProject, no global sort."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    t = docs.select(_tok_arr().alias("toks")).where(F.size("toks") >= 2)
+    bigram_arr = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+    )
+    c12 = (
+        t.select(F.explode(bigram_arr).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    cw1 = c12.groupBy("w1").agg(F.sum("c12").alias("cw1"))
+    cw2 = c12.groupBy("w2").agg(F.sum("c12").alias("cw2"))
+    n = c12.agg(F.sum("c12").cast("long").alias("n_bigrams"))
+    pmi = (
+        F.log(F.col("c12").cast("double"))
+        + F.log(F.col("n_bigrams").cast("double"))
+        - F.log(F.col("cw1").cast("double"))
+        - F.log(F.col("cw2").cast("double"))
+    )
+    return (
+        c12.where(F.col("c12") >= PMI_MIN_COUNT)
+        .join(cw1, "w1")
+        .join(cw2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(pmi * F.lit(1_000_000)).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )

@@ -94,3 +94,52 @@ def test_bm25_plan_topk_and_broadcast(spark):
     # sort) and the 3-row query-term join must be a broadcast
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def _brute_force_pmi(min_count=5, k=100):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["text"]
+    ).to_pandas()
+    c12 = collections.Counter()
+    for text in docs["text"]:
+        if text is None:
+            continue
+        toks = [t for t in re.split("[ \t\r\n\f\v]+", text.lower()) if t]
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    cw1 = collections.Counter()
+    cw2 = collections.Counter()
+    for (a, b), n in c12.items():
+        cw1[a] += n
+        cw2[b] += n
+    n_bg = sum(c12.values())
+    rows = []
+    for (a, b), n in c12.items():
+        if n < min_count:
+            continue
+        pmi = (
+            math.log(float(n)) + math.log(float(n_bg))
+            - math.log(float(cw1[a])) - math.log(float(cw2[b]))
+        )
+        rows.append((a, b, n, int(round(pmi * 1_000_000))))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:k]
+
+
+def test_collocations_pmi_matches_pure_python(spark):
+    got = [
+        (r["w1"], r["w2"], r["c12"], r["pmi_micro"])
+        for r in textops.collocations_pmi(spark, SF).collect()
+    ]
+    expect = _brute_force_pmi()
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[:3] == e[:3], (g, e)
+        assert abs(g[3] - e[3]) <= 1, (g, e)  # banker's vs HALF_UP rounding
+
+
+def test_collocations_pmi_plan_topk_no_global_sort(spark):
+    plan = _plan(textops.collocations_pmi(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
