@@ -638,6 +638,28 @@ def _gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_locf(ev)
 
 
+def _anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain top-3 anchor texts by frequency over the templated link
+    corpus (the real DOM parser path of ``_link_graph``) — the anchor-text
+    quality/relevance signal every web-curation and search pipeline rolls
+    up per target domain.  One agg shuffle + a rank-filtered window over
+    the SAME domain partitioning (WindowGroupLimit pushes the top-k
+    inside the window, so no per-domain lists materialize); the oracle
+    composes the link_graph reconstruction CTE with the same rollup."""
+    from pyspark.sql.window import Window
+
+    lg = _link_graph(spark, sf_dir).where(F.col("domain").isNotNull())
+    counts = lg.groupBy("domain", "anchor").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("domain").orderBy(F.desc("n"), "anchor")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "domain", "anchor", F.col("n").cast("long").alias("n"), "rk"
+        )
+    )
+
+
 def _asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (``extractor/ops/temporal.py``): each click
     event attributed to the latest preceding view by the same user —
@@ -1140,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_colocated_join": maintenance.bucketed_colocated_join,
         # PMI collocation mining (sum-of-logs, exact micro-unit oracle)
         "collocations_pmi": textops.collocations_pmi,
+        # per-domain anchor-text top-k (WindowGroupLimit, composed oracle)
+        "anchor_text_topk": _anchor_text_topk,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -3104,4 +3128,19 @@ def oracle_sql() -> dict[str, str]:
     oracles["pack_sequences_two_level"] = oracles["pack_sequences"]
     # bloom prefilter + exact verify is output-identical to the exact path
     oracles["decontaminate_bloom"] = oracles["decontaminate_ngram"]
+    # anchor rollup composes the link-graph reconstruction as a CTE
+    oracles["anchor_text_topk"] = f"""
+        WITH lg AS ({oracles["link_graph"]}),
+        c AS (
+          SELECT domain, anchor, count(*) AS n
+          FROM lg WHERE domain IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT domain, anchor, CAST(n AS BIGINT) AS n,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY domain ORDER BY n DESC, anchor
+          ) AS rk FROM c
+        ) WHERE rk <= 3
+    """
     return oracles

@@ -177,3 +177,25 @@ def test_pagerank_broadcasts_ranks_not_edges(spark):
     # contribution sums are partial-aggregated map-side before the
     # node-cardinality exchange
     assert "partial_sum" in plan
+
+
+def test_anchor_text_topk_shape_and_plan(spark):
+    import __spark_entry__ as e
+
+    df = e._anchor_text_topk(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows and all(1 <= r["rk"] <= 3 for r in rows)
+    per_dom = {}
+    for r in rows:
+        per_dom.setdefault(r["domain"], []).append((r["rk"], -r["n"], r["anchor"]))
+    for dom, rs in per_dom.items():
+        assert len(rs) <= 3
+        assert sorted(rs) == rs or sorted(rs, key=lambda x: x[0]) is not None
+        # rank must follow (count desc, anchor) deterministically
+        by_rank = sorted(rs, key=lambda x: x[0])
+        assert by_rank == sorted(rs, key=lambda x: (x[1], x[2]))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # top-k filter must be pushed inside the window operator
+    assert "WindowGroupLimit" in plan, plan
