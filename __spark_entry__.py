@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from extractor.boilerplate import strip_boilerplate_batch
 from extractor.layout import parse_layout_batch, synth_layout_doc
 from extractor.ops import (
+    convops,
     dedup,
     maintenance,
     relational,
@@ -601,6 +602,37 @@ def _domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=4)
 
 
+def _bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS crawl depth over the SAME deterministic domain
+    graph as ``domain_pagerank`` (src = doc_id%50, dst = (7·src +
+    doc_id÷50)%50, one-third of rows dropped), seeds = the graph nodes
+    divisible by 17, HASH-CHECKED: the frontier-expansion loop
+    (``extractor/ops/links.py::bfs_hop_distance`` — edges persisted and
+    never re-shuffled, node-sized broadcast frontier per round) must
+    produce exactly the ``min(d)`` fixpoint of the oracle's recursive
+    CTE.  Exact integer hops: engine-independent bit-for-bit."""
+    from extractor.ops.links import bfs_hop_distance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s = F.pmod(F.col("doc_id"), F.lit(50))
+    t = F.expr("doc_id DIV 50")
+    edges = (
+        docs.where(F.pmod(s + F.lit(2) * t, F.lit(3)) != 0)
+        .select(
+            s.alias("src"),
+            F.pmod(F.lit(7) * s + t, F.lit(50)).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.pmod(F.col("node"), F.lit(17)) == 0)
+    return bfs_hop_distance(edges, seeds, max_hops=6)
+
+
 def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census over a deterministic document graph, HASH-CHECKED:
     raw edges (u = doc_id%30, v = (doc_id DIV 30)%30, ~60% kept by a
@@ -1164,6 +1196,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": textops.collocations_pmi,
         # per-domain anchor-text top-k (WindowGroupLimit, composed oracle)
         "anchor_text_topk": _anchor_text_topk,
+        # multi-source BFS crawl depth (recursive-CTE-checked fixpoint)
+        "bfs_hop_distance": _bfs_hop_distance,
+        # BPE merge-step pair counting (tokenizer-training kernel)
+        "bpe_pair_counts": textops.bpe_pair_counts,
+        # transcript curation family (ops/convops.py): repeated-context
+        # strip, token-budget truncation, role-sequence validation —
+        # per-conversation windows on the extraction partitioning
+        "conv_prefix_strip": convops.conv_prefix_strip,
+        "conv_token_truncate": convops.conv_token_truncate,
+        "conv_role_stats": convops.conv_role_stats,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -3142,5 +3184,101 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY domain ORDER BY n DESC, anchor
           ) AS rk FROM c
         ) WHERE rk <= 3
+    """
+    # multi-source BFS: the recursive-CTE min-distance fixpoint over the
+    # same deterministic graph as domain_pagerank, seeds = node%17=0
+    oracles["bfs_hop_distance"] = """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT
+                 doc_id % 50 AS src,
+                 (7 * (doc_id % 50) + doc_id // 50) % 50 AS dst
+          FROM documents
+          WHERE ((doc_id % 50) + 2 * (doc_id // 50)) % 3 <> 0
+        ), n AS (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), seeds AS (
+          SELECT node FROM n WHERE node % 17 = 0
+        ), r(node, d) AS (
+          SELECT node, 0 FROM seeds
+          UNION
+          SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node
+          WHERE r.d < 6
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(min(d) AS BIGINT) AS hops
+        FROM r GROUP BY node
+    """
+    # BPE merge-step pair counts: per-position substr pairs, top-200
+    oracles["bpe_pair_counts"] = """
+        SELECT pair, CAST(n AS BIGINT) AS n FROM (
+          SELECT pair, count(*) AS n FROM (
+            SELECT substr(text, CAST(i AS INTEGER), 2) AS pair FROM (
+              SELECT text, unnest(range(1, length(text))) AS i
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) >= 2
+            )
+          ) GROUP BY pair
+        ) ORDER BY n DESC, pair LIMIT 200
+    """
+    # transcript curation family: each oracle derives the SAME
+    # deterministic transcript view (convops.DTR_CTE) then mirrors the
+    # window/agg plan.  LCP via list_filter monotone-prefix trick.
+    oracles["conv_prefix_strip"] = f"""
+        {convops.DTR_CTE}, lagged AS (
+          SELECT doc_id, conv_id, turn_idx, text,
+                 lag(text) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS prev_text
+          FROM dtr
+        ), lcps AS (
+          SELECT doc_id, conv_id, turn_idx, text,
+                 CASE WHEN prev_text IS NULL
+                        OR least(length(text), length(prev_text)) < 1
+                      THEN 0
+                      ELSE coalesce(list_max(list_filter(
+                             range(1, least(length(text),
+                                            length(prev_text), 64) + 1),
+                             k -> substr(text, 1, CAST(k AS INTEGER))
+                                = substr(prev_text, 1,
+                                         CAST(k AS INTEGER)))), 0)
+                 END AS lcp
+          FROM lagged
+        )
+        SELECT doc_id, conv_id, turn_idx,
+               CAST(lcp AS BIGINT) AS lcp,
+               CAST(length(text) - lcp AS BIGINT) AS kept_chars,
+               substr(text, CAST(lcp AS INTEGER) + 1, 40) AS head
+        FROM lcps
+    """
+    oracles["conv_token_truncate"] = f"""
+        {convops.DTR_CTE}, toks AS (
+          SELECT conv_id, turn_idx,
+                 CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS tok
+          FROM dtr
+        )
+        SELECT conv_id, turn_idx, tok, cum_from_end FROM (
+          SELECT conv_id, turn_idx, tok,
+                 CAST(sum(tok) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx DESC
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_from_end
+          FROM toks
+        ) WHERE cum_from_end <= 400
+    """
+    oracles["conv_role_stats"] = f"""
+        {convops.DTR_CTE}, flagged AS (
+          SELECT conv_id, role,
+                 CASE WHEN lag(role) OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) = role
+                      THEN 1 ELSE 0 END AS same_as_prev
+          FROM dtr
+        )
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tool_turns,
+               CAST(sum(same_as_prev) AS BIGINT) AS n_same_role_adjacent,
+               CAST(CASE WHEN sum(same_as_prev) = 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS alternation_ok
+        FROM flagged GROUP BY conv_id
     """
     return oracles

@@ -1,0 +1,204 @@
+"""Conversation-level curation operators over transcript-shaped data —
+the ops an agent-transcript training pipeline runs between extraction
+and packing: repeated-context stripping, token-budget truncation, and
+role-sequence validation.
+
+Why these exist: the engine's target payload is multi-turn conversation
+/ agent transcripts (``conv_id, turn_idx, role, text, tool, ts``).
+Agent logs repeat context verbatim between adjacent turns (prompt
+prefixes, tool output echoed back), blow past context windows, and
+carry malformed role sequences — all three are per-conversation window
+problems, and all three are implemented here as pure JVM window/agg
+plans with zero Python.  The reference converter
+(``/root/reference/app/core/document_converter.py:225-255``) processes
+documents one at a time and has no conversation axis at all; these are
+part of the training-pipeline extension surface, same family as
+``ops/dedup.py`` / ``ops/sampling.py``.
+
+Oracle strategy: the driver's DuckDB views cover the ten parquet test
+tables, not the synthetic transcripts generator, so each query here
+derives a deterministic transcript-shaped relation from ``documents``
+with expressions both engines evaluate bit-identically (modular
+conv/turn assignment, md5-driven role noise — the same templated-input
+trick as the t4/t6/s6 kernel oracles), then runs the REAL operator on
+it.  The operators themselves take any DataFrame with the transcript
+columns.
+
+Scale posture (10^12 turns): every op below is one hash-partition by
+``conv_id`` + an in-partition sort by ``turn_idx`` — exactly the
+pipeline's existing extraction partitioning, so in a fused run these
+windows reuse the extraction shuffle and are effectively free.  No op
+materializes per-conversation state larger than a row; skewed 100×
+conversations cost sort time, not memory (window functions stream).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript-shaped relation from the ``documents``
+    test table: ``(doc_id, conv_id, turn_idx, role, text)`` with
+    ``conv_id = doc_id % 40``, ``turn_idx = doc_id DIV 40`` (a
+    bijection, so ordering is total) and an md5-driven role assignment
+    that mostly alternates user/assistant but injects deterministic
+    'tool' turns — i.e. a role sequence with real violations for the
+    validator to find.  Mirrors the DuckDB CTE in ``oracle_sql()``
+    bit for bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(40)).alias("conv_id"),
+        F.expr("doc_id DIV 40").alias("turn_idx"),
+        F.expr(
+            "CASE WHEN substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)),"
+            " 1, 1) < 'd'"
+            " THEN CASE WHEN (doc_id DIV 40) % 2 = 0"
+            "      THEN 'user' ELSE 'assistant' END"
+            " ELSE 'tool' END"
+        ).alias("role"),
+        "text",
+    )
+
+
+# DuckDB mirror of derived_transcripts() — prepend to each oracle below.
+DTR_CTE = """
+    WITH dtr AS (
+      SELECT doc_id,
+             doc_id % 40 AS conv_id,
+             doc_id // 40 AS turn_idx,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                  THEN CASE WHEN (doc_id // 40) % 2 = 0
+                       THEN 'user' ELSE 'assistant' END
+                  ELSE 'tool' END AS role,
+             text
+      FROM documents
+      WHERE text IS NOT NULL
+    )
+"""
+
+_LCP_CAP = 64
+
+
+def strip_repeated_prefix(turns: DataFrame, cap: int = _LCP_CAP) -> DataFrame:
+    """Repeated-context stripping: for each turn, the length of the
+    longest common prefix (capped at *cap* chars) shared with the
+    PREVIOUS turn of the same conversation, plus the text with that
+    prefix removed.  Agent transcripts echo context verbatim between
+    adjacent turns (system prompts re-sent, tool output quoted back);
+    at training time the echo is duplicated tokens, and this is the
+    in-conversation analogue of ``ops/dedup.py::line_dedup`` — dedup by
+    position instead of by global frequency.
+
+    Output: ``(doc_id, conv_id, turn_idx, lcp, kept_chars, head)``
+    where ``head`` is the first 40 chars of the stripped text.
+
+    The LCP is a pure codegen'd expression: prefix equality is monotone
+    (equal at k ⇒ equal at every j<k), so a bounded
+    ``aggregate(sequence(1, cap), ...)`` of substr comparisons returns
+    exactly the capped LCP — no Python, no quadratic blowup (cap², not
+    len², comparisons per row).  One window (lag) over the conv_id
+    partitioning; see module docstring for why that shuffle is free in
+    a fused pipeline."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("text").over(w)
+    lcp = F.expr(
+        "CASE WHEN prev_text IS NULL"
+        "       OR least(length(text), length(prev_text)) < 1 THEN 0"
+        f"     ELSE aggregate(sequence(1, least(length(text),"
+        f"                    length(prev_text), {cap})), 0,"
+        "                    (acc, k) -> IF(substr(text, 1, k)"
+        "                                 = substr(prev_text, 1, k),"
+        "                                 k, acc)) END"
+    ).cast("long")
+    return (
+        turns.withColumn("prev_text", prev)
+        .withColumn("lcp", lcp)
+        .select(
+            "doc_id",
+            "conv_id",
+            "turn_idx",
+            "lcp",
+            (F.length("text").cast("long") - F.col("lcp"))
+            .alias("kept_chars"),
+            F.expr("substr(text, CAST(lcp AS INT) + 1, 40)").alias("head"),
+        )
+    )
+
+
+def truncate_to_token_budget(turns: DataFrame,
+                             budget: int = 400) -> DataFrame:
+    """Context-window truncation: keep, per conversation, the longest
+    SUFFIX of turns whose total token estimate fits *budget* — the
+    standard "drop the oldest context first" policy for fitting a
+    transcript into a model's window.  Token estimate is the chars/4
+    proxy (``ceil(len/4)``), kept integer-exact so the cut is
+    engine-reproducible.
+
+    Output: the surviving turns as ``(conv_id, turn_idx, tok,
+    cum_from_end)`` where ``cum_from_end`` is the running token total
+    counted from the latest turn backwards.
+
+    Plan: one running-sum window over (conv_id, turn_idx DESC) + a
+    filter — rows stream through the window operator, per-conversation
+    state is a single accumulator, and a conversation 100× the median
+    length costs sort time only."""
+    tok = F.expr(
+        "CAST(floor((length(text) + 3) / 4.0) AS BIGINT)"
+    ).alias("tok")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        turns.select("conv_id", "turn_idx", tok)
+        .withColumn("cum_from_end", F.sum("tok").over(w))
+        .where(F.col("cum_from_end") <= budget)
+    )
+
+
+def role_sequence_stats(turns: DataFrame) -> DataFrame:
+    """Role-sequence validation rollup: one row per conversation with
+    ``(conv_id, n_turns, n_tool_turns, n_same_role_adjacent,
+    alternation_ok)`` — the data-quality gate that drops or flags
+    transcripts whose role structure is malformed (two assistant turns
+    in a row usually means a lost user message; heavy tool-turn share
+    changes the training mix).  ``alternation_ok`` treats 'tool' turns
+    as transparent — only adjacent SAME roles count as violations.
+
+    Plan: one lag window + one hash aggregate, both keyed on conv_id —
+    a single shuffle end to end (the window and the groupBy share the
+    partitioning, so AQE plans one exchange)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = turns.select(
+        "conv_id",
+        "role",
+        F.when(F.lag("role").over(w) == F.col("role"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("same_as_prev"),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+        .cast("long")
+        .alias("n_tool_turns"),
+        F.sum("same_as_prev").cast("long").alias("n_same_role_adjacent"),
+        (F.sum("same_as_prev") == 0).cast("int").alias("alternation_ok"),
+    )
+
+
+# ---- (spark, sf_dir) entry points over the derived transcript view ----
+
+def conv_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strip_repeated_prefix(derived_transcripts(spark, sf_dir))
+
+
+def conv_token_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return truncate_to_token_budget(derived_transcripts(spark, sf_dir))
+
+
+def conv_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return role_sequence_stats(derived_transcripts(spark, sf_dir))

@@ -305,3 +305,51 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def bfs_hop_distance(edges: DataFrame, seeds: DataFrame,
+                     max_hops: int = 6) -> DataFrame:
+    """Multi-source BFS over a directed (src, dst) edge table: one row
+    ``(node, hops)`` per node reachable from *seeds* within *max_hops*,
+    where ``hops`` is the exact shortest hop count (0 for the seeds).
+    The crawl-depth / link-distance primitive of a frontier scheduler —
+    "how far is every page from the seed list" — and the third member of
+    this module's iterative-graph family (PageRank, connected
+    components, now single-source/multi-source shortest hops).
+
+    Algorithm: frontier-expansion BFS.  ``dist`` starts as the seed set
+    at hop 0; each round joins the current frontier into the edge table,
+    anti-joins out already-settled nodes, and unions the survivors in at
+    hop k.  Because every node enters ``dist`` the first round it is
+    reached, the recorded hop count is minimal — the same fixpoint a SQL
+    oracle computes with a recursive CTE + ``min(d)``.
+
+    Scale posture (web graph, ~10^11 edges): the edge table is persisted
+    once and NEVER re-shuffled; each round broadcasts the (node-sized,
+    usually tiny) frontier onto it, so per-round cost is one map-side
+    semi-join over edges plus two node-cardinality hash ops (the
+    anti-join and the union-dedup).  ``dist`` stays node-sized.  Rounds
+    are bounded by *max_hops* (graph diameter in practice — O(log n) on
+    web graphs); the one driver-side action per round is an empty-check
+    on the frontier, which also cuts lineage via ``localCheckpoint``."""
+    e = edges.select("src", "dst").persist()
+    dist = seeds.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        reached = (
+            e.join(F.broadcast(frontier), e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(k).cast("long").alias("hops")
+        ).localCheckpoint()
+        if new.rdd.isEmpty():
+            break
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new.select("node")
+    e.unpersist()
+    return dist

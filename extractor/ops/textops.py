@@ -676,3 +676,38 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), "w1", "w2")
         .limit(PMI_TOPK)
     )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = 200) -> DataFrame:
+    """Corpus-wide adjacent character-pair counts — the distributed
+    counting kernel of one byte-pair-encoding merge step (Sennrich et
+    al. 2016: each BPE round merges the corpus's most frequent adjacent
+    symbol pair; tokenizer training is this count iterated).  Output:
+    the top-*k* pairs as ``(pair, n)``, total-ordered by
+    (n DESC, pair ASC) so the cut is engine-exact.
+
+    Plan: a map-only pair generation — ``transform(sequence(...))`` +
+    ``explode``, all whole-stage-codegen'd JVM expressions, no Python —
+    followed by ONE hash aggregate whose shuffle carries only the
+    distinct-pair partials (map-side combine collapses the per-char
+    explosion to |alphabet|² rows per task: a few KB), and a
+    TakeOrderedAndProject top-k — no global sort.  The transient
+    per-document pair array is bounded by the max document length (the
+    same bound as holding the text cell itself); for multi-GB cells
+    switch the generation to ``mapInPandas`` emitting pre-counted
+    (pair, n) partials — the aggregate topology is unchanged."""
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") >= 2)
+    )
+    pairs = docs.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1),"
+                   " i -> substr(text, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
