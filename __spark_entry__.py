@@ -692,6 +692,18 @@ def _anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the events stream
+    (``extractor/ops/temporal.py::zscore_outliers``): trailing-20-event
+    baseline per user, |z| > 2 flagged, ALL-INTEGER milli-unit
+    arithmetic so the flagged set is engine-exact (float window sums
+    are summation-order-dependent; these aren't)."""
+    from extractor.ops.temporal import zscore_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return zscore_outliers(ev)
+
+
 def _asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (``extractor/ops/temporal.py``): each click
     event attributed to the latest preceding view by the same user —
@@ -1206,6 +1218,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_prefix_strip": convops.conv_prefix_strip,
         "conv_token_truncate": convops.conv_token_truncate,
         "conv_role_stats": convops.conv_role_stats,
+        # DSIR importance resampling weights (hashed-feature LLR,
+        # int64 micro-unit sums — order-independent, oracle-exact)
+        "dsir_importance": textops.dsir_importance,
+        # char-distribution Shannon entropy quality signal (micro-nats)
+        "doc_entropy": textops.doc_entropy,
+        # rolling z-score anomaly detection, exact-integer milli-units
+        "zscore_outliers": _zscore_outliers,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -3280,5 +3299,97 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN sum(same_as_prev) = 0 THEN 1 ELSE 0 END
                     AS INTEGER) AS alternation_ok
         FROM flagged GROUP BY conv_id
+    """
+    # DSIR importance: hashed-unigram LLR vs the 'en' target subcorpus;
+    # every log is ln(one bigint) rounded to micro-units BEFORE the
+    # int64 per-doc sum (the PMI/BM25 exact-log pattern)
+    oracles["dsir_importance"] = f"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '[ \\t\\r\\n\\f\\v]+'),
+            x -> x <> '')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ), tb AS (
+          SELECT doc_id, lang,
+                 {_dd_md5_bucket('dsir:', 256, 'tok')} AS b
+          FROM toks
+        ), counts AS (
+          SELECT b, count(*) AS cr,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+          FROM tb GROUP BY b
+        ), llr AS (
+          SELECT b,
+                 CAST(round(ln(CAST(ct + 1 AS DOUBLE)) * 1000000)
+                      AS BIGINT)
+               - CAST(round(ln(CAST(cr + 1 AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS llr_micro
+          FROM counts
+        ), totals AS (
+          SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                 CAST(sum(cr) AS BIGINT) AS nr
+          FROM counts
+        )
+        SELECT tb.doc_id,
+               CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(sum(llr_micro)
+                    + count(*) * (
+                        CAST(round(ln(CAST(256 + nr AS DOUBLE)) * 1000000)
+                             AS BIGINT)
+                      - CAST(round(ln(CAST(256 + nt AS DOUBLE)) * 1000000)
+                             AS BIGINT))
+                    AS BIGINT) AS dsir_micro
+        FROM tb JOIN llr USING (b) CROSS JOIN totals
+        GROUP BY tb.doc_id, totals.nt, totals.nr
+    """
+    # char entropy: int64 inner sum of cnt·(ln_micro(len)−ln_micro(cnt)),
+    # one closing double division on two exact integers
+    oracles["doc_entropy"] = """
+        WITH chars AS (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS i
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 1
+          )
+        ), cc AS (
+          SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2
+        ), cl AS (
+          SELECT doc_id, ch, cnt,
+                 sum(cnt) OVER (PARTITION BY doc_id) AS len
+          FROM cc
+        )
+        SELECT doc_id,
+               CAST(max(len) AS BIGINT) AS n_chars,
+               CAST(round(CAST(sum(cnt * (
+                      CAST(round(ln(CAST(len AS DOUBLE)) * 1000000)
+                           AS BIGINT)
+                    - CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000)
+                           AS BIGINT))) AS DOUBLE) / max(len))
+                    AS BIGINT) AS entropy_micro
+        FROM cl GROUP BY doc_id
+    """
+    # rolling z-score: trailing-20 frame, all-integer milli-units; the
+    # flag inequality (n·v−s)² > 4·(n·q−s²) is z²>4 cleared of division
+    oracles["zscore_outliers"] = """
+        WITH base AS (
+          SELECT event_id, user_id, ts,
+                 CAST(round(value * 1000) AS BIGINT) AS value_milli
+          FROM events
+        ), framed AS (
+          SELECT event_id, user_id, value_milli,
+                 count(*) OVER w AS n_win,
+                 CAST(sum(value_milli) OVER w AS BIGINT) AS win_sum,
+                 CAST(sum(value_milli * value_milli) OVER w AS BIGINT)
+                   AS win_sumsq
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, value_milli, win_sum, win_sumsq
+        FROM framed
+        WHERE n_win = 20
+          AND (n_win * value_milli - win_sum)
+              * (n_win * value_milli - win_sum)
+            > 4 * (n_win * win_sumsq - win_sum * win_sum)
     """
     return oracles

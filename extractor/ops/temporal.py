@@ -206,3 +206,62 @@ def gap_fill_locf(
             F.col("has_row").isNull().alias("is_gap"),
         )
     )
+
+
+ZSCORE_WINDOW = 20
+ZSCORE_Z2 = 4  # flag when z² > 4, i.e. |z| > 2
+
+
+def zscore_outliers(events: DataFrame,
+                    window: int = ZSCORE_WINDOW,
+                    z2: int = ZSCORE_Z2) -> DataFrame:
+    """Rolling z-score outlier detection per user: flag an event whose
+    value deviates more than |z| > √*z2* standard deviations from the
+    trailing *window* events' mean — the batch analogue of a streaming
+    anomaly monitor, in EXACT integer arithmetic.
+
+    Values are fixed-pointed to milli-units; the trailing frame
+    (``ROWS BETWEEN window PRECEDING AND 1 PRECEDING`` — the current
+    row never contaminates its own baseline) accumulates Σx and Σx² as
+    int64, and the test ``(n·v − s)² > z2·(n·q − s²)`` is the z² > z2
+    inequality cleared of divisions and square roots — every compared
+    quantity is an exact integer, so engines agree bit-for-bit and a
+    SQL oracle can check the flagged set directly (float window sums
+    would differ by summation order: Spark accumulates frames in row
+    order, DuckDB uses segment trees).  Only rows with a FULL trailing
+    window are eligible (a short history has no stable baseline).
+
+    Magnitude safety: with values ≤ ~5·10^5 milli-units and window ≤
+    ~10³, every term stays ≤ ~10^15 < 2^63.
+
+    Plan: one window over (user_id ORDER BY ts, event_id) — a single
+    hash partition + in-partition sort, streaming state of one
+    ``window``-row ring buffer; no joins, no Python.  Output: the
+    flagged events ``(event_id, user_id, value_milli, win_sum,
+    win_sumsq)``."""
+    v = F.round(F.col("value") * 1000).cast("long")
+    base = events.select("event_id", "user_id", "ts", v.alias("value_milli"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-window, -1)
+    )
+    framed = base.select(
+        "event_id",
+        "user_id",
+        "value_milli",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("value_milli").over(w).alias("win_sum"),
+        F.sum(F.col("value_milli") * F.col("value_milli"))
+        .over(w)
+        .alias("win_sumsq"),
+    )
+    n = F.col("n_win")
+    s = F.col("win_sum")
+    q = F.col("win_sumsq")
+    v0 = F.col("value_milli")
+    dev2 = (n * v0 - s) * (n * v0 - s)
+    var_n2 = n * q - s * s
+    return framed.where(
+        (n == window) & (dev2 > F.lit(z2) * var_n2)
+    ).select("event_id", "user_id", "value_milli", "win_sum", "win_sumsq")

@@ -711,3 +711,137 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = 200) -> DataFrame
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+DSIR_BUCKETS = 256
+DSIR_SCALE = 1_000_000
+
+
+def _ln_micro(c):
+    """round(ln(x) · 10^6) as int64, x a single bigint — per-row
+    deterministic on every engine (one libm call on one exact integer,
+    no float accumulation), the module's shared exact-log primitive
+    (same pattern as ``collocations_pmi`` / BM25)."""
+    return F.round(F.log(c.cast("double")) * DSIR_SCALE).cast("long")
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of a TARGET distribution
+    (here: the English subcorpus) vs the RAW corpus distribution over
+    hashed token features — the published recipe for selecting
+    web-scale pretraining data that "looks like" a curated target set.
+    Features are md5-hashed unigram buckets (``hash(tok) % 256``, the
+    engine's shared keyed-uniform primitive); both distributions are
+    add-one smoothed.
+
+    Exactness: every log is ``_ln_micro`` of a single bigint count,
+    rounded to integer micro-units BEFORE the per-document summation —
+    so the sum is an int64 sum (order-independent, unlike float sums)
+    and a SQL oracle reproduces it bit-for-bit.  Output:
+    ``(doc_id, n_toks, dsir_micro)`` where dsir_micro =
+    Σ_tok [ln(ct_b+1) − ln(cr_b+1)] + n_toks·[ln(nr+B) − ln(nt+B)],
+    all in micro-units.
+
+    Scale shape (100 TB): ONE token-level agg shuffle builds the
+    (≤256-row) bucket count table with target and raw counts in the
+    same pass (conditional agg, not two scans); the LLR table and the
+    1-row totals broadcast back onto the token stream, and the
+    per-document sum is one doc-keyed agg — the same partitioning the
+    extraction pipeline already uses."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", "lang", F.explode(_tok_arr()).alias("tok"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("tok"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % DSIR_BUCKETS
+    )
+    tb = toks.select("doc_id", "lang", bucket.alias("b"))
+    counts = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+    )
+    llr = counts.select(
+        "b",
+        (_ln_micro(F.col("ct") + 1) - _ln_micro(F.col("cr") + 1)).alias(
+            "llr_micro"
+        ),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+    )
+    return (
+        tb.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("llr_micro").cast("long").alias("s"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_toks",
+            (
+                F.col("s")
+                + F.col("n_toks")
+                * (
+                    _ln_micro(F.lit(DSIR_BUCKETS) + F.col("nr"))
+                    - _ln_micro(F.lit(DSIR_BUCKETS) + F.col("nt"))
+                )
+            ).alias("dsir_micro"),
+        )
+    )
+
+
+def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (micro-nats)
+    — the classic gibberish/compression-artifact quality signal (very
+    low entropy = repeated filler, very high = base64/binary spill).
+    ``H = Σ_c (cnt_c/len)·ln(len/cnt_c)``, computed as
+    ``Σ_c cnt_c·[ln_micro(len) − ln_micro(cnt_c)] / len``: the inner
+    sum is pure int64 (order-independent), and the single closing
+    division is one deterministic double op on two exact integers —
+    engine-reproducible to the output's integer micro-unit.
+
+    Plan: map-only char explode → one (doc, char) hash agg (map-side
+    combined to ≤|alphabet| rows per doc per task) → the per-doc length
+    as a doc-partitioned window on the SAME aggregated relation (no
+    rescan) → one doc-keyed agg.  Output: (doc_id, n_chars,
+    entropy_micro)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    )
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)),"
+                   " i -> substr(text, i, 1))")
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    cc = cc.withColumn("len", F.sum("cnt").over(w))
+    term = F.col("cnt") * (_ln_micro(F.col("len")) - _ln_micro(F.col("cnt")))
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            F.max("len").cast("long").alias("n_chars"),
+            F.sum(term).cast("long").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.col("s").cast("double") / F.col("n_chars"))
+            .cast("long")
+            .alias("entropy_micro"),
+        )
+    )
