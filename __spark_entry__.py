@@ -1225,6 +1225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": textops.doc_entropy,
         # rolling z-score anomaly detection, exact-integer milli-units
         "zscore_outliers": _zscore_outliers,
+        # incremental view maintenance: merged partials == full recompute
+        # (the oracle checks the IVM identity itself)
+        "ivm_event_counts": maintenance.ivm_event_counts,
+        # key-skew diagnostic: exact discrete percentile profile of the
+        # per-key count distribution (decides salting / AQE skew-split)
+        "key_skew_profile": maintenance.event_user_skew_profile,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -3391,5 +3397,40 @@ def oracle_sql() -> dict[str, str]:
           AND (n_win * value_milli - win_sum)
               * (n_win * value_milli - win_sum)
             > 4 * (n_win * win_sumsq - win_sum * win_sum)
+    """
+    # IVM identity: the merged base+delta partials must equal the
+    # full-table aggregate — so the oracle IS the full recompute
+    oracles["ivm_event_counts"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_milli
+        FROM events GROUP BY event_type
+    """
+    # skew profile: exact discrete percentiles via the same total-order
+    # ranking (count, key) — no engine-specific quantile semantics
+    oracles["key_skew_profile"] = """
+        WITH counts AS (
+          SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+          FROM events GROUP BY 1
+        ), ranked AS (
+          SELECT k, n, row_number() OVER (ORDER BY n, k) AS rk FROM counts
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(n) AS BIGINT) AS total_rows,
+                 CAST(max(n) AS BIGINT) AS max_n
+          FROM ranked
+        )
+        SELECT tot.n_keys, tot.total_rows, tot.max_n,
+               (SELECT CAST(n AS BIGINT) FROM ranked, tot
+                WHERE rk = CAST(ceil(0.5 * n_keys) AS INTEGER)) AS p50_n,
+               (SELECT CAST(n AS BIGINT) FROM ranked, tot
+                WHERE rk = CAST(ceil(0.9 * n_keys) AS INTEGER)) AS p90_n,
+               (SELECT CAST(n AS BIGINT) FROM ranked, tot
+                WHERE rk = CAST(ceil(0.99 * n_keys) AS INTEGER)) AS p99_n,
+               (SELECT k FROM ranked, tot WHERE rk = n_keys) AS top_key,
+               (SELECT CAST(n AS BIGINT) FROM ranked, tot
+                WHERE rk = n_keys) AS top_n
+        FROM tot
     """
     return oracles

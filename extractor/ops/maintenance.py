@@ -196,3 +196,115 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").cast("long").alias("first_order"),
         )
     )
+
+
+def merge_partial_aggs(old_agg: DataFrame, delta_agg: DataFrame,
+                       keys: list[str]) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: given
+    the MATERIALIZED aggregate of the base table and the aggregate of
+    an append-only delta (same schema: *keys* + partial columns), merge
+    them into the post-append aggregate WITHOUT rescanning the base —
+    ``union → re-sum`` over key-cardinality rows only.  Count columns
+    merge by sum, sums by sum; any distributive/algebraic aggregate
+    (count, sum, min, max, and avg carried as sum+count) maintains this
+    way — the standard IVM identity for self-maintainable views
+    (Gupta & Mumick's materialized-view maintenance framework).
+
+    Scale posture: the whole merge touches 2·|keys-cardinality| rows —
+    at 10^12 base rows and a per-hour delta, maintenance cost is
+    proportional to the AGGREGATE size, not the table; one keyed
+    shuffle of the unioned partials (AQE collapses it to a broadcast
+    merge when the dimension is small).  Non-key columns must be
+    summable partials; min/max extensions pass a per-column merge fn."""
+    non_keys = [c for c in old_agg.columns if c not in keys]
+    assert delta_agg.columns == old_agg.columns, "partial schemas differ"
+    return (
+        old_agg.unionAll(delta_agg)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in non_keys])
+    )
+
+
+def ivm_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM demo wired for the oracle: the events table is split into a
+    'base' (event_id % 10 < 7) and an append 'delta' (the rest); each
+    side is aggregated to (event_type, n, sum_value_milli) partials and
+    merged with ``merge_partial_aggs``.  Because IVM is EXACT for
+    distributive aggregates, the merged result must equal the full-table
+    aggregate — which is precisely what the DuckDB oracle computes, so
+    the correctness gate checks the maintenance identity itself.
+    Integer milli-units keep the sums order-independent."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value_milli").cast("long").alias("sum_value_milli"),
+        )
+
+    base = partial(ev.where(F.pmod("event_id", F.lit(10)) < 7))
+    delta = partial(ev.where(F.pmod("event_id", F.lit(10)) >= 7))
+    return merge_partial_aggs(base, delta, keys=["event_type"])
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Key-skew diagnostic: the per-key row-count distribution of *key*
+    as ONE row — ``(n_keys, total_rows, max_n, p50_n, p90_n, p99_n,
+    top_key, top_n)`` — the measurement that decides whether a join or
+    aggregation on this key needs salting (``salted_skew_join``) or AQE
+    skew splitting before it burns a 100 TB shuffle on one hot reducer.
+
+    Exact discrete percentiles, engine-reproducible: keys are ranked by
+    (count, key) — a TOTAL order, so the value at position
+    ``ceil(q·n_keys)`` is unique — rather than via approximate or
+    interpolating quantile functions whose semantics differ per engine.
+
+    Plan: one keyed count agg (map-side combined), then the ranking and
+    the percentile picks run on the KEY-cardinality relation only —
+    a single-partition sort of n_keys rows, never of raw data (for
+    >10^9 distinct keys, swap the final sort for the two-level
+    distributed prefix-sum in ``ops/dedup.py::pack_sequences``)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("n", "k")
+    ranked = counts.select(
+        "k", "n", F.row_number().over(w).alias("rk")
+    ).persist()
+    n_keys = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    def pick(q: float, name: str) -> DataFrame:
+        pos = F.ceil(F.lit(q) * F.col("n_keys")).cast("int")
+        return (
+            ranked.crossJoin(F.broadcast(n_keys.select("n_keys")))
+            .where(F.col("rk") == pos)
+            .select(F.col("n").cast("long").alias(name))
+        )
+    top = (
+        ranked.crossJoin(F.broadcast(n_keys.select("n_keys")))
+        .where(F.col("rk") == F.col("n_keys"))
+        .select(F.col("k").alias("top_key"), F.col("n").cast("long").alias("top_n"))
+    )
+    out = (
+        n_keys.crossJoin(F.broadcast(pick(0.5, "p50_n")))
+        .crossJoin(F.broadcast(pick(0.9, "p90_n")))
+        .crossJoin(F.broadcast(pick(0.99, "p99_n")))
+        .crossJoin(F.broadcast(top))
+    )
+    return out
+
+
+def event_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of the events table's user_id key — the diagnostic a
+    pipeline runs before keying its sessionize/window stages."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_profile(ev, "user_id")
