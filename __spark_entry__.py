@@ -1218,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_prefix_strip": convops.conv_prefix_strip,
         "conv_token_truncate": convops.conv_token_truncate,
         "conv_role_stats": convops.conv_role_stats,
+        # stuck-loop detection: gaps-and-islands run-length encoding
+        "conv_repeat_runs": convops.conv_repeat_runs,
         # DSIR importance resampling weights (hashed-feature LLR,
         # int64 micro-unit sums — order-independent, oracle-exact)
         "dsir_importance": textops.dsir_importance,
@@ -3305,6 +3307,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN sum(same_as_prev) = 0 THEN 1 ELSE 0 END
                     AS INTEGER) AS alternation_ok
         FROM flagged GROUP BY conv_id
+    """
+    # repeat-run detection: gaps-and-islands (rn − rn-per-value) over
+    # the derived transcript view + a 16-bucket md5 content signature
+    oracles["conv_repeat_runs"] = f"""
+        {convops.DTR_CTE}, sigged AS (
+          SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS sig
+          FROM dtr
+        ), islands AS (
+          SELECT conv_id, role, sig,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx)
+               - row_number() OVER (PARTITION BY conv_id, role, sig
+                                    ORDER BY turn_idx) AS island
+          FROM sigged
+        ), runs AS (
+          SELECT conv_id, role, sig, island, count(*) AS run_len
+          FROM islands GROUP BY 1, 2, 3, 4
+        )
+        SELECT conv_id,
+               CAST(sum(run_len) AS BIGINT) AS n_turns,
+               CAST(max(run_len) AS BIGINT) AS max_run,
+               CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeat_islands
+        FROM runs GROUP BY conv_id
     """
     # DSIR importance: hashed-unigram LLR vs the 'en' target subcorpus;
     # every log is ln(one bigint) rounded to micro-units BEFORE the

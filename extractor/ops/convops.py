@@ -202,3 +202,55 @@ def conv_token_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def conv_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role_sequence_stats(derived_transcripts(spark, sf_dir))
+
+
+def detect_repeat_runs(turns: DataFrame, sig_col: str = "sig") -> DataFrame:
+    """Stuck-loop detection: find runs of CONSECUTIVE turns within a
+    conversation that carry the same content signature — the
+    agent-transcript failure mode where a tool call or a model reply
+    repeats verbatim until a step limit kills the episode.  Output: one
+    row per conversation, ``(conv_id, n_turns, max_run,
+    n_repeat_islands)`` where an island is a maximal run of ≥2
+    consecutive turns with equal (role, sig).
+
+    Algorithm: gaps-and-islands run-length encoding — the island key is
+    ``row_number() over (conv) − row_number() over (conv, role, sig)``,
+    constant exactly within a run of equal values; all-integer window
+    arithmetic, oracle-exact.  (The content signature is supplied by
+    the caller — e.g. a hash of the normalized turn text — so the run
+    test is an equality, not a similarity.)
+
+    Plan: two window passes + two aggregations, ALL keyed on conv_id
+    (the extraction partitioning — zero extra data movement in a fused
+    pipeline); per-conversation state is O(1)."""
+    w_all = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_val = Window.partitionBy("conv_id", "role", sig_col).orderBy("turn_idx")
+    islands = turns.select(
+        "conv_id",
+        "role",
+        sig_col,
+        (F.row_number().over(w_all) - F.row_number().over(w_val)).alias(
+            "island"
+        ),
+    )
+    runs = islands.groupBy("conv_id", "role", sig_col, "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("run_len").cast("long").alias("n_turns"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum(F.when(F.col("run_len") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat_islands"),
+    )
+
+
+def conv_repeat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-run detection over the derived transcript view, with a
+    16-bucket md5 content signature (first hex digit of md5(doc_id)) so
+    the synthetic corpus actually produces runs to find."""
+    dtr = derived_transcripts(spark, sf_dir).withColumn(
+        "sig",
+        F.expr("substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 1)"),
+    )
+    return detect_repeat_runs(dtr)

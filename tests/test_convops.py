@@ -135,3 +135,29 @@ def test_bpe_pair_counts(spark, tmp_path):
     }
     # "abab" -> ab, ba, ab ; "ba" -> ba ; "x"/None contribute nothing
     assert out == {"ab": 2, "ba": 2}
+
+
+def test_detect_repeat_runs(spark):
+    from extractor.ops.convops import detect_repeat_runs
+
+    df = spark.createDataFrame(
+        [
+            # conv 1: tool repeats sig "x" three times consecutively
+            (1, 0, "user", "a"),
+            (1, 1, "tool", "x"),
+            (1, 2, "tool", "x"),
+            (1, 3, "tool", "x"),
+            (1, 4, "assistant", "b"),
+            # same sig later but NOT consecutive -> separate island of 1
+            (1, 5, "tool", "x"),
+            # conv 2: no repeats
+            (2, 0, "user", "a"),
+            (2, 1, "assistant", "b"),
+        ],
+        "conv_id long, turn_idx long, role string, sig string",
+    )
+    out = {r["conv_id"]: r for r in detect_repeat_runs(df).collect()}
+    assert out[1]["n_turns"] == 6
+    assert out[1]["max_run"] == 3
+    assert out[1]["n_repeat_islands"] == 1
+    assert out[2]["max_run"] == 1 and out[2]["n_repeat_islands"] == 0
