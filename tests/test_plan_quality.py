@@ -22,6 +22,14 @@ def _plan(df) -> str:
     )
 
 
+def _n_exchanges(plan: str) -> int:
+    """Count physical Exchange operators via their detail headers — the
+    formatted plan prints each node twice (tree + detail section)."""
+    import re as _re
+
+    return len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M))
+
+
 def test_point_lookup_pushdown(spark):
     plan = _plan(relational.s7_point_lookup(spark, SF))
     assert "PushedFilters" in plan
@@ -341,3 +349,52 @@ def test_line_dedup_count_join_shape(spark):
     # partial aggregation: two HashAggregate levels around each count shuffle
     assert plan.count("HashAggregate") >= 4, plan
     assert "ObjectHashAggregate" in plan, plan
+
+
+def test_bpe_pair_counts_no_global_sort(spark):
+    from extractor.ops.textops import bpe_pair_counts
+
+    plan = _plan(bpe_pair_counts(spark, SF))
+    # top-k must be TakeOrderedAndProject, never a global Sort+Exchange
+    assert "TakeOrderedAndProject" in plan
+    assert _n_exchanges(plan) == 1, plan  # the one pair-agg shuffle
+    # partial aggregation before the shuffle (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dsir_two_shuffles_and_broadcasts(spark):
+    from extractor.ops.textops import dsir_importance
+
+    plan = _plan(dsir_importance(spark, SF))
+    # LLR table and totals must broadcast back onto the token stream —
+    # never a shuffle join of token-cardinality rows against 256 buckets
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_single_window_no_join(spark):
+    from extractor.ops.temporal import zscore_outliers
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(zscore_outliers(ev))
+    assert _n_exchanges(plan) == 1, plan  # one user_id hash partition
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_conv_ops_single_conv_shuffle(spark):
+    from extractor.ops import convops
+
+    for fn in (convops.conv_prefix_strip, convops.conv_token_truncate):
+        plan = _plan(fn(spark, SF))
+        assert _n_exchanges(plan) == 1, plan  # conv_id partition only
+        assert "Join" not in plan
+
+
+def test_bfs_frontier_broadcasts(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["bfs_hop_distance"](spark, SF)
+    plan = _plan(df)
+    # dist is unions of localCheckpoints; no sort-merge join of edges
+    assert "SortMergeJoin" not in plan
