@@ -1107,11 +1107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last green row is oldest, then freshly-green ones.  The final
     round-4 window (``_DRIVER_WINDOW``, applied below) = all 48 entries
     with zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's
-    weak list + the 35 added during round 4) + ``extract_mode_mathjax_toc``
-    (rows-only in r3; its hash oracle is new this round) +
-    ``dedup_exact`` (last green r2, most-churned module since).  Round 5
-    should lead with the 20 last-r2 entries that immediately follow the
-    window.
+    weak list + the 37 added during round 4).  Round 5 should lead with
+    the 19 last-r2 entries that immediately follow the window, plus
+    ``extract_mode_mathjax_toc`` (rows-only in r3; its hash oracle is
+    new this round and has not had a driver hash row yet).
     """
     q = {
         # --- never driver-checked before round 4 (VERDICT r3 weak list) ---
@@ -1238,6 +1237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # key-skew diagnostic: exact discrete percentile profile of the
         # per-key count distribution (decides salting / AQE skew-split)
         "key_skew_profile": maintenance.event_user_skew_profile,
+        # weight-proportional sampling via exact-integer bottom-k tickets
+        "weighted_bottomk_sample": sampling.weighted_bottomk_sample,
+        # ANALYZE TABLE statistics collection (CBO / zone-map feed)
+        "table_profile": maintenance.table_profile,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -1329,7 +1332,7 @@ _DRIVER_WINDOW = [
     "conv_repeat_runs",
     "dsir_importance", "doc_entropy", "zscore_outliers",
     "ivm_event_counts", "key_skew_profile",
-    "extract_mode_mathjax_toc", "dedup_exact",
+    "weighted_bottomk_sample", "table_profile",
 ]
 
 # Entries whose last green driver row is round 2 — the tail's front, so
@@ -3472,6 +3475,40 @@ def oracle_sql() -> dict[str, str]:
               * (n_win * value_milli - win_sum)
             > 4 * (n_win * win_sumsq - win_sum * win_sum)
     """
+    # weighted bottom-k: every compared quantity is an md5 string —
+    # the selected set is engine-exact (no float priorities)
+    oracles["weighted_bottomk_sample"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 1 + CAST(length(list_filter(
+                       regexp_split_to_array(trim(text),
+                          '[ \\t\\r\\n\\f\\v]+'), x -> x <> ''))
+                     AS BIGINT) // 5 AS weight
+          FROM documents WHERE text IS NOT NULL
+        ), keyed AS (
+          SELECT doc_id, weight,
+                 list_min(list_transform(range(1, weight + 1),
+                   i -> md5('wbk:' || CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(i AS VARCHAR)))) AS min_ticket
+          FROM t
+        )
+        SELECT doc_id, weight, min_ticket
+        FROM keyed ORDER BY min_ticket LIMIT 50
+    """
+    # table statistics: one UNION ALL branch per profiled column
+    oracles["table_profile"] = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               substr(CAST(min({c}) AS VARCHAR), 1, 32) AS min_val,
+               substr(CAST(max({c}) AS VARCHAR), 1, 32) AS max_val
+        FROM documents
+        """
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    )
     # IVM identity: the merged base+delta partials must equal the
     # full-table aggregate — so the oracle IS the full recompute
     oracles["ivm_event_counts"] = """

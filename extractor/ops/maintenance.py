@@ -308,3 +308,51 @@ def event_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before keying its sessionize/window stages."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return key_skew_profile(ev, "user_id")
+
+
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics collection (``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS`` analogue): one row per column of the
+    documents table — ``(col_name, n_rows, n_nulls, n_distinct,
+    min_val, max_val)`` with min/max rendered as strings (long text
+    truncated to 32 chars AFTER the min/max pick, so the pick itself is
+    exact).  These are the numbers a cost-based optimizer and a
+    zone-map/file-skipping layout both feed on; the engine's
+    checkpoint/compaction verbs assume they exist.
+
+    Plan: ONE table scan — all per-column metrics are aggregate
+    expressions of a single groupBy().agg(...) (Spark plans the
+    multi-column exact distincts via one Expand, acceptable at
+    metadata-collection cadence), and the wide 1-row result is
+    reshaped to long form with a literal ``stack`` — no second scan,
+    no joins.  At 10^12 rows swap the exact distincts for
+    ``approx_count_distinct`` / the mergeable HLL in
+    ``textops.sketch_profile``; every other metric is already a
+    constant-size partial."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+            F.substring(F.min(c).cast("string"), 1, 32).alias(f"{c}__min"),
+            F.substring(F.max(c).cast("string"), 1, 32).alias(f"{c}__max"),
+        ]
+    wide = docs.groupBy().agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct",
+             "min_val", "max_val")

@@ -178,3 +178,57 @@ def per_stratum_topk_sample(
         .where(F.col("rk") <= k)
         .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
     )
+
+
+WBK_K = 50
+WBK_TOKENS_PER_TICKET = 5
+
+
+def weighted_bottomk_sample(spark: SparkSession, sf_dir: str,
+                            k: int = WBK_K) -> DataFrame:
+    """Weight-proportional sampling without replacement via a bottom-k
+    ticket sketch (Cohen's bottom-k framework; the exact-integer
+    alternative to Efraimidis–Spirakis priorities, whose −ln(u)/w keys
+    are floats and therefore not engine-exact): every document buys
+    ``w = 1 + tokens // 5`` lottery tickets, each ticket's key is
+    ``md5(doc_id || ticket_index)``; a document's key is its MINIMUM
+    ticket, and the sample is the k smallest keys corpus-wide.  More
+    tickets → stochastically smaller minimum → inclusion probability
+    increases with weight, and every compared quantity is an exact md5
+    string, so the selected SET is bit-reproducible on any engine and
+    partitioning (same md5-keyed-decision contract as the rest of this
+    module).
+
+    Output: ``(doc_id, weight, min_ticket)`` for the k winners.
+
+    Scale shape: ticket generation is a codegen'd
+    ``array_min(transform(sequence(...)))`` — per-row, NO explode, no
+    shuffle (the same shuffle-free-signature trick as
+    ``dedup.minhash_lsh_buckets``); the winner cut is
+    TakeOrderedAndProject, so nothing global materializes.  Cost is
+    O(total weight) hash calls, map-side."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    # token count via the module's shared tokenizer semantics (split on
+    # ASCII whitespace, drop empties).  NOTE: the pattern must go through
+    # F.split (Python-side), not an F.expr SQL literal — Spark's SQL
+    # lexer drops the backslash of unknown escapes, turning '\v' into a
+    # literal 'v' inside the class.
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"[ \t\r\n\f\v]+"),
+            lambda x: x != "",
+        )
+    )
+    w = F.lit(1) + F.floor(toks.cast("long") / F.lit(WBK_TOKENS_PER_TICKET))
+    ticketed = (
+        docs.select("doc_id", w.alias("weight"))
+        .withColumn(
+            "min_ticket",
+            F.expr(
+                "array_min(transform(sequence(1, weight), "
+                "i -> md5(concat('wbk:', CAST(doc_id AS STRING), ':', "
+                "CAST(i AS STRING)))))"
+            ),
+        )
+    )
+    return ticketed.orderBy("min_ticket").limit(k)

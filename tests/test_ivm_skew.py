@@ -54,3 +54,28 @@ def test_key_skew_profile(spark):
     assert out["p90_n"] == 10
     assert out["p99_n"] == 10
     assert out["top_key"] == "hot" and out["top_n"] == 10
+
+
+def test_table_profile(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": pd.array(["b", None, "a"], dtype="string"),
+            "lang": ["en", "en", "de"],
+            "source": ["s", "s", "s"],
+            "n_chars": [1, 0, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    from extractor.ops.maintenance import table_profile
+
+    out = {r["col_name"]: r for r in table_profile(spark, str(tmp_path)).collect()}
+    assert set(out) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert all(r["n_rows"] == 3 for r in out.values())
+    assert out["text"]["n_nulls"] == 1
+    assert out["text"]["n_distinct"] == 2  # nulls excluded from distinct
+    assert out["text"]["min_val"] == "a" and out["text"]["max_val"] == "b"
+    assert out["lang"]["n_distinct"] == 2
+    assert out["source"]["n_distinct"] == 1
+    assert out["doc_id"]["min_val"] == "0" and out["doc_id"]["max_val"] == "2"

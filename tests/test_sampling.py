@@ -143,3 +143,38 @@ def test_per_stratum_topk_exact_k(spark):
         by_src[r["source"]] += 1
     for src, n in sizes.items():
         assert by_src.get(src, 0) == min(5, n), src
+
+
+def test_weighted_bottomk_sample(spark, tmp_path):
+    import pandas as pd
+
+    # one heavy doc (500 tokens), many light docs (1 token each)
+    texts = ["w " * 500] + ["x"] * 30
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    from extractor.ops.sampling import weighted_bottomk_sample
+
+    out = weighted_bottomk_sample(spark, str(tmp_path), k=5).collect()
+    assert len(out) == 5
+    rows = {r["doc_id"]: r for r in out}
+    # weight = 1 + tokens // 5: heavy doc 101 tickets, light docs 1
+    weights = {r["doc_id"]: r["weight"] for r in out}
+    if 0 in rows:
+        assert weights[0] == 101
+    for d, w in weights.items():
+        if d != 0:
+            assert w == 1
+    # with 101 of 131 tickets, the heavy doc is essentially always in
+    assert 0 in rows
+    # deterministic across runs
+    again = weighted_bottomk_sample(spark, str(tmp_path), k=5).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(rows)
+    # min_ticket is an md5 hex string
+    assert all(len(r["min_ticket"]) == 32 for r in out)
