@@ -704,6 +704,74 @@ def _zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(ev)
 
 
+def _expire_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-history expiration demo wired for the oracle
+    (``extractor/checkpoint.py::expire_checkpoint_history`` — the
+    Iceberg ``expire_snapshots`` analogue): three snapshots' worth of
+    per-bucket status rows + fingerprints are committed to a temp
+    checkpoint store (turn counts = the documents corpus bucketed 8
+    ways, so every number derives from the test table), the two newest
+    are retained, and the verified summary is returned.  The oracle
+    recomputes the expected row/turn accounting from ``documents``."""
+    import shutil
+    import tempfile
+
+    from extractor.checkpoint import (
+        CHECKPOINT_SCHEMA,
+        _record,
+        expire_checkpoint_history,
+        record_fingerprints,
+        with_bucket,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text"
+    )
+    counts = {
+        r["bucket"]: r["n"]
+        for r in with_bucket(docs, 8)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    work = tempfile.mkdtemp(prefix="expire-demo-")
+    ckpt = f"{work}/ckpt"
+    try:
+        for i, snap in enumerate(["snap-a", "snap-b", "snap-c"]):
+            _record(
+                spark,
+                ckpt,
+                [
+                    (b, snap, "completed", int(n), float(i * 100 + b), None)
+                    for b, n in sorted(counts.items())
+                ],
+            )
+            record_fingerprints(docs, ckpt, snap, 8)
+        stats = expire_checkpoint_history(spark, ckpt, keep_last=2)
+        turns_retained = (
+            spark.read.schema(CHECKPOINT_SCHEMA)
+            .parquet(f"{ckpt}/status")
+            .agg(F.sum("turns"))
+            .collect()[0][0]
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                stats["snapshots_before"],
+                stats["snapshots_after"],
+                stats["rows_before"],
+                stats["rows_after"],
+                int(turns_retained),
+                stats["content_match"],
+            )
+        ],
+        "snapshots_before int, snapshots_after int, rows_before long, "
+        "rows_after long, turns_retained long, content_match boolean",
+    )
+
+
 def _asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (``extractor/ops/temporal.py``): each click
     event attributed to the latest preceding view by the same user —
@@ -1241,6 +1309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_bottomk_sample": sampling.weighted_bottomk_sample,
         # ANALYZE TABLE statistics collection (CBO / zone-map feed)
         "table_profile": maintenance.table_profile,
+        # expire_snapshots analogue: content-verified retention rewrite
+        "expire_checkpoints": _expire_checkpoints,
         "extract_mode_mathjax_toc": _extract_mode_mathjax_toc,
         # --- refreshed r3-green extraction core ---
         "extract_documents": _extract_documents,
@@ -1336,8 +1406,11 @@ _DRIVER_WINDOW = [
 ]
 
 # Entries whose last green driver row is round 2 — the tail's front, so
-# round 5's window picks them up next.
+# round 5's window picks them up next.  expire_checkpoints (landed after
+# the round-4 window filled) and extract_mode_mathjax_toc (hash oracle
+# newer than its rows-only r3 row) lead them.
 _LAST_GREEN_R2 = [
+    "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -3509,6 +3582,17 @@ def oracle_sql() -> dict[str, str]:
         """
         for c in ("doc_id", "text", "lang", "source", "n_chars")
     )
+    # snapshot expiration: 3 snapshots of 8 bucket rows each -> keep 2;
+    # retained turns = 2 passes over the documents corpus
+    oracles["expire_checkpoints"] = """
+        SELECT CAST(3 AS INTEGER) AS snapshots_before,
+               CAST(2 AS INTEGER) AS snapshots_after,
+               CAST(24 AS BIGINT) AS rows_before,
+               CAST(16 AS BIGINT) AS rows_after,
+               CAST(2 * count(*) AS BIGINT) AS turns_retained,
+               TRUE AS content_match
+        FROM documents
+    """
     # IVM identity: the merged base+delta partials must equal the
     # full-table aggregate — so the oracle IS the full recompute
     oracles["ivm_event_counts"] = """

@@ -504,3 +504,140 @@ def run_with_checkpoint(
     summary["buckets_failed"] = len(remaining)
     summary["status"] = "FAILED" if remaining else "COMPLETED"
     return summary
+
+
+def _recover_or_drop_bak(target: str) -> None:
+    """Crash recovery for the rename-aside swap: a leftover .expire-bak
+    with no live target means we died between the two renames — restore
+    it; a .bak alongside a live target means the swap completed."""
+    import os
+    import shutil
+
+    bak = f"{target}.expire-bak"
+    if os.path.exists(bak):
+        if not os.path.exists(target):
+            os.rename(bak, target)
+        else:
+            shutil.rmtree(bak)
+
+
+def _swap_dir(target: str, staged: str) -> None:
+    import os
+    import shutil
+
+    bak = f"{target}.expire-bak"
+    os.rename(target, bak)
+    os.rename(staged, target)
+    shutil.rmtree(bak)
+
+
+def expire_checkpoint_history(
+    spark: SparkSession, ckpt_dir: str, keep_last: int = 2
+) -> dict:
+    """Snapshot-history expiration (Iceberg ``expire_snapshots`` /
+    Delta ``VACUUM`` retention analogue) for the checkpoint store: keep
+    only the newest *keep_last* snapshot_ids — ordered by each
+    snapshot's latest ``recorded_at`` across BOTH the status table
+    (``{ckpt_dir}/status``) and the fingerprint table
+    (``{ckpt_dir}/fingerprints``) — and rewrite both tables without the
+    expired rows.  The checkpoint store is append-only by design (a
+    running + completed row per bucket per run), so at 10^12-turn
+    cadence it accumulates history that resume never reads again;
+    expiration bounds it at O(keep_last · n_buckets) rows.
+
+    Safety: the rewrite is content-verified BEFORE any swap (the
+    retained status subset's count + decimal-xxhash fingerprint must be
+    identical in the staged copy — raises and leaves the store untouched
+    otherwise), and each table is swapped with the module's
+    crash-recoverable rename-aside sequence (a leftover ``.expire-bak``
+    from a crash between the two renames is restored on the next call).
+    The newest snapshot's fingerprints are always retained, so the
+    incremental fast path (``stored_fingerprints``) survives expiration.
+
+    Scale: the only driver-side materialization is the snapshot-id
+    recency list (one row per snapshot — bounded metadata, same class
+    as the bucket lists this module already collects)."""
+    import os
+    import shutil
+    import tempfile
+
+    status_dir = f"{ckpt_dir}/status"
+    fp_dir = f"{ckpt_dir}/fingerprints"
+    _recover_or_drop_bak(status_dir)
+    _recover_or_drop_bak(fp_dir)
+
+    status = spark.read.schema(CHECKPOINT_SCHEMA).parquet(status_dir)
+    has_fp = os.path.exists(fp_dir)
+    fp = (
+        spark.read.schema(FINGERPRINT_SCHEMA).parquet(fp_dir)
+        if has_fp
+        else None
+    )
+    recency = status.groupBy("snapshot_id").agg(
+        F.max("recorded_at").alias("ts")
+    )
+    if fp is not None:
+        recency = (
+            recency.unionAll(
+                fp.groupBy("snapshot_id").agg(
+                    F.max("recorded_at").alias("ts")
+                )
+            )
+            .groupBy("snapshot_id")
+            .agg(F.max("ts").alias("ts"))
+        )
+    snaps = [
+        r["snapshot_id"]
+        for r in recency.orderBy(F.desc("ts"), "snapshot_id").collect()
+    ]
+    kept = set(snaps[:keep_last])
+
+    def fingerprint(df: DataFrame):
+        cols = sorted(df.columns)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*cols).cast(T.DecimalType(38, 0))).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    keep_status = status.where(F.col("snapshot_id").isin(kept))
+    before = fingerprint(keep_status)
+    rows_before = status.count()
+
+    # staging must share the store's filesystem so the swap renames are
+    # atomic (a /tmp staging dir would make os.rename fail with EXDEV)
+    staging = tempfile.mkdtemp(
+        prefix="ckpt-expire-", dir=os.path.abspath(ckpt_dir)
+    )
+    try:
+        new_status = os.path.join(staging, "status")
+        keep_status.coalesce(1).write.mode("overwrite").parquet(new_status)
+        new_fp = None
+        if has_fp:
+            new_fp = os.path.join(staging, "fingerprints")
+            fp.where(F.col("snapshot_id").isin(kept)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(new_fp)
+        # verify the staged copy BEFORE swapping anything
+        after = fingerprint(
+            spark.read.schema(CHECKPOINT_SCHEMA).parquet(new_status)
+        )
+        if after != before:
+            raise RuntimeError(
+                f"expire content mismatch on {ckpt_dir}: "
+                f"{before} -> {after}; not swapping"
+            )
+        _swap_dir(status_dir, new_status)
+        if has_fp:
+            _swap_dir(fp_dir, new_fp)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "snapshots_before": len(snaps),
+        "snapshots_after": len(kept),
+        "rows_before": rows_before,
+        "rows_after": spark.read.schema(CHECKPOINT_SCHEMA)
+        .parquet(status_dir)
+        .count(),
+        "content_match": True,
+    }
