@@ -118,3 +118,50 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     if not files:
         raise FileNotFoundError(f"no committed files under {path}")
     return spark.read.parquet(*files)
+
+
+def find_orphan_files(path: str) -> list[str]:
+    """Files under ``{path}/data`` that NO committed manifest entry
+    references — the leftovers of aborted/crashed write jobs (a task
+    stages its part file before the driver's atomic manifest append; a
+    failure between the two strands the file).  Readers never see them
+    (``read_manifest`` reads only committed entries), but they cost
+    storage and file-listing time forever unless collected.  Returns
+    repo-relative names sorted for determinism."""
+    committed = {e["file"] for e in _load_manifest(path)}
+    data_dir = os.path.join(path, "data")
+    if not os.path.isdir(data_dir):
+        return []
+    found = [
+        f"data/{f}"
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    return sorted(f for f in found if f not in committed)
+
+
+def remove_orphan_files(path: str, dry_run: bool = True) -> dict:
+    """Iceberg ``remove_orphan_files`` analogue for the manifest sink:
+    delete (or, with ``dry_run=True``, just report) staged part files
+    that no manifest entry references.  NEVER touches committed files or
+    the manifest itself, so a concurrent ``read_manifest`` is unaffected
+    — the same safety contract as the catalog procedure.  On a real
+    object store add an age floor (e.g. orphaned > 3 days) so files
+    staged by in-flight writers are not collected; in this single-writer
+    model the manifest append is atomic with task completion, so any
+    unreferenced file is already dead."""
+    orphans = find_orphan_files(path)
+    removed = []
+    if not dry_run:
+        for f in orphans:
+            try:
+                os.remove(os.path.join(path, f))
+                removed.append(f)
+            except FileNotFoundError:
+                pass
+    return {
+        "orphans_found": len(orphans),
+        "orphans_removed": len(removed) if not dry_run else 0,
+        "dry_run": dry_run,
+        "files": orphans,
+    }

@@ -78,3 +78,34 @@ def test_empty_partition_and_all_none_column_typed_correctly(
     assert dict(got.dtypes) == {"id": "bigint", "label": "string"}
     assert got.count() == 2
     assert got.where(F.col("label").isNull()).count() == 2
+
+
+def test_orphan_detection_and_removal(registered, tmp_path):
+    from extractor.manifest_sink import (
+        find_orphan_files,
+        remove_orphan_files,
+    )
+
+    spark = registered
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.coalesce(1).write.format("manifest_parquet").option(
+        "path", path
+    ).mode("append").save()
+    assert find_orphan_files(path) == []
+    # strand two fake part files (aborted-job leftovers)
+    import pathlib
+
+    for name in ("part-deadbeef.parquet", "part-cafebabe.parquet"):
+        pathlib.Path(path, "data", name).write_bytes(b"not really parquet")
+    orphans = find_orphan_files(path)
+    assert len(orphans) == 2 and all(o.startswith("data/part-") for o in orphans)
+    # dry run deletes nothing
+    rep = remove_orphan_files(path, dry_run=True)
+    assert rep["orphans_found"] == 2 and rep["orphans_removed"] == 0
+    assert len(find_orphan_files(path)) == 2
+    # real run deletes only the orphans; committed data still reads
+    rep = remove_orphan_files(path, dry_run=False)
+    assert rep["orphans_removed"] == 2
+    assert find_orphan_files(path) == []
+    assert read_manifest(spark, path).count() == 2
