@@ -1292,6 +1292,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_role_stats": convops.conv_role_stats,
         # stuck-loop detection: gaps-and-islands run-length encoding
         "conv_repeat_runs": convops.conv_repeat_runs,
+        # SFT training-pair assembly: bounded-frame context window +
+        # char-budget right-cut, md5 hash-checked end to end
+        "sft_pair_assembly": convops.sft_pair_assembly,
+        # agent tool-usage transition matrix (lag window + tiny agg)
+        "tool_transitions": convops.tool_transitions,
+        # conversation-level quality gate (all-integer facets)
+        "conv_quality_gate": convops.conv_quality_gate,
         # DSIR importance resampling weights (hashed-feature LLR,
         # int64 micro-unit sums — order-independent, oracle-exact)
         "dsir_importance": textops.dsir_importance,
@@ -1410,6 +1417,9 @@ _DRIVER_WINDOW = [
 # the round-4 window filled) and extract_mode_mathjax_toc (hash oracle
 # newer than its rows-only r3 row) lead them.
 _LAST_GREEN_R2 = [
+    # never-driver-checked round-4 latecomers (landed after the window
+    # was frozen) lead the round-5 rotation candidates:
+    "sft_pair_assembly", "tool_transitions", "conv_quality_gate",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
@@ -3455,6 +3465,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_repeat_islands
         FROM runs GROUP BY conv_id
+    """
+    # SFT pair assembly: bounded 8-turn context frame rendered
+    # 'role: text', newline-joined IN FRAME ORDER, right-cut to 600
+    # chars, then md5 of the exact assembled bytes — the hash check
+    # verifies the true concatenation + truncation in both engines.
+    oracles["sft_pair_assembly"] = f"""
+        {convops.DTR_CTE}, ctx AS (
+          SELECT conv_id, turn_idx, role, text,
+                 coalesce(array_to_string(
+                   list(role || ': ' || text) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+                   chr(10)), '') AS ctx_full,
+                 count(*) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING
+                 ) AS n_ctx_turns
+          FROM dtr
+        )
+        SELECT conv_id, turn_idx,
+               CAST(n_ctx_turns AS BIGINT) AS n_ctx_turns,
+               CAST(length(ctx) AS BIGINT) AS ctx_chars,
+               md5(ctx) AS ctx_md5,
+               md5(text) AS target_md5
+        FROM (SELECT *, right(ctx_full, 600) AS ctx FROM ctx)
+        WHERE role = 'assistant'
+    """
+    # tool-usage transition matrix: deterministic tool column on tool
+    # turns, lag per conversation, global bigram counts
+    oracles["tool_transitions"] = f"""
+        {convops.DTR_CTE}, with_tool AS (
+          SELECT *,
+                 CASE WHEN role = 'tool' THEN
+                   (['search','python','browser','calculator'])
+                   [CAST(doc_id % 4 AS INTEGER) + 1]
+                 END AS tool
+          FROM dtr
+        ), calls AS (
+          SELECT conv_id, turn_idx, tool
+          FROM with_tool WHERE tool IS NOT NULL
+        ), lagged AS (
+          SELECT conv_id, tool,
+                 coalesce(lag(tool) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx),
+                          'START') AS prev_tool
+          FROM calls
+        )
+        SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+        FROM lagged GROUP BY 1, 2
+    """
+    # conversation quality gate: single hash aggregate, all-integer
+    # facets; the mean-length bound is integer cross-products
+    oracles["conv_quality_gate"] = f"""
+        {convops.DTR_CTE}
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_user,
+               CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_assistant,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(CASE WHEN count(*) >= 2
+                     AND sum(CASE WHEN role = 'user'
+                             THEN 1 ELSE 0 END) >= 1
+                     AND sum(CASE WHEN role = 'assistant'
+                             THEN 1 ELSE 0 END) >= 1
+                     AND sum(length(text)) >= 10 * count(*)
+                     AND sum(length(text)) <= 4000 * count(*)
+                    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM dtr GROUP BY conv_id
     """
     # DSIR importance: hashed-unigram LLR vs the 'en' target subcorpus;
     # every log is ln(one bigint) rounded to micro-units BEFORE the

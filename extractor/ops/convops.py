@@ -254,3 +254,147 @@ def conv_repeat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 1)"),
     )
     return detect_repeat_runs(dtr)
+
+_SFT_WINDOW_TURNS = 8
+_SFT_BUDGET_CHARS = 600
+
+
+def assemble_sft_pairs(turns: DataFrame,
+                       window_turns: int = _SFT_WINDOW_TURNS,
+                       budget_chars: int = _SFT_BUDGET_CHARS) -> DataFrame:
+    """SFT training-pair assembly: for every **assistant** turn (the
+    training target), build its conversational context — the up-to-
+    *window_turns* immediately preceding turns rendered as
+    ``role: text`` and joined with newlines, then cut to the LAST
+    *budget_chars* characters (drop-oldest, mid-line cuts allowed, the
+    standard char-budget fallback when no tokenizer is in the loop).
+    This is the step that turns a curated transcript corpus into
+    (context, target) example pairs for supervised fine-tuning.
+
+    Output: ``(conv_id, turn_idx, n_ctx_turns, ctx_chars, ctx_md5,
+    target_md5)`` — the assembled strings are hash-checked (md5 of the
+    exact bytes), so the oracle verifies the real concatenation +
+    truncation, not just counts.
+
+    Scale posture (10^12 turns): the context frame is BOUNDED (``ROWS
+    BETWEEN window_turns PRECEDING AND 1 PRECEDING``), so per-row state
+    is O(window_turns · turn_len) no matter how long the conversation
+    is — an unbounded ``collect_list`` prefix would be O(conv_len²)
+    characters on the Zipf-tail conversations and is exactly what this
+    design avoids.  One window over the (conv_id, turn_idx) extraction
+    partitioning: in a fused pipeline this reuses the extraction
+    shuffle.  All expressions are codegen'd JVM built-ins — no Python.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-window_turns, -1)
+    )
+    rendered = F.concat_ws(": ", F.col("role"), F.col("text"))
+    ctx_arr = F.collect_list(rendered).over(w)
+    return (
+        turns.withColumn("ctx_arr", ctx_arr)
+        .where(F.col("role") == "assistant")
+        .withColumn("ctx_full", F.array_join("ctx_arr", "\n"))
+        .withColumn("ctx", F.expr(f"right(ctx_full, {budget_chars})"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.size("ctx_arr").cast("long").alias("n_ctx_turns"),
+            F.length("ctx").cast("long").alias("ctx_chars"),
+            F.md5(F.col("ctx").cast("binary")).alias("ctx_md5"),
+            F.md5(F.col("text").cast("binary")).alias("target_md5"),
+        )
+    )
+
+
+def sft_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assemble_sft_pairs(derived_transcripts(spark, sf_dir))
+
+
+def derived_transcripts_with_tool(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The derived transcript view plus a deterministic ``tool`` column
+    (NULL except on 'tool' turns, where doc_id % 4 picks one of four
+    tool names) — mirrors the input_hint's full six-column shape."""
+    return derived_transcripts(spark, sf_dir).withColumn(
+        "tool",
+        F.expr(
+            "CASE WHEN role = 'tool' THEN"
+            " element_at(array('search','python','browser','calculator'),"
+            " CAST(doc_id % 4 AS INT) + 1) END"
+        ),
+    )
+
+
+def tool_transition_counts(turns: DataFrame) -> DataFrame:
+    """Tool-usage transition matrix over agent transcripts: restrict to
+    tool turns, order them within each conversation, and count the
+    global bigram (prev_tool → tool) frequencies, with 'START' as the
+    synthetic predecessor of each conversation's first tool call.
+    This is the agent-behavior analytics op — which tool follows which,
+    where loops concentrate — run over the ``tool`` column of the
+    input_hint schema.
+
+    Output: ``(prev_tool, tool, n)``.
+
+    Plan: one filter (map-side), one lag window keyed on conv_id (the
+    extraction partitioning), one small hash aggregate whose result
+    cardinality is ≤ (n_tools+1)·n_tools — partial aggregation makes
+    the final shuffle a few dozen rows regardless of input scale."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = turns.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    return (
+        calls.withColumn(
+            "prev_tool", F.coalesce(F.lag("tool").over(w), F.lit("START"))
+        )
+        .groupBy("prev_tool", "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tool_transition_counts(derived_transcripts_with_tool(spark, sf_dir))
+
+
+def conversation_quality(turns: DataFrame) -> DataFrame:
+    """Conversation-level quality gate: one row per conversation with
+    all-INTEGER quality facets and a keep/drop verdict — the
+    transcript-corpus analogue of the per-document ``quality_score``
+    (same family as Gopher rules, but the units are turns, not lines).
+
+    Facets: ``n_turns``, ``n_user``, ``n_assistant``, ``total_chars``,
+    and ``keep`` = 1 iff the conversation has ≥2 turns, at least one
+    user AND one assistant turn, and a mean turn length in [10, 4000]
+    chars — the mean bound is evaluated as integer cross-products
+    (``total_chars ≥ 10·n_turns`` etc.), so no float division anywhere
+    and the oracle comparison is exact by construction.
+
+    Plan: a single hash aggregate keyed on conv_id (partial aggregation
+    upstream), nothing else — the cheapest possible per-conversation
+    rollup at 10^12 turns."""
+    return turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long")
+        .alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    ).withColumn(
+        "keep",
+        (
+            (F.col("n_turns") >= 2)
+            & (F.col("n_user") >= 1)
+            & (F.col("n_assistant") >= 1)
+            & (F.col("total_chars") >= 10 * F.col("n_turns"))
+            & (F.col("total_chars") <= 4000 * F.col("n_turns"))
+        ).cast("int"),
+    )
+
+
+def conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversation_quality(derived_transcripts(spark, sf_dir))

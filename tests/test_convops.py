@@ -161,3 +161,102 @@ def test_detect_repeat_runs(spark):
     assert out[1]["max_run"] == 3
     assert out[1]["n_repeat_islands"] == 1
     assert out[2]["max_run"] == 1 and out[2]["n_repeat_islands"] == 0
+
+
+def test_assemble_sft_pairs(spark):
+    from extractor.ops.convops import assemble_sft_pairs
+
+    df = _turns(
+        spark,
+        [
+            (0, 1, 0, "user", "hello"),
+            (1, 1, 1, "assistant", "hi there"),
+            (2, 1, 2, "user", "what is two plus two"),
+            (3, 1, 3, "assistant", "four"),
+            (4, 2, 0, "assistant", "orphan answer"),
+        ],
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in assemble_sft_pairs(df, window_turns=8,
+                                    budget_chars=600).collect()
+    }
+    assert set(out) == {(1, 1), (1, 3), (2, 0)}
+    # turn (1,1): one context turn "user: hello" (11 chars)
+    assert out[(1, 1)]["n_ctx_turns"] == 1
+    assert out[(1, 1)]["ctx_chars"] == len("user: hello")
+    # turn (1,3): three context turns joined with \n
+    expected = "user: hello\nassistant: hi there\nuser: what is two plus two"
+    assert out[(1, 3)]["n_ctx_turns"] == 3
+    assert out[(1, 3)]["ctx_chars"] == len(expected)
+    import hashlib
+
+    assert out[(1, 3)]["ctx_md5"] == hashlib.md5(
+        expected.encode()).hexdigest()
+    # assistant turn with no predecessors gets an empty context
+    assert out[(2, 0)]["n_ctx_turns"] == 0 and out[(2, 0)]["ctx_chars"] == 0
+
+
+def test_assemble_sft_pairs_budget_cut_and_frame_bound(spark):
+    from extractor.ops.convops import assemble_sft_pairs
+
+    rows = [(i, 1, i, "user" if i % 2 == 0 else "assistant",
+             f"turn-{i:02d} " + "z" * 20) for i in range(12)]
+    df = _turns(spark, rows)
+    out = {
+        r["turn_idx"]: r
+        for r in assemble_sft_pairs(df, window_turns=3,
+                                    budget_chars=30).collect()
+    }
+    # frame bound: at turn 11 only turns 8..10 are in the window
+    assert out[11]["n_ctx_turns"] == 3
+    # budget cut: context is right-cut to exactly 30 chars
+    assert out[11]["ctx_chars"] == 30
+
+
+def test_tool_transition_counts(spark):
+    from extractor.ops.convops import tool_transition_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, "search"),
+            (1, 1, "python"),
+            (1, 2, "python"),
+            (2, 0, "browser"),
+            (2, 1, None),  # non-tool turn — excluded
+        ],
+        "conv_id long, turn_idx long, tool string",
+    )
+    out = {
+        (r["prev_tool"], r["tool"]): r["n"]
+        for r in tool_transition_counts(df).collect()
+    }
+    assert out == {
+        ("START", "search"): 1,
+        ("search", "python"): 1,
+        ("python", "python"): 1,
+        ("START", "browser"): 1,
+    }
+
+
+def test_conversation_quality(spark):
+    from extractor.ops.convops import conversation_quality
+
+    df = _turns(
+        spark,
+        [
+            # conv 1: healthy — 2 turns, both roles, mean length in range
+            (0, 1, 0, "user", "x" * 50),
+            (1, 1, 1, "assistant", "y" * 50),
+            # conv 2: no assistant turn -> drop
+            (2, 2, 0, "user", "x" * 50),
+            (3, 2, 1, "user", "y" * 50),
+            # conv 3: mean turn length below 10 chars -> drop
+            (4, 3, 0, "user", "abc"),
+            (5, 3, 1, "assistant", "de"),
+        ],
+    )
+    out = {r["conv_id"]: r for r in conversation_quality(df).collect()}
+    assert out[1]["keep"] == 1 and out[1]["total_chars"] == 100
+    assert out[2]["keep"] == 0 and out[2]["n_assistant"] == 0
+    assert out[3]["keep"] == 0 and out[3]["total_chars"] == 5

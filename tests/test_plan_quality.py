@@ -398,3 +398,35 @@ def test_bfs_frontier_broadcasts(spark):
     plan = _plan(df)
     # dist is unions of localCheckpoints; no sort-merge join of edges
     assert "SortMergeJoin" not in plan
+
+
+def test_sft_pair_assembly_bounded_window_single_shuffle(spark):
+    """SFT pair assembly must be one conv_id Exchange, a bounded-frame
+    window (no unbounded prefix collect), zero joins, zero Python."""
+    from extractor.ops import convops
+
+    plan = _plan(convops.sft_pair_assembly(spark, SF))
+    assert _n_exchanges(plan) == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # the frame spec must be the bounded one, not unboundedpreceding
+    assert "unboundedpreceding" not in plan.lower(), plan
+
+
+def test_tool_transitions_partial_agg(spark):
+    """Transition counting: lag window on conv_id, then an aggregate
+    whose partial (map-side) phase exists — the final shuffle moves
+    only (prev_tool, tool) partials, not raw calls."""
+    from extractor.ops import convops
+
+    plan = _plan(convops.tool_transitions(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_conv_quality_gate_single_aggregate(spark):
+    from extractor.ops import convops
+
+    plan = _plan(convops.conv_quality_gate(spark, SF))
+    assert _n_exchanges(plan) == 1, plan
+    assert "Window" not in plan and "Join" not in plan
