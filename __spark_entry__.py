@@ -31,6 +31,7 @@ from extractor.ops import (
     sampling,
     similarity,
     textops,
+    tokenize,
 )
 from extractor.pipeline import (
     extract_transcripts,
@@ -1284,6 +1285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hop_distance": _bfs_hop_distance,
         # BPE merge-step pair counting (tokenizer-training kernel)
         "bpe_pair_counts": textops.bpe_pair_counts,
+        # full BPE tokenizer: capped word-table merge learning + map-only
+        # Arrow encode (rows-only — greedy merging isn't SQL-expressible;
+        # Sennrich-corpus goldens + map-only plan gate in pytest)
+        "bpe_encode": tokenize.bpe_encode_corpus,
         # transcript curation family (ops/convops.py): repeated-context
         # strip, token-budget truncation, role-sequence validation —
         # per-conversation windows on the extraction partitioning
@@ -1420,6 +1425,7 @@ _LAST_GREEN_R2 = [
     # never-driver-checked round-4 latecomers (landed after the window
     # was frozen) lead the round-5 rotation candidates:
     "sft_pair_assembly", "tool_transitions", "conv_quality_gate",
+    "bpe_encode",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
