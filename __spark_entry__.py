@@ -1289,6 +1289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Arrow encode (rows-only — greedy merging isn't SQL-expressible;
         # Sennrich-corpus goldens + map-only plan gate in pytest)
         "bpe_encode": tokenize.bpe_encode_corpus,
+        # content-defined chunking dedup profile (rolling-hash
+        # boundaries survive insertions; chunk-level corpus dedup)
+        "cdc_chunk_stats": dedup.cdc_chunk_stats,
         # transcript curation family (ops/convops.py): repeated-context
         # strip, token-budget truncation, role-sequence validation —
         # per-conversation windows on the extraction partitioning
@@ -1425,7 +1428,7 @@ _LAST_GREEN_R2 = [
     # never-driver-checked round-4 latecomers (landed after the window
     # was frozen) lead the round-5 rotation candidates:
     "sft_pair_assembly", "tool_transitions", "conv_quality_gate",
-    "bpe_encode",
+    "bpe_encode", "cdc_chunk_stats",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
@@ -3541,6 +3544,51 @@ def oracle_sql() -> dict[str, str]:
                      AND sum(length(text)) <= 4000 * count(*)
                     THEN 1 ELSE 0 END AS INTEGER) AS keep
         FROM dtr GROUP BY conv_id
+    """
+    # CDC chunk dedup: boundary rule p>=k AND p<len AND
+    # md5int(trailing k-gram) % divisor == 0 (the shared keyed-uniform
+    # primitive — NB the outer lambda var is 'p', not 'i', because the
+    # md5int helper's own inner lambda binds 'i'); final position always
+    # closes the last chunk; indexed list_transform slices the chunks.
+    _cdc_hash = _dd_md5_bucket(
+        "", 64, key="substr(text, CAST(p - 7 AS INTEGER), 8)"
+    )
+    oracles["cdc_chunk_stats"] = f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 1
+        ), b AS (
+          SELECT doc_id, text,
+                 list_filter(range(1, length(text) + 1),
+                   p -> p >= 8 AND p < length(text)
+                        AND {_cdc_hash} = 0) AS bpos
+          FROM docs
+        ), bo AS (
+          SELECT doc_id, text,
+                 list_append(bpos, CAST(length(text) AS BIGINT)) AS bounds
+          FROM b
+        ), ch AS (
+          SELECT unnest(list_transform(range(len(bounds)), j ->
+                   substr(text,
+                          CAST((CASE WHEN j = 0 THEN 0
+                                ELSE bounds[CAST(j AS INTEGER)] END)
+                               + 1 AS INTEGER),
+                          CAST(bounds[CAST(j + 1 AS INTEGER)]
+                               - CASE WHEN j = 0 THEN 0
+                                 ELSE bounds[CAST(j AS INTEGER)] END
+                               AS INTEGER)))) AS chunk
+          FROM bo
+        ), g AS (
+          SELECT md5(chunk) AS h, length(chunk) AS clen,
+                 count(*) AS cnt
+          FROM ch GROUP BY 1, 2
+        )
+        SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
+               CAST(count(*) AS BIGINT) AS distinct_chunks,
+               CAST(sum(cnt) - count(*) AS BIGINT)
+                 AS dup_chunk_instances,
+               CAST(sum((cnt - 1) * clen) AS BIGINT) AS saved_chars
+        FROM g
     """
     # DSIR importance: hashed-unigram LLR vs the 'en' target subcorpus;
     # every log is ln(one bigint) rounded to micro-units BEFORE the

@@ -1088,3 +1088,81 @@ def substring_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_fraction"),
         )
     )
+
+
+CDC_K = 8          # rolling k-gram width
+CDC_DIVISOR = 64   # boundary probability 1/64 → expected ~64-char chunks
+
+
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str,
+                    k: int = CDC_K, divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined chunking dedup profile (the storage-dedup
+    technique of LBFS/restic/borg applied to corpus text): split every
+    document at positions where the hash of the trailing *k*-gram is
+    ≡ 0 (mod *divisor*), then measure chunk-level duplication across
+    the WHOLE corpus.  Because boundaries depend only on local content,
+    they survive insertions/deletions — shifted copies of a passage
+    still produce identical chunks, which fixed-width shingling (see
+    ``substring_dup_profile``) misses.
+
+    Boundary rule: position ``p`` (1-based, ``k ≤ p < len``) ends a
+    chunk iff ``int(md5(substr(text, p-k+1, k))[:8 hex]) % divisor ==
+    0`` — the engine's shared keyed-uniform primitive, so Spark and
+    DuckDB agree bit-for-bit.  The final position is always a boundary.
+    ``p ≥ k`` gives an implicit k-char minimum chunk; expected chunk
+    length is ~*divisor* chars.
+
+    Output: ONE summary row ``(total_chunks, distinct_chunks,
+    dup_chunk_instances, saved_chars)`` — all integers;
+    ``saved_chars`` is the byte win of storing each distinct chunk
+    once (Σ (count−1)·len).
+
+    Plan/scale: boundary detection + chunk slicing are pure codegen'd
+    higher-order functions (``filter(sequence)`` + indexed
+    ``transform``) — map-only, embarrassingly parallel; the only
+    shuffle carries (chunk_md5, len) partials after map-side combine,
+    and the closing rollup is a single-row aggregate.  The per-position
+    md5 costs O(len) hashes per document — the declarative semantics
+    spec; a production 100 TB run swaps in an O(1)-per-byte gear
+    rolling hash inside ``mapInPandas`` with the same boundary
+    distribution and identical downstream topology."""
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    )
+    md5int = (
+        f"CAST(conv(substr(md5(CAST(substr(text, i - {k - 1}, {k})"
+        " AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    bounds = docs.select(
+        "text",
+        F.expr(
+            f"concat(filter(sequence(1, length(text)),"
+            f" i -> i >= {k} AND i < length(text)"
+            f"      AND {md5int} % {divisor} = 0),"
+            f" array(length(text)))"
+        ).alias("bounds"),
+    )
+    chunks = bounds.select(
+        F.explode(
+            F.expr(
+                "transform(bounds, (b, j) ->"
+                " substr(text,"
+                "        IF(j = 0, 0, element_at(bounds, j)) + 1,"
+                "        b - IF(j = 0, 0, element_at(bounds, j))))"
+            )
+        ).alias("chunk")
+    )
+    per_chunk = chunks.groupBy(
+        F.md5(F.col("chunk").cast("binary")).alias("h"),
+        F.length("chunk").alias("clen"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_chunk.agg(
+        F.sum("cnt").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        (F.sum("cnt") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("dup_chunk_instances"),
+        F.sum((F.col("cnt") - 1) * F.col("clen"))
+        .cast("long")
+        .alias("saved_chars"),
+    )

