@@ -1292,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # content-defined chunking dedup profile (rolling-hash
         # boundaries survive insertions; chunk-level corpus dedup)
         "cdc_chunk_stats": dedup.cdc_chunk_stats,
+        # conversation-level MinHash near-dup (retried agent episodes):
+        # turn-set signatures, banded LSH, in-bucket pair agreement
+        "conv_neardup_pairs": convops.conv_neardup_pairs,
         # transcript curation family (ops/convops.py): repeated-context
         # strip, token-budget truncation, role-sequence validation —
         # per-conversation windows on the extraction partitioning
@@ -1428,7 +1431,7 @@ _LAST_GREEN_R2 = [
     # never-driver-checked round-4 latecomers (landed after the window
     # was frozen) lead the round-5 rotation candidates:
     "sft_pair_assembly", "tool_transitions", "conv_quality_gate",
-    "bpe_encode", "cdc_chunk_stats",
+    "bpe_encode", "cdc_chunk_stats", "conv_neardup_pairs",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
@@ -3544,6 +3547,42 @@ def oracle_sql() -> dict[str, str]:
                      AND sum(length(text)) <= 4000 * count(*)
                     THEN 1 ELSE 0 END AS INTEGER) AS keep
         FROM dtr GROUP BY conv_id
+    """
+    # conversation near-dup: minhash over the shared-turn transcript
+    # view (DTR_SHARED_CTE), 4 bands × 2 components, hot buckets > 40
+    # excluded, distinct candidate pairs with signature agreement
+    _sig_mins = ", ".join(
+        f"min(md5('cseed{i}:' || text)) AS mh_{i}" for i in range(8)
+    )
+    _sig_bands = " UNION ALL ".join(
+        f"SELECT conv_id, {b} AS band,"
+        f" md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS bucket FROM sig"
+        for b in range(4)
+    )
+    _sig_agree = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(8)
+    )
+    oracles["conv_neardup_pairs"] = f"""
+        {convops.DTR_SHARED_CTE}, sig AS (
+          SELECT conv_id, {_sig_mins} FROM dtrs GROUP BY conv_id
+        ), bands AS (
+          {_sig_bands}
+        ), sz AS (
+          SELECT band, bucket FROM bands GROUP BY 1, 2
+          HAVING count(*) BETWEEN 2 AND 40
+        ), cand AS (
+          SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.conv_id < b.conv_id
+          JOIN sz ON sz.band = a.band AND sz.bucket = a.bucket
+        )
+        SELECT conv_a, conv_b,
+               CAST({_sig_agree} AS INTEGER) AS n_agree
+        FROM cand
+        JOIN sig sa ON sa.conv_id = conv_a
+        JOIN sig sb ON sb.conv_id = conv_b
     """
     # CDC chunk dedup: boundary rule p>=k AND p<len AND
     # md5int(trailing k-gram) % divisor == 0 (the shared keyed-uniform

@@ -398,3 +398,139 @@ def conversation_quality(turns: DataFrame) -> DataFrame:
 
 def conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_quality(derived_transcripts(spark, sf_dir))
+
+
+CONV_HASHES = 8       # minhash components per conversation
+CONV_BAND_SIZE = 2    # components per LSH band -> 4 bands
+CONV_MAX_BUCKET = 40  # hot-bucket guard (skip degenerate mega-buckets)
+
+
+def conversation_minhash_pairs(turns: DataFrame,
+                               max_bucket: int = CONV_MAX_BUCKET
+                               ) -> DataFrame:
+    """Conversation-level near-duplicate detection: MinHash over the
+    TURN-set of each conversation (one signature component per seed =
+    the min turn-text hash), banded LSH bucketing, then candidate pairs
+    with their signature-agreement count.  This is the dedup the
+    transcripts payload actually needs — retried / re-logged agent
+    episodes duplicate most of their turns verbatim, and per-document
+    (per-turn) dedup can't see that two *conversations* are the same
+    episode.  Same Broder estimator as ``dedup.minhash_signatures``,
+    one granularity up: the token set is the turn set.
+
+    Output: distinct ``(conv_a, conv_b, n_agree)`` with conv_a <
+    conv_b; ``n_agree`` of CONV_HASHES components agree (callers
+    threshold, e.g. ≥6/8 ≈ Jaccard 0.75).
+
+    Plan/scale: ONE shuffle builds all signatures (groupBy conv_id with
+    CONV_HASHES min-aggregates — map-side partial mins make the shuffle
+    rows one per conv per partition); band explosion is 4 rows per
+    conversation; the (band, bucket) aggregate is the second shuffle;
+    pair generation happens INSIDE buckets already capped at
+    *max_bucket* members (collect_list is bounded by the cap — the m²
+    trap handled the same way as ``minhash_jaccard_estimate``), with
+    agreement computed from the carried signatures — no sig re-join,
+    no all-pairs anything."""
+    n_bands = CONV_HASHES // CONV_BAND_SIZE
+    sig = turns.groupBy("conv_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"cseed{i}:"), F.col("text")))
+            ).alias(f"mh_{i}")
+            for i in range(CONV_HASHES)
+        ]
+    ).select(
+        "conv_id",
+        F.array(*[f"mh_{i}" for i in range(CONV_HASHES)]).alias("sig"),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * CONV_BAND_SIZE + j}")
+                      for j in range(CONV_BAND_SIZE)],
+                )
+            ).alias(f"bucket_{b}")
+            for b in range(n_bands)
+        ],
+    )
+    exploded = sig.select(
+        "conv_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"bucket_{b}").alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("conv_id", "sig", "bb.band", "bb.bucket")
+    members = (
+        exploded.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("conv_id", "sig"))
+            ).alias("ms")
+        )
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) ->"
+                " transform(slice(ms, i + 2, size(ms) - i - 1),"
+                "           y -> struct(x.conv_id AS conv_a,"
+                "                       y.conv_id AS conv_b,"
+                "                       size(filter(zip_with(x.sig, y.sig,"
+                "                            (p, q) -> p = q),"
+                "                            v -> v)) AS n_agree))))"
+            )
+        ).alias("pr")
+    )
+    return pairs.select(
+        F.col("pr.conv_a").alias("conv_a"),
+        F.col("pr.conv_b").alias("conv_b"),
+        F.col("pr.n_agree").cast("int").alias("n_agree"),
+    ).distinct()
+
+
+# Shared-turn transcript view: agent corpora repeat boilerplate turns
+# verbatim across conversations (system prompts, policy preambles, tool
+# banners).  This view plants that reality deterministically: ~6/16 of
+# turns are replaced by one of three shared template strings, so
+# conversation-level near-dup has real structure to find.  DuckDB
+# mirror: DTR_SHARED_CTE.
+_SHARED_TMPL = "SYSTEM: shared policy preamble v"
+
+
+def derived_transcripts_shared(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    return derived_transcripts(spark, sf_dir).withColumn(
+        "text",
+        F.expr(
+            "CASE WHEN substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)),"
+            " 2, 1) < '6'"
+            f" THEN concat('{_SHARED_TMPL}', CAST(doc_id % 3 AS STRING))"
+            " ELSE text END"
+        ),
+    )
+
+
+DTR_SHARED_CTE = DTR_CTE + f""",
+    dtrs AS (
+      SELECT doc_id, conv_id, turn_idx, role,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '6'
+                  THEN '{_SHARED_TMPL}' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE text END AS text
+      FROM dtr
+    )
+"""
+
+
+def conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversation_minhash_pairs(
+        derived_transcripts_shared(spark, sf_dir)
+    )

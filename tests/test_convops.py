@@ -313,3 +313,37 @@ def test_cdc_chunk_reconstruction(spark, tmp_path):
     # so repeats of the phrase produce duplicate chunks
     row = cdc_chunk_stats(spark, str(tmp_path)).collect()[0]
     assert row["dup_chunk_instances"] > 0
+
+
+def test_conversation_minhash_pairs_finds_retried_episode(spark):
+    from extractor.ops.convops import conversation_minhash_pairs
+
+    # conv 1 and conv 2 are the same episode re-logged (identical turn
+    # set); conv 3 is unrelated
+    shared = [(i, f"turn text number {i} with enough entropy")
+              for i in range(6)]
+    rows = []
+    for conv in (1, 2):
+        for i, t in shared:
+            rows.append((conv * 100 + i, conv, i, "user", t))
+    for i in range(6):
+        rows.append((300 + i, 3, i, "user", f"completely different {i}"))
+    df = _turns(spark, rows)
+    out = conversation_minhash_pairs(df).collect()
+    assert len(out) == 1
+    assert (out[0]["conv_a"], out[0]["conv_b"]) == (1, 2)
+    # identical turn sets -> every signature component agrees
+    assert out[0]["n_agree"] == 8
+
+
+def test_conversation_minhash_pairs_hot_bucket_excluded(spark):
+    from extractor.ops.convops import conversation_minhash_pairs
+
+    # 5 identical conversations: with max_bucket=4 the single mega
+    # bucket is skipped entirely -> no pairs (the m^2 guard)
+    rows = [(c * 10 + i, c, i, "user", f"same turn {i}")
+            for c in range(5) for i in range(3)]
+    df = _turns(spark, rows)
+    assert conversation_minhash_pairs(df, max_bucket=4).count() == 0
+    # raising the cap re-admits the bucket: C(5,2)=10 pairs
+    assert conversation_minhash_pairs(df, max_bucket=10).count() == 10

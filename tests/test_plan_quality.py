@@ -430,3 +430,14 @@ def test_conv_quality_gate_single_aggregate(spark):
     plan = _plan(convops.conv_quality_gate(spark, SF))
     assert _n_exchanges(plan) == 1, plan
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_conv_neardup_join_free(spark):
+    """Conversation near-dup must generate pairs INSIDE buckets from
+    the carried signatures — the plan has no join anywhere (no sig
+    re-join, no bucket-member self-join)."""
+    from extractor.ops import convops
+
+    plan = _plan(convops.conv_neardup_pairs(spark, SF))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan
