@@ -488,16 +488,25 @@ def convert_batch(
 ):
     """Arrow-batch kernel: ``pd.Series[str] -> pd.DataFrame`` (one call per
     record batch inside ``mapInPandas`` — zero per-row Python dispatch from
-    Spark's side)."""
+    Spark's side).
+
+    Verbatim-repeat memo: agent corpora repeat turns byte-identically
+    (system prompts re-sent every episode, echoed tool banners), and
+    ``convert_text`` is pure, so identical inputs within a batch are
+    converted once and the result row reused.  The memo is per-batch
+    (options are fixed per call, lifetime bounded by the Arrow batch)
+    and stops inserting past a size cap so a pathological all-distinct
+    batch costs one dict probe per row and bounded memory."""
     import pandas as pd
 
     rows = []
+    memo: dict = {}
     for value in texts:
-        r = convert_text(
-            None if value is None or value is pd.NA else value, max_chars, options
-        )
-        rows.append(
-            (
+        key = None if value is None or value is pd.NA else value
+        row = memo.get(key)
+        if row is None:
+            r = convert_text(key, max_chars, options)
+            row = (
                 r.extracted_text,
                 r.spans,
                 r.tables_count,
@@ -507,7 +516,9 @@ def convert_batch(
                 r.error,
                 r.images,
             )
-        )
+            if len(memo) < 65536:
+                memo[key] = row
+        rows.append(row)
     return pd.DataFrame(
         rows,
         columns=[
