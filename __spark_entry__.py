@@ -26,6 +26,7 @@ from extractor.layout import parse_layout_batch, synth_layout_doc
 from extractor.ops import (
     convops,
     dedup,
+    export,
     maintenance,
     relational,
     sampling,
@@ -1295,6 +1296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conversation-level MinHash near-dup (retried agent episodes):
         # turn-set signatures, banded LSH, in-bucket pair agreement
         "conv_neardup_pairs": convops.conv_neardup_pairs,
+        # JSONL training-shard export sink (atomic publish, read-back
+        # verified manifest; oracle checks disk contents vs packing spec)
+        "export_training_shards": export.export_training_shards,
         # transcript curation family (ops/convops.py): repeated-context
         # strip, token-budget truncation, role-sequence validation —
         # per-conversation windows on the extraction partitioning
@@ -1432,6 +1436,7 @@ _LAST_GREEN_R2 = [
     # was frozen) lead the round-5 rotation candidates:
     "sft_pair_assembly", "tool_transitions", "conv_quality_gate",
     "bpe_encode", "cdc_chunk_stats", "conv_neardup_pairs",
+    "export_training_shards",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
@@ -3341,6 +3346,16 @@ def oracle_sql() -> dict[str, str]:
     # identical output contract, different distributed algorithm
     oracles["dedup_clusters_two_phase"] = oracles["dedup_clusters"]
     oracles["pack_sequences_two_level"] = oracles["pack_sequences"]
+    # JSONL export sink: the Spark side re-reads the PUBLISHED shard
+    # files and aggregates them; DuckDB independently computes the same
+    # rollup from the packing semantics — disk contents vs spec.
+    oracles["export_training_shards"] = f"""
+        SELECT CAST(floor(seq_id / 4) AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tok
+        FROM ({oracles["pack_sequences"]}) p
+        GROUP BY 1
+    """
     # bloom prefilter + exact verify is output-identical to the exact path
     oracles["decontaminate_bloom"] = oracles["decontaminate_ngram"]
     # anchor rollup composes the link-graph reconstruction as a CTE
