@@ -110,3 +110,40 @@ def test_bpe_encode_map_only_plan(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     plan = bpe_encode(df, [("a", "b")])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+from hypothesis import given, settings, strategies as st
+
+_words = st.lists(
+    st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=8),
+              st.integers(min_value=1, max_value=20)),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_words)
+def test_bpe_tokens_always_reconstruct_words(word_freq):
+    """Merges only ever concatenate adjacent symbols, so joining a
+    word's tokens must reproduce word + END_OF_WORD exactly — for any
+    corpus, any merge count, any word (in-vocab or OOV)."""
+    merges = learn_merges(word_freq, 10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in word_freq + [("zzzz", 1)]:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + END_OF_WORD
+        assert 1 <= len(toks) <= len(w) + 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(_words)
+def test_bpe_more_merges_never_lengthen_encoding(word_freq):
+    merges = learn_merges(word_freq, 10)
+    for w, _ in word_freq:
+        prev = None
+        for k in range(len(merges) + 1):
+            ranks = {p: i for i, p in enumerate(merges[:k])}
+            n = len(encode_word(w, ranks))
+            if prev is not None:
+                assert n <= prev
+            prev = n
