@@ -54,13 +54,23 @@ def export_jsonl_shards(df: DataFrame, out_dir: str,
         .option("compression", "gzip")
         .json(tmp)
     )
-    staged = spark.read.json(tmp)
-    counts = {
-        int(r[shard_col]): int(r["n"])
-        for r in staged.groupBy(shard_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    has_data = any(
+        f.startswith("shard") or f.startswith(f"{shard_col}=")
+        for f in os.listdir(tmp)
+    )
+    if has_data:
+        staged = spark.read.json(tmp)
+        counts = {
+            int(r[shard_col]): int(r["n"])
+            for r in staged.groupBy(shard_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    else:
+        # empty input: partitionBy wrote no partition dirs (only
+        # _SUCCESS) and read.json would fail schema inference — an
+        # empty export is still a publishable, manifest-carrying state
+        counts = {}
     manifest = {
         "shards": {str(k): v for k, v in sorted(counts.items())},
         "n_rows": sum(counts.values()),

@@ -75,3 +75,11 @@ def test_export_manifest_certifies_disk_not_plan(spark, tmp_path):
     with open(os.path.join(out, MANIFEST_NAME)) as f:
         on_disk = json.load(f)
     assert on_disk == manifest
+
+
+def test_export_empty_input_publishes_empty_manifest(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    empty = _df(spark).where("doc_id < 0")
+    manifest = export_jsonl_shards(empty, out)
+    assert manifest == {"shards": {}, "n_rows": 0, "n_shards": 0}
+    assert read_export_manifest(out) == manifest
