@@ -190,6 +190,49 @@ def _conversation_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stitch_conversations(out)
 
 
+def _conv_stitch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stitch operator itself under a DuckDB oracle: run the REAL
+    ``stitch_conversations`` (applyInPandas, in-group sort, null/empty
+    skip, ``[role]`` headers, blank-line joins) over the deterministic
+    documents-derived transcript view with planted extraction errors,
+    and hash the assembled markdown — so the exact concatenation order
+    and separator bytes are pinned cross-engine, isolating the stitch
+    semantics from the (non-SQL-expressible) kernel that usually feeds
+    it.  Errors: turns whose md5 third hex digit is '0' carry an error
+    and a NULL extracted_text — counted but never rendered, exactly the
+    quarantine-passthrough contract."""
+    from extractor.ops import convops
+
+    dtr = convops.derived_transcripts(spark, sf_dir).select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+        F.expr(
+            "CASE WHEN substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)),"
+            " 3, 1) = '0' THEN 'planted_error' END"
+        ).alias("error"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.when(F.col("error").isNull(), F.col("text")).alias(
+            "extracted_text"
+        ),
+        "error",
+    )
+    stitched = stitch_conversations(dtr)
+    return stitched.select(
+        "conv_id",
+        "n_turns",
+        "n_errors",
+        F.length("conversation_markdown").cast("long").alias("md_chars"),
+        F.md5(F.col("conversation_markdown").cast("binary")).alias(
+            "md_md5"
+        ),
+    )
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> Arrow feature kernel
     (decode stubbed for real codecs).  Hash-checked: the synthetic payload
@@ -1363,6 +1406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_linearize": _layout_linearize,
         "images_side_table": _images_side_table,
         "conversation_stitch": _conversation_stitch,
+        # stitch operator under a DuckDB oracle (hash-checked markdown
+        # assembly; the kernel-fed variant above stays rows-only)
+        "conv_stitch_exact": _conv_stitch_exact,
         "lang_id": textops.lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
         "pii_redact": textops.pii_redact,
@@ -1436,7 +1482,7 @@ _LAST_GREEN_R2 = [
     # was frozen) lead the round-5 rotation candidates:
     "sft_pair_assembly", "tool_transitions", "conv_quality_gate",
     "bpe_encode", "cdc_chunk_stats", "conv_neardup_pairs",
-    "export_training_shards",
+    "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
@@ -3562,6 +3608,33 @@ def oracle_sql() -> dict[str, str]:
                      AND sum(length(text)) <= 4000 * count(*)
                     THEN 1 ELSE 0 END AS INTEGER) AS keep
         FROM dtr GROUP BY conv_id
+    """
+    # stitch operator: '[role]\ntext' sections joined by blank lines in
+    # turn order; NULL (errored) and empty texts skipped from the
+    # render but counted in n_turns / n_errors; markdown hash-checked
+    oracles["conv_stitch_exact"] = f"""
+        {convops.DTR_CTE}, flagged AS (
+          SELECT conv_id, turn_idx, role, text,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)
+                      = '0' THEN 'planted_error' END AS error
+          FROM dtr
+        ), stitched AS (
+          SELECT conv_id,
+                 count(*) AS n_turns,
+                 count(error) AS n_errors,
+                 coalesce(string_agg(
+                   '[' || role || ']' || chr(10) || text,
+                   chr(10) || chr(10) ORDER BY turn_idx)
+                   FILTER (WHERE error IS NULL AND text <> ''),
+                   '') AS md
+          FROM flagged GROUP BY conv_id
+        )
+        SELECT CAST(conv_id AS VARCHAR) AS conv_id,
+               CAST(n_turns AS INTEGER) AS n_turns,
+               CAST(n_errors AS INTEGER) AS n_errors,
+               CAST(length(md) AS BIGINT) AS md_chars,
+               md5(md) AS md_md5
+        FROM stitched
     """
     # conversation near-dup: minhash over the shared-turn transcript
     # view (DTR_SHARED_CTE), 4 bands × 2 components, hot buckets > 40
