@@ -1339,6 +1339,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conversation-level MinHash near-dup (retried agent episodes):
         # turn-set signatures, banded LSH, in-bucket pair agreement
         "conv_neardup_pairs": convops.conv_neardup_pairs,
+        # per-conversation integrity audit: duplicate (conv_id,
+        # turn_idx) rows, index gaps, non-zero start — one hash agg
+        "conv_gap_audit": convops.conv_gap_audit,
+        # DPO/RLHF preference-pair mining over retried episode
+        # families: all-integer scoring, struct-max/min tiebreaks
+        "preference_pairs": convops.preference_pairs,
+        # contrastive (anchor, positive, negative) triplet mining with
+        # md5-reproducible negative sampling; hashes cover joined text
+        "contrastive_triplets": lambda spark, sf_dir: (
+            convops.mine_contrastive_triplets(
+                convops.derived_transcripts(spark, sf_dir), id_mod=500
+            )
+        ),
+        # KV-cache shared-prefix savings profile (first-2-turn key)
+        "prefix_sharing_stats": convops.prefix_sharing_stats,
+        # hybrid retrieval: BM25 top-50 ⊕ int8-quantized-dot top-50,
+        # reciprocal-rank fusion in exact integer nano-units
+        "hybrid_rrf": similarity.hybrid_rrf,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1482,6 +1500,8 @@ _LAST_GREEN_R2 = [
     # was frozen) lead the round-5 rotation candidates:
     "sft_pair_assembly", "tool_transitions", "conv_quality_gate",
     "bpe_encode", "cdc_chunk_stats", "conv_neardup_pairs",
+    "conv_gap_audit", "preference_pairs", "contrastive_triplets",
+    "prefix_sharing_stats", "hybrid_rrf",
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
@@ -3716,6 +3736,205 @@ def oracle_sql() -> dict[str, str]:
                  AS dup_chunk_instances,
                CAST(sum((cnt - 1) * clen) AS BIGINT) AS saved_chars
         FROM g
+    """
+    # per-conversation integrity audit over the dirty transcript view
+    # (deterministic duplicate injection + the gaps NULL-text docs
+    # already leave); pure counting, all-integer
+    oracles["conv_gap_audit"] = f"""
+        {convops.DTR_DIRTY_CTE}
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_turns,
+               CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT)
+                 AS n_dup_rows,
+               CAST(min(turn_idx) AS BIGINT) AS min_turn,
+               CAST(max(turn_idx) AS BIGINT) AS max_turn,
+               CAST(max(turn_idx) - min(turn_idx) + 1
+                    - count(DISTINCT turn_idx) AS BIGINT) AS n_gaps,
+               CAST(CASE WHEN count(*) = count(DISTINCT turn_idx)
+                     AND max(turn_idx) - min(turn_idx) + 1
+                         = count(DISTINCT turn_idx)
+                     AND min(turn_idx) = 0
+                    THEN 1 ELSE 0 END AS INTEGER) AS clean
+        FROM dtrd GROUP BY conv_id
+    """
+    # preference-pair mining: per-conv integer score (assistant chars
+    # + assistant turns), episode family = conv_id % 8, chosen =
+    # max(score, conv_id), rejected = min(score, conv_id) — the
+    # row_number tiebreaks below mirror Spark's struct max/min exactly
+    oracles["preference_pairs"] = f"""
+        {convops.DTR_SHARED_CTE}, sc AS (
+          SELECT conv_id,
+                 CAST(sum(length(text)) + count(*) AS BIGINT) AS score,
+                 conv_id % 8 AS group_id
+          FROM dtrs WHERE role = 'assistant' GROUP BY conv_id
+        ), r AS (
+          SELECT group_id, conv_id, score,
+                 row_number() OVER (PARTITION BY group_id
+                   ORDER BY score DESC, conv_id DESC) AS rhi,
+                 row_number() OVER (PARTITION BY group_id
+                   ORDER BY score ASC, conv_id ASC) AS rlo,
+                 count(*) OVER (PARTITION BY group_id) AS n
+          FROM sc
+        )
+        SELECT CAST(h.group_id AS BIGINT) AS group_id,
+               CAST(h.conv_id AS BIGINT) AS chosen_conv,
+               CAST(l.conv_id AS BIGINT) AS rejected_conv,
+               h.score AS chosen_score,
+               l.score AS rejected_score,
+               h.score - l.score AS margin
+        FROM (SELECT * FROM r WHERE rhi = 1 AND n >= 2) h
+        JOIN (SELECT * FROM r WHERE rlo = 1) l USING (group_id)
+        WHERE h.conv_id <> l.conv_id
+    """
+    # contrastive triplets: anchor = user turn answered by the next
+    # (assistant) turn; negative = md5-uniform(anchor_doc) mod 500,
+    # kept only when it resolves to a real assistant turn; md5s cover
+    # the joined text so the hash check verifies the fetch
+    oracles["contrastive_triplets"] = f"""
+        {convops.DTR_CTE}, p AS (
+          SELECT doc_id AS anchor_doc, text AS anchor_text, role,
+                 lead(role) OVER w AS next_role,
+                 lead(text) OVER w AS pos_text,
+                 lead(doc_id) OVER w AS pos_doc
+          FROM dtr
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), a AS (
+          SELECT anchor_doc, anchor_text, pos_doc, pos_text,
+                 {_dd_md5_bucket("neg:", 500, key="anchor_doc")}
+                   AS neg_doc
+          FROM p WHERE role = 'user' AND next_role = 'assistant'
+        ), neg AS (
+          SELECT doc_id AS neg_doc, text AS neg_text
+          FROM dtr WHERE role = 'assistant'
+        )
+        SELECT anchor_doc, pos_doc, neg_doc,
+               md5(anchor_text) AS anchor_md5,
+               md5(pos_text) AS pos_md5,
+               md5(neg_text) AS neg_md5
+        FROM a JOIN neg USING (neg_doc)
+        WHERE neg_doc <> anchor_doc AND neg_doc <> pos_doc
+    """
+    # KV-prefix sharing: md5 of the first-2-turn '~|~' concat keys each
+    # conversation; per-key conv count and (n-1)×prefix_chars savings
+    oracles["prefix_sharing_stats"] = f"""
+        {convops.DTR_SHARED_CTE}, rk AS (
+          SELECT conv_id, turn_idx, text,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS rn
+          FROM dtrs
+        ), pf AS (
+          SELECT conv_id,
+                 md5(string_agg(text, '~|~' ORDER BY turn_idx))
+                   AS prefix_key,
+                 CAST(length(string_agg(text, '~|~' ORDER BY turn_idx))
+                      AS BIGINT) AS prefix_chars
+          FROM rk WHERE rn <= 2 GROUP BY conv_id
+        )
+        SELECT prefix_key,
+               CAST(count(*) AS BIGINT) AS n_convs,
+               min(prefix_chars) AS prefix_chars,
+               CAST((count(*) - 1) * min(prefix_chars) AS BIGINT)
+                 AS saved_chars
+        FROM pf GROUP BY prefix_key
+    """
+    # hybrid RRF: the bm25_topk CTE chain (verbatim) ranks the lexical
+    # list; int8 quantization (the embedding_quantize_int8 formula)
+    # + exact-integer dot products rank the semantic list against the
+    # vec_id-0 query; fusion = floor(1e9/(60+rank)) sums, pure bigint
+    oracles["hybrid_rrf"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+            x -> x <> '')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ), tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+          FROM tf GROUP BY doc_id
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl
+        ), vocab AS (
+          SELECT tok, sum(tf) AS cnt, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY tok
+        ), q AS (
+          SELECT tok, df FROM (
+            SELECT tok, df, row_number() OVER (
+              ORDER BY cnt DESC, tok
+            ) AS r FROM vocab
+          ) WHERE r IN (5, 10, 15)
+        ), scored AS (
+          SELECT tf.doc_id,
+                 CAST(round(
+                   ln((stats.n_docs - q.df + CAST(0.5 AS DOUBLE))
+                      / (q.df + CAST(0.5 AS DOUBLE))
+                      + CAST(1.0 AS DOUBLE))
+                   * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+                   * CAST(1000000 AS DOUBLE)
+                 ) AS BIGINT) AS s_micro
+          FROM tf
+          JOIN q ON tf.tok = q.tok
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+        ), bm AS (
+          SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+          FROM scored GROUP BY doc_id
+          ORDER BY bm25_micro DESC, doc_id LIMIT 50
+        ), lex AS (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY bm25_micro DESC, doc_id) AS rank_lex
+          FROM bm
+        ), qv AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN list_max(list_transform(embedding,
+                                                   x -> abs(x))) > 0
+                      THEN CAST(127.0 AS DOUBLE)
+                           / list_max(list_transform(embedding,
+                                                     x -> abs(x)))
+                      ELSE CAST(0.0 AS DOUBLE) END AS scale
+          FROM embeddings
+        ), qc AS (
+          SELECT vec_id, list_transform(embedding,
+                   x -> CAST(round(x * scale) AS INTEGER)) AS qcodes
+          FROM qv
+        ), qq AS (
+          SELECT qcodes AS pcodes FROM qc WHERE vec_id = 0
+        ), dots AS (
+          SELECT qc.vec_id,
+                 CAST(sum(CAST(qc.qcodes[CAST(t.i AS INTEGER)] AS BIGINT)
+                          * qq.pcodes[CAST(t.i AS INTEGER)]) AS BIGINT)
+                   AS dot_q
+          FROM qc, qq, unnest(range(1, len(qc.qcodes) + 1)) AS t(i)
+          GROUP BY qc.vec_id
+        ), semtop AS (
+          SELECT vec_id, dot_q FROM dots
+          ORDER BY dot_q DESC, vec_id LIMIT 50
+        ), sem AS (
+          SELECT vec_id, row_number() OVER (
+            ORDER BY dot_q DESC, vec_id) AS rank_sem
+          FROM semtop
+        ), fused AS (
+          SELECT coalesce(lex.doc_id, sem.vec_id) AS doc_id,
+                 coalesce(rank_lex, 0) AS rank_lex,
+                 coalesce(rank_sem, 0) AS rank_sem,
+                 (CASE WHEN rank_lex IS NOT NULL
+                       THEN 1000000000 // (60 + rank_lex) ELSE 0 END
+                  + CASE WHEN rank_sem IS NOT NULL
+                         THEN 1000000000 // (60 + rank_sem) ELSE 0 END)
+                   AS rrf_nano
+          FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.vec_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(rank_lex AS BIGINT) AS rank_lex,
+               CAST(rank_sem AS BIGINT) AS rank_sem,
+               CAST(rrf_nano AS BIGINT) AS rrf_nano
+        FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 20
     """
     # DSIR importance: hashed-unigram LLR vs the 'en' target subcorpus;
     # every log is ln(one bigint) rounded to micro-units BEFORE the

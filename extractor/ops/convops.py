@@ -534,3 +534,262 @@ def conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_minhash_pairs(
         derived_transcripts_shared(spark, sf_dir)
     )
+
+
+def audit_turn_integrity(turns: DataFrame) -> DataFrame:
+    """Per-conversation integrity audit: duplicated ``(conv_id,
+    turn_idx)`` rows, missing turns (index gaps), and a non-zero start
+    — the ingest-time data-quality gate a transcript corpus needs
+    before any window-based curation op runs (every op in this module
+    assumes ``turn_idx`` is a usable ordering; this is the check that
+    says whether it is).  The reference has no conversation axis at
+    all; this belongs to the training-pipeline extension surface, same
+    family as ``conversation_quality``.
+
+    Output (one row per conversation, all-INTEGER):
+    ``(conv_id, n_rows, n_turns, n_dup_rows, min_turn, max_turn,
+    n_gaps, clean)`` where ``n_gaps = max−min+1−n_turns`` and
+    ``clean = 1`` iff no duplicates, no gaps, and ``min_turn = 0``.
+
+    Plan: ONE hash aggregate keyed on conv_id (count + count(distinct
+    turn_idx) + min/max — Spark plans the distinct as a two-phase
+    expand+agg, still a single shuffle family on the extraction
+    partitioning); no window, no join.  At 10^12 turns this is the
+    cheapest possible full-corpus audit."""
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("turn_idx").alias("n_turns"),
+            F.min("turn_idx").cast("long").alias("min_turn"),
+            F.max("turn_idx").cast("long").alias("max_turn"),
+        )
+        .select(
+            "conv_id",
+            "n_rows",
+            "n_turns",
+            (F.col("n_rows") - F.col("n_turns")).alias("n_dup_rows"),
+            "min_turn",
+            "max_turn",
+            (F.col("max_turn") - F.col("min_turn") + 1 - F.col("n_turns"))
+            .alias("n_gaps"),
+            (
+                (F.col("n_rows") == F.col("n_turns"))
+                & (F.col("max_turn") - F.col("min_turn") + 1
+                   == F.col("n_turns"))
+                & (F.col("min_turn") == 0)
+            ).cast("int").alias("clean"),
+        )
+    )
+
+
+def derived_transcripts_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived transcript view with deterministic integrity damage
+    for :func:`audit_turn_integrity` to find: rows whose md5 third hex
+    digit is < '2' are re-emitted verbatim (duplicate ``(conv_id,
+    turn_idx)``), on top of the gaps the view already has wherever the
+    source document's text is NULL.  DuckDB mirror: DTR_DIRTY_CTE."""
+    base = derived_transcripts(spark, sf_dir)
+    dups = base.where(
+        F.expr(
+            "substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 3, 1)"
+            " < '2'"
+        )
+    )
+    return base.unionAll(dups)
+
+
+DTR_DIRTY_CTE = DTR_CTE + """,
+    dtrd AS (
+      SELECT * FROM dtr
+      UNION ALL
+      SELECT * FROM dtr
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) < '2'
+    )
+"""
+
+
+def conv_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audit_turn_integrity(derived_transcripts_dirty(spark, sf_dir))
+
+
+def mine_preference_pairs(turns: DataFrame, n_groups: int = 8) -> DataFrame:
+    """DPO/RLHF preference-pair mining over retried agent episodes:
+    conversations are grouped into episode families (here the
+    deterministic ``conv_id % n_groups`` — in production the cluster id
+    from ``conversation_minhash_pairs``), each conversation is scored
+    by an all-integer response-quality proxy (total assistant chars +
+    assistant turn count), and each family emits ONE (chosen, rejected)
+    pair: its best- and worst-scoring conversations.  This is the
+    standard pair-assembly step between episode collection and
+    preference-model training.
+
+    Tie-breaks are pinned so the output is engine-reproducible: chosen
+    = max (score, conv_id), rejected = min (score, conv_id), both as
+    lexicographic struct comparisons; families with fewer than two
+    conversations (or where chosen == rejected) are dropped.
+
+    Output: ``(group_id, chosen_conv, rejected_conv, chosen_score,
+    rejected_score, margin)``, all BIGINT.
+
+    Plan: two hash aggregates — per-conv score (map-side combined on
+    the extraction partitioning), then an ``n_groups``-row max/min
+    struct agg; no window, no join, nothing driver-side.  Struct
+    min/max keeps it a single pass where a row_number formulation
+    would need two window sorts."""
+    score = (
+        turns.where(F.col("role") == "assistant")
+        .groupBy("conv_id")
+        .agg(
+            (
+                F.sum(F.length("text")).cast("long")
+                + F.count(F.lit(1)).cast("long")
+            ).alias("score")
+        )
+        .withColumn("group_id", F.pmod(F.col("conv_id"), F.lit(n_groups)))
+    )
+    best = (
+        score.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.max(F.struct("score", "conv_id")).alias("hi"),
+            F.min(F.struct("score", "conv_id")).alias("lo"),
+        )
+        .where(F.col("n_convs") >= 2)
+    )
+    return best.select(
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("hi.conv_id").cast("long").alias("chosen_conv"),
+        F.col("lo.conv_id").cast("long").alias("rejected_conv"),
+        F.col("hi.score").alias("chosen_score"),
+        F.col("lo.score").alias("rejected_score"),
+        (F.col("hi.score") - F.col("lo.score")).alias("margin"),
+    ).where(F.col("chosen_conv") != F.col("rejected_conv"))
+
+
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mine_preference_pairs(derived_transcripts_shared(spark, sf_dir))
+
+
+def mine_contrastive_triplets(turns: DataFrame,
+                              id_mod: int = 10_000) -> DataFrame:
+    """Contrastive-triplet mining for embedding training: anchor = a
+    user turn, positive = the assistant turn that answers it (the next
+    turn in the same conversation), negative = the assistant turn of a
+    deterministically-hashed OTHER document (in-batch-negative
+    sampling made reproducible: ``neg_doc = md5-uniform(doc_id) mod
+    id_mod``, kept only when it resolves to a real assistant turn and
+    differs from both anchor and positive).  (anchor, positive,
+    negative) text triples are the training rows for retrieval /
+    embedding models — the op that turns a transcript corpus into
+    contrastive supervision.
+
+    Output: ``(anchor_doc, pos_doc, neg_doc, anchor_md5, pos_md5,
+    neg_md5)`` — the md5s cover the actual joined text, so the oracle
+    hash check verifies the negative FETCH, not just the id
+    arithmetic.
+
+    Plan: one lag/lead window on the extraction partitioning pairs
+    anchor+positive; negatives resolve via ONE equi-join against the
+    assistant-turn relation (AQE broadcasts whichever side is small;
+    at corpus scale both sides shuffle hash-partitioned on the id —
+    no skew, ids are md5-uniform by construction)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    paired = (
+        turns.withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_text", F.lead("text").over(w))
+        .withColumn("next_doc", F.lead("doc_id").over(w))
+        .where(
+            (F.col("role") == "user") & (F.col("next_role") == "assistant")
+        )
+        .select(
+            F.col("doc_id").alias("anchor_doc"),
+            F.col("text").alias("anchor_text"),
+            F.col("next_doc").alias("pos_doc"),
+            F.col("next_text").alias("pos_text"),
+            F.expr(
+                "CAST(conv(substring(md5(concat('neg:',"
+                " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                f" % {id_mod}"
+            ).alias("neg_doc"),
+        )
+    )
+    negatives = turns.where(F.col("role") == "assistant").select(
+        F.col("doc_id").alias("neg_doc"), F.col("text").alias("neg_text")
+    )
+    return (
+        paired.join(negatives, "neg_doc")
+        .where(
+            (F.col("neg_doc") != F.col("anchor_doc"))
+            & (F.col("neg_doc") != F.col("pos_doc"))
+        )
+        .select(
+            "anchor_doc",
+            "pos_doc",
+            "neg_doc",
+            F.md5(F.col("anchor_text").cast("binary")).alias("anchor_md5"),
+            F.md5(F.col("pos_text").cast("binary")).alias("pos_md5"),
+            F.md5(F.col("neg_text").cast("binary")).alias("neg_md5"),
+        )
+    )
+
+
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mine_contrastive_triplets(derived_transcripts(spark, sf_dir))
+
+
+PREFIX_TURNS = 2  # leading turns hashed into the KV-prefix key
+
+
+def shared_prefix_stats(turns: DataFrame,
+                        n_prefix: int = PREFIX_TURNS) -> DataFrame:
+    """KV-cache shared-prefix profile: key each conversation by the md5
+    of its first *n_prefix* turns (in turn order), group conversations
+    by that key, and report how many share each prefix and the chars a
+    prefix-caching serving/training stack would save (``(n_convs−1) ×
+    prefix_chars`` — every copy after the first is cache-served).
+    Agent corpora are dominated by shared system-prompt/policy
+    preambles; this op quantifies that before sequence packing decides
+    what to co-locate.
+
+    Output: ``(prefix_key, n_convs, prefix_chars, saved_chars)`` —
+    one row per distinct prefix, singletons included (saved = 0), so
+    the result doesn't depend on collision structure.
+
+    Plan: one row_number window on the extraction partitioning keeps
+    the first *n_prefix* turns; one per-conv agg builds the ordered
+    concat (``sort_array(collect_list)`` over ≤ n_prefix rows — bounded,
+    never conversation-sized); one small agg groups by key.  The
+    prefix-key relation is one row per conversation, so the second
+    shuffle is corpus-count-of-conversations sized, not turn-sized."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    first_n = (
+        turns.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_prefix)
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                "~|~",
+            ).alias("prefix_text")
+        )
+        .select(
+            "conv_id",
+            F.md5(F.col("prefix_text").cast("binary")).alias("prefix_key"),
+            F.length("prefix_text").cast("long").alias("prefix_chars"),
+        )
+    )
+    return first_n.groupBy("prefix_key").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("prefix_chars").alias("prefix_chars"),
+        (
+            (F.count(F.lit(1)) - 1) * F.min("prefix_chars")
+        ).cast("long").alias("saved_chars"),
+    )
+
+
+def prefix_sharing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shared_prefix_stats(derived_transcripts_shared(spark, sf_dir))

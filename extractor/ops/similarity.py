@@ -583,3 +583,120 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_join(q, ",").alias("q_codes"),
     )
+
+
+RRF_K = 60          # standard reciprocal-rank-fusion damping constant
+RRF_LIST_K = 50     # depth of each input ranking
+RRF_TOP = 20        # fused results returned
+RRF_QUERY_ID = 0    # vec_id whose embedding is the semantic query
+
+
+def quantized_dot_ranking(emb: DataFrame, query_id: int = RRF_QUERY_ID,
+                          k: int = RRF_LIST_K) -> DataFrame:
+    """Semantic ranking with EXACT-INTEGER scores: both corpus vectors
+    and the query vector go through the :func:`embedding_quantize_int8`
+    transform (symmetric per-vector int8, ``round(x · 127/max|x|)``),
+    and the score is the int8×int8 dot product — pure long arithmetic,
+    so the ranking hash-matches an independent engine bit-for-bit
+    (the float cosine ranking can't).  This is also how production
+    vector stores actually score at scale: SIMD int8 dot products over
+    quantized codes, floats never touching the hot loop.
+
+    Output: ``(vec_id, dot_q, rank_sem)`` — top-*k* by (dot desc,
+    vec_id asc).
+
+    Plan: quantization is a map-only HOF projection; the 1-row query
+    vector cross-joins (broadcast) onto the unshuffled corpus; the
+    top-k is TakeOrderedAndProject; the rank window sorts *k* rows,
+    never the corpus."""
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x * scale).cast("int"),
+        ).alias("q_codes"),
+    )
+    query = q.where(F.col("vec_id") == query_id).select(
+        F.col("q_codes").alias("p_codes")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "q_codes", "p_codes", lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    top = (
+        q.crossJoin(F.broadcast(query))
+        .select("vec_id", dot.alias("dot_q"))
+        .orderBy(F.desc("dot_q"), "vec_id")
+        .limit(k)
+    )
+    return top.withColumn(
+        "rank_sem",
+        F.row_number().over(Window.orderBy(F.desc("dot_q"), "vec_id")),
+    )
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame, k_rrf: int = RRF_K,
+             top: int = RRF_TOP) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher) of a lexical and
+    a semantic ranking — the standard hybrid-retrieval combiner (every
+    BM25+vector search stack ships exactly this).  Score =
+    Σ ⌊10⁹ / (k + rank)⌋ over the lists containing the doc, in integer
+    NANO-units via floor division, so fusion is exact long arithmetic
+    end-to-end (the same oracle-exactness trick as BM25's micro-units,
+    one step stronger: not even a deterministic float is needed).
+    A doc missing from one list contributes 0 from it (rank reported
+    as 0).
+
+    Input contracts: *lex* has ``(doc_id, rank_lex)``, *sem* has
+    ``(vec_id, rank_sem)``; ids share a domain.
+
+    Plan: a full outer join of two ≤ list-k row relations (broadcast;
+    both inputs are already top-k's), then a top-*top* sort of ≤ 2k
+    rows — the fusion stage costs nothing regardless of corpus size;
+    all the scale lives in the two input rankings."""
+    fused = lex.select(
+        F.col("doc_id").alias("id"), "rank_lex"
+    ).join(
+        sem.select(F.col("vec_id").alias("id"), "rank_sem"),
+        "id",
+        "full_outer",
+    )
+    contrib = (
+        F.when(
+            F.col("rank_lex").isNotNull(),
+            F.expr(f"1000000000 DIV (CAST({k_rrf} AS BIGINT) + rank_lex)"),
+        ).otherwise(F.lit(0).cast("long"))
+        + F.when(
+            F.col("rank_sem").isNotNull(),
+            F.expr(f"1000000000 DIV (CAST({k_rrf} AS BIGINT) + rank_sem)"),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    return (
+        fused.select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("rank_lex", F.lit(0)).cast("long").alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).cast("long").alias("rank_sem"),
+            contrib.cast("long").alias("rrf_nano"),
+        )
+        .orderBy(F.desc("rrf_nano"), "doc_id")
+        .limit(top)
+    )
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 ⊕ int8-dot semantic top-50,
+    fused by reciprocal rank.  See :func:`rrf_fuse` for semantics and
+    the exact-integer oracle story."""
+    from extractor.ops import textops
+
+    lex = textops.bm25_topk(spark, sf_dir, k=RRF_LIST_K).withColumn(
+        "rank_lex",
+        F.row_number().over(Window.orderBy(F.desc("bm25_micro"), "doc_id")),
+    )
+    sem = quantized_dot_ranking(_emb(spark, sf_dir))
+    return rrf_fuse(lex, sem)

@@ -347,3 +347,113 @@ def test_conversation_minhash_pairs_hot_bucket_excluded(spark):
     assert conversation_minhash_pairs(df, max_bucket=4).count() == 0
     # raising the cap re-admits the bucket: C(5,2)=10 pairs
     assert conversation_minhash_pairs(df, max_bucket=10).count() == 10
+
+
+# ---------------------------------------------------------------- r4 late ops
+
+
+from extractor.ops.convops import (  # noqa: E402
+    audit_turn_integrity,
+    mine_contrastive_triplets,
+    mine_preference_pairs,
+    shared_prefix_stats,
+)
+
+
+def test_audit_turn_integrity_flags_dups_gaps_and_offset(spark):
+    df = _turns(
+        spark,
+        [
+            # conv 1: clean, contiguous from 0
+            (0, 1, 0, "user", "a"),
+            (1, 1, 1, "assistant", "b"),
+            # conv 2: duplicate turn 0 + gap (0, 0, 2)
+            (2, 2, 0, "user", "c"),
+            (3, 2, 0, "user", "c again"),
+            (4, 2, 2, "assistant", "d"),
+            # conv 3: contiguous but starts at 1
+            (5, 3, 1, "user", "e"),
+            (6, 3, 2, "assistant", "f"),
+        ],
+    )
+    out = {r["conv_id"]: r for r in audit_turn_integrity(df).collect()}
+    assert out[1]["clean"] == 1 and out[1]["n_dup_rows"] == 0
+    assert out[1]["n_gaps"] == 0
+    assert out[2]["n_rows"] == 3 and out[2]["n_turns"] == 2
+    assert out[2]["n_dup_rows"] == 1
+    assert out[2]["n_gaps"] == 1  # idx 1 missing in [0, 2]
+    assert out[2]["clean"] == 0
+    assert out[3]["n_gaps"] == 0 and out[3]["min_turn"] == 1
+    assert out[3]["clean"] == 0  # non-zero start
+
+
+def test_preference_pairs_scoring_and_tiebreaks(spark):
+    # group 0 (mod 4): convs 0, 4, 8 — scores 11, 31, 31 (len+count)
+    # tie at the top -> chosen = higher conv_id = 8
+    df = _turns(
+        spark,
+        [
+            (0, 0, 0, "assistant", "x" * 10),   # conv 0: score 11
+            (1, 4, 0, "assistant", "y" * 30),   # conv 4: score 31
+            (2, 8, 0, "assistant", "z" * 30),   # conv 8: score 31
+            (3, 1, 0, "assistant", "only one conv in group 1"),
+            (4, 2, 0, "user", "no assistant turns in group 2"),
+        ],
+    )
+    rows = mine_preference_pairs(df, n_groups=4).collect()
+    assert len(rows) == 1  # group 1 has 1 conv; group 2 has none
+    r = rows[0]
+    assert r["group_id"] == 0
+    assert r["chosen_conv"] == 8 and r["chosen_score"] == 31
+    assert r["rejected_conv"] == 0 and r["rejected_score"] == 11
+    assert r["margin"] == 20
+
+
+def test_contrastive_triplets_negative_rules(spark):
+    # md5-uniform negative must resolve to a real assistant doc and
+    # differ from anchor/pos; verify exclusions with a tiny id_mod
+    df = _turns(
+        spark,
+        [
+            (0, 1, 0, "user", "q1"),
+            (1, 1, 1, "assistant", "a1"),
+            (2, 2, 0, "user", "q2"),
+            (3, 2, 1, "assistant", "a2"),
+            (4, 3, 0, "user", "q3"),
+            (5, 3, 1, "tool", "t"),  # not answered by assistant
+        ],
+    )
+    out = mine_contrastive_triplets(df, id_mod=6).collect()
+    # anchors can only be docs 0 and 2 (doc 4's next turn is 'tool')
+    assert {r["anchor_doc"] for r in out} <= {0, 2}
+    for r in out:
+        assert r["neg_doc"] in (1, 3)  # resolved to an assistant doc
+        assert r["neg_doc"] != r["anchor_doc"]
+        assert r["neg_doc"] != r["pos_doc"]
+        assert len(r["neg_md5"]) == 32
+
+
+def test_shared_prefix_stats_groups_and_savings(spark):
+    df = _turns(
+        spark,
+        [
+            # convs 1 and 2 share the same first-2-turn prefix
+            (0, 1, 0, "user", "SYS"),
+            (1, 1, 1, "assistant", "hello"),
+            (2, 1, 2, "user", "later differs A"),
+            (3, 2, 0, "user", "SYS"),
+            (4, 2, 1, "assistant", "hello"),
+            (5, 2, 2, "user", "later differs B"),
+            # conv 3: unique prefix
+            (6, 3, 0, "user", "OTHER"),
+            (7, 3, 1, "assistant", "resp"),
+        ],
+    )
+    rows = shared_prefix_stats(df).collect()
+    by_n = {r["n_convs"]: r for r in rows}
+    shared = by_n[2]
+    # prefix text = "SYS~|~hello" -> 11 chars
+    assert shared["prefix_chars"] == len("SYS~|~hello")
+    assert shared["saved_chars"] == len("SYS~|~hello")
+    single = by_n[1]
+    assert single["saved_chars"] == 0

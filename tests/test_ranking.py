@@ -143,3 +143,59 @@ def test_collocations_pmi_matches_pure_python(spark):
 def test_collocations_pmi_plan_topk_no_global_sort(spark):
     plan = _plan(textops.collocations_pmi(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ------------------------------------------------------------- hybrid RRF
+
+
+def test_rrf_fuse_arithmetic_and_missing_list(spark):
+    from extractor.ops.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank_lex long"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2)], "vec_id long, rank_sem long"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(lex, sem).collect()}
+    # doc 20 is in both lists: floor(1e9/62) + floor(1e9/61)
+    assert rows[20]["rrf_nano"] == 10**9 // 62 + 10**9 // 61
+    # doc 10 only lexical: floor(1e9/61), sem rank reported as 0
+    assert rows[10]["rrf_nano"] == 10**9 // 61
+    assert rows[10]["rank_sem"] == 0
+    # doc 40 only semantic
+    assert rows[40]["rrf_nano"] == 10**9 // 62
+    assert rows[40]["rank_lex"] == 0
+    # fused order: 20 first (two contributions)
+    ordered = rrf_fuse(lex, sem).collect()
+    assert ordered[0]["doc_id"] == 20
+
+
+def test_quantized_dot_ranking_self_top_and_integer(spark):
+    from extractor.ops.similarity import quantized_dot_ranking
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = quantized_dot_ranking(emb, query_id=0, k=10).collect()
+    # the query vector's own quantized self-dot is maximal for itself;
+    # rank 1 must be vec 0 unless another vector ties-and-beats it,
+    # which int8 self-dot (sum of squares of the largest codes) makes
+    # effectively impossible on real data — pin it.
+    assert out[0]["vec_id"] == 0 and out[0]["rank_sem"] == 1
+    assert all(isinstance(r["dot_q"], int) for r in out)
+    # descending, tie-broken by vec_id
+    dots = [(r["dot_q"], r["vec_id"]) for r in out]
+    assert dots == sorted(dots, key=lambda t: (-t[0], t[1]))
+
+
+def test_hybrid_rrf_plan_no_corpus_window(spark):
+    """The fusion stage must not sort the corpus: the only window sorts
+    are over the two top-50 lists (single-partition over <=50 rows),
+    and the semantic scan must keep the query broadcast."""
+    from extractor.ops.similarity import hybrid_rrf
+
+    df = hybrid_rrf(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["rrf_nano"] > 0 for r in rows)
