@@ -1360,6 +1360,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup: cell-scoped semantic prune, exact-integer cosine
         # test over int8 codes (dot²·10⁶ ≥ thr²·n2a·n2b)
         "semdedup_prune": similarity.semdedup_prune,
+        # exact-decile length curriculum via value cutoffs (histogram
+        # window, map-only assignment — never a global row sort)
+        "length_curriculum": sampling.length_curriculum_buckets,
+        # PSI distribution-drift gate between corpus snapshots
+        # (sum-of-logs micro-units, clamped zero buckets)
+        "psi_snapshot_drift": maintenance.psi_snapshot_drift,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1505,6 +1511,7 @@ _LAST_GREEN_R2 = [
     "bpe_encode", "cdc_chunk_stats", "conv_neardup_pairs",
     "conv_gap_audit", "preference_pairs", "contrastive_triplets",
     "prefix_sharing_stats", "hybrid_rrf", "semdedup_prune",
+    "length_curriculum", "psi_snapshot_drift",
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
@@ -3938,6 +3945,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(rank_sem AS BIGINT) AS rank_sem,
                CAST(rrf_nano AS BIGINT) AS rrf_nano
         FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 20
+    """
+    # shared exact-decile cutoff CTE chain (value-domain histogram +
+    # cum-count rank probe; cum·10 ≥ i·n is ceil(i·n/10) in integers)
+    _cuts_cte = """
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {src}),
+        vc AS (SELECT n_chars AS v, count(*) AS c FROM {src} GROUP BY 1),
+        cm AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vc),
+        cuts AS (
+          SELECT i, min(v) AS cut
+          FROM cm, nn, unnest(range(1, 10)) AS t(i)
+          WHERE cum * 10 >= i * nn.n
+          GROUP BY i
+        ), carr AS (SELECT list(cut ORDER BY i) AS cuts FROM cuts)
+    """
+    oracles["length_curriculum"] = f"""
+        WITH d AS (
+          SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL
+        ), {_cuts_cte.format(src="d")},
+        b AS (
+          SELECT d.doc_id, d.n_chars,
+                 CAST(1 + len(list_filter(carr.cuts,
+                                          c -> d.n_chars > c))
+                      AS INTEGER) AS bucket
+          FROM d, carr
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM b GROUP BY bucket
+    """
+    oracles["psi_snapshot_drift"] = f"""
+        WITH d AS (
+          SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL
+        ), base AS (
+          SELECT * FROM d WHERE doc_id % 3 <> 0
+        ), cur AS (
+          SELECT * FROM d WHERE doc_id % 3 = 0
+        ), {_cuts_cte.format(src="base")},
+        tagged AS (
+          SELECT 1 AS is_base,
+                 1 + len(list_filter(carr.cuts, c -> n_chars > c))
+                   AS bucket
+          FROM base, carr
+          UNION ALL
+          SELECT 0,
+                 1 + len(list_filter(carr.cuts, c -> n_chars > c))
+          FROM cur, carr
+        ), counts AS (
+          SELECT CAST(bucket AS INTEGER) AS bucket,
+                 CAST(sum(is_base) AS BIGINT) AS base_n,
+                 CAST(sum(1 - is_base) AS BIGINT) AS cur_n
+          FROM tagged GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(base_n) AS BIGINT) AS nb,
+                 CAST(sum(cur_n) AS BIGINT) AS nc
+          FROM counts
+        )
+        SELECT bucket, base_n, cur_n,
+               CAST(round(
+                 (CAST(greatest(base_n, 1) AS DOUBLE) / nb
+                  - CAST(greatest(cur_n, 1) AS DOUBLE) / nc)
+                 * (ln(CAST(greatest(base_n, 1) AS DOUBLE))
+                    + ln(CAST(nc AS DOUBLE))
+                    - ln(CAST(greatest(cur_n, 1) AS DOUBLE))
+                    - ln(CAST(nb AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS psi_micro
+        FROM counts, tot
     """
     # SemDeDup cell-scoped semantic prune: int8 quantization + sign-bit
     # cells + the squared exact-integer cosine test; min-id survivor

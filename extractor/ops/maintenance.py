@@ -356,3 +356,132 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct",
              "min_val", "max_val")
+
+
+def decile_cutoffs(df: DataFrame, col: str) -> DataFrame:
+    """Exact discrete decile cutoffs of *col* as a 1-row DataFrame with
+    an ascending 9-element ``cuts`` array: ``cuts[i-1]`` is the smallest
+    value whose ≤-count reaches ``ceil(i·n/10)`` — the classic
+    value-at-rank definition, computed WITHOUT a global row sort.
+
+    Scale shape: one value-histogram aggregate (``groupBy(col)`` —
+    map-side combined, shuffle carries distinct values), then a
+    cumulative window over the VALUE DOMAIN (distinct-value cardinality
+    rows, e.g. a few thousand distinct lengths — never the corpus), a
+    9-way rank probe, and a 9-row collect into the array.  The
+    single-partition window is over the histogram, which is why this is
+    the 100 TB formulation and ``ntile`` over a global sort is not."""
+    from pyspark.sql.window import Window
+
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    hist = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    cuts = (
+        cum.crossJoin(F.broadcast(n))
+        .select("v", "cum", "n", F.explode(F.expr("sequence(1, 9)")).alias("i"))
+        # cum >= ceil(i·n/10) in exact integer form (no float division)
+        .where(F.col("cum") * 10 >= F.col("i") * F.col("n"))
+        .groupBy("i")
+        .agg(F.min("v").alias("cut"))
+    )
+    return cuts.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cut"))),
+            lambda s: s["cut"],
+        ).alias("cuts")
+    )
+
+
+def bucket_by_cutoffs(df: DataFrame, col: str,
+                      cutoffs: DataFrame) -> DataFrame:
+    """Assign each row its 1-based decile bucket: ``1 + |{c ∈ cuts :
+    col > c}|``.  The 9-value cutoff array broadcasts; assignment is a
+    map-only HOF filter — no shuffle, no sort."""
+    return df.crossJoin(F.broadcast(cutoffs)).withColumn(
+        "bucket",
+        (
+            F.lit(1)
+            + F.size(F.filter("cuts", lambda c: F.col(col) > c))
+        ).cast("int"),
+    ).drop("cuts")
+
+
+def psi_drift_profile(base: DataFrame, current: DataFrame,
+                      col: str) -> DataFrame:
+    """Population-stability-index drift profile between two corpus
+    snapshots — the standard go/no-go check before a new crawl batch
+    joins the training mix (PSI > 0.2 on a feature = the distribution
+    moved; retrain/inspect).  Buckets are the BASE snapshot's exact
+    deciles of *col*; both snapshots are counted per bucket and each
+    bucket contributes ``(p_b − p_c)·ln(p_b/p_c)``.
+
+    Exact-integer oracle pattern (PMI/DSIR family): counts are exact
+    bigints (zero-count buckets clamped to 1, the standard PSI
+    epsilon); the log term is the SUM-OF-LOGS form ``ln c_b + ln n_c −
+    ln c_c − ln n_b`` (a product like ``c_b·n_c`` would overflow int64
+    at web scale), each log a per-row-deterministic float64 of one
+    bigint, rounded to integer micro-units per bucket BEFORE any
+    cross-bucket use.
+
+    Output: ``(bucket, base_n, cur_n, psi_micro)`` — 10 rows; the
+    total PSI is their sum.
+
+    Scale shape: cutoffs per :func:`decile_cutoffs` (histogram-sized);
+    bucket assignment map-only; ONE tagged union aggregate keyed on
+    (bucket) with conditional counts — shuffle carries ≤ 10 rows per
+    map partition."""
+    cuts = decile_cutoffs(base, col)
+    tagged = bucket_by_cutoffs(
+        base.select(F.col(col)).withColumn("is_base", F.lit(1)),
+        col, cuts,
+    ).unionByName(
+        bucket_by_cutoffs(
+            current.select(F.col(col)).withColumn("is_base", F.lit(0)),
+            col, cuts,
+        )
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("is_base").cast("long").alias("base_n"),
+        F.sum(1 - F.col("is_base")).cast("long").alias("cur_n"),
+    )
+    totals = counts.agg(
+        F.sum("base_n").alias("nb"), F.sum("cur_n").alias("nc")
+    )
+    cb = F.greatest(F.col("base_n"), F.lit(1)).cast("long")
+    cc = F.greatest(F.col("cur_n"), F.lit(1)).cast("long")
+    psi = (
+        (cb.cast("double") / F.col("nb") - cc.cast("double") / F.col("nc"))
+        * (
+            F.log(cb.cast("double"))
+            + F.log(F.col("nc").cast("double"))
+            - F.log(cc.cast("double"))
+            - F.log(F.col("nb").cast("double"))
+        )
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "base_n",
+        "cur_n",
+        F.round(psi * F.lit(1_000_000)).cast("long").alias("psi_micro"),
+    )
+
+
+def psi_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of document length between the deterministic snapshot
+    split base = ``doc_id % 3 ≠ 0`` vs current = ``doc_id % 3 = 0``
+    (stand-ins for 'yesterday's table' and 'the new batch')."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    base = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    cur = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    return psi_drift_profile(base, cur, "n_chars")

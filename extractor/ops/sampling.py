@@ -232,3 +232,33 @@ def weighted_bottomk_sample(spark: SparkSession, sf_dir: str,
         )
     )
     return ticketed.orderBy("min_ticket").limit(k)
+
+
+def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum bucketing: every document is assigned its
+    exact decile of ``n_chars`` (bucket 1 = shortest tenth → trained
+    first in an easy-to-hard curriculum; also the batch-shape signal
+    dynamic-batching packs by), profiled per bucket.  Buckets come from
+    value cutoffs, NOT ``ntile`` — ``ntile`` needs a global row sort
+    (single-partition window over the corpus), while value cutoffs need
+    only a value-domain histogram (:func:`maintenance.decile_cutoffs`)
+    plus a map-only broadcast assignment: the 100 TB formulation.
+
+    Output: ``(bucket, n_docs, min_chars, max_chars, total_chars)`` —
+    ≤ 10 rows, all integer.  Bucket populations are near-equal but not
+    exactly n/10 when ties straddle a cutoff (documents sharing one
+    length land in one bucket) — the deterministic, engine-reproducible
+    choice."""
+    from extractor.ops.maintenance import bucket_by_cutoffs, decile_cutoffs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    cuts = decile_cutoffs(docs, "n_chars")
+    b = bucket_by_cutoffs(docs.select("doc_id", "n_chars"), "n_chars", cuts)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -120,3 +120,67 @@ def test_bucketed_join_matches_plain_join(spark):
         )
     )
     assert got == plain
+
+
+# ------------------------------------------------- decile cutoffs / PSI
+
+
+def test_decile_cutoffs_known_values(spark):
+    from extractor.ops.maintenance import decile_cutoffs
+
+    # values 1..10, one each: cut_i = smallest v with cum*10 >= i*10
+    df = spark.createDataFrame([(i,) for i in range(1, 11)], "n_chars long")
+    cuts = decile_cutoffs(df, "n_chars").collect()[0]["cuts"]
+    assert cuts == [1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_bucket_by_cutoffs_boundaries(spark):
+    from extractor.ops.maintenance import bucket_by_cutoffs, decile_cutoffs
+
+    df = spark.createDataFrame([(i,) for i in range(1, 11)], "n_chars long")
+    cuts = decile_cutoffs(df, "n_chars")
+    out = {
+        r["n_chars"]: r["bucket"]
+        for r in bucket_by_cutoffs(df, "n_chars", cuts).collect()
+    }
+    # value v lands in bucket v: v exceeds exactly v-1 cutoffs
+    assert out == {v: v for v in range(1, 11)}
+
+
+def test_psi_zero_on_identical_distributions(spark):
+    from extractor.ops.maintenance import psi_drift_profile
+
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(500)], "n_chars long"
+    )
+    out = psi_drift_profile(df, df, "n_chars").collect()
+    assert sum(r["psi_micro"] for r in out) == 0
+    assert all(r["base_n"] == r["cur_n"] for r in out)
+
+
+def test_psi_positive_on_shifted_distribution(spark):
+    from extractor.ops.maintenance import psi_drift_profile
+
+    base = spark.createDataFrame(
+        [(i % 100,) for i in range(1000)], "n_chars long"
+    )
+    cur = spark.createDataFrame(
+        [(50 + i % 100,) for i in range(1000)], "n_chars long"
+    )
+    out = psi_drift_profile(base, cur, "n_chars").collect()
+    total = sum(r["psi_micro"] for r in out)
+    # half the current mass sits above base's max bucket: strong drift
+    assert total > 200_000  # PSI > 0.2, the standard action threshold
+
+
+def test_length_curriculum_profile_shape(spark):
+    from extractor.ops.sampling import length_curriculum_buckets
+
+    rows = length_curriculum_buckets(spark, "/root/testdata/sf0.001").collect()
+    assert 1 <= len(rows) <= 10
+    total = sum(r["n_docs"] for r in rows)
+    # buckets ordered by length: min/max ranges must not overlap
+    srt = sorted(rows, key=lambda r: r["bucket"])
+    for a, b in zip(srt, srt[1:]):
+        assert a["max_chars"] <= b["min_chars"]
+    assert total > 0
