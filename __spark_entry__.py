@@ -1366,6 +1366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PSI distribution-drift gate between corpus snapshots
         # (sum-of-logs micro-units, clamped zero buckets)
         "psi_snapshot_drift": maintenance.psi_snapshot_drift,
+        # mT5/XLM-R temperature language rebalancing (α=0.5: sqrt is
+        # IEEE-correctly-rounded, so the weights are engine-exact)
+        "lang_temperature_weights": sampling.lang_temperature_weights,
+        # word2vec negative-sampling distribution (count^0.75 via
+        # sqrt(x·sqrt(x)) — exact without libm pow)
+        "unigram_neg_sampling": textops.unigram_neg_sampling_weights,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1512,6 +1518,7 @@ _LAST_GREEN_R2 = [
     "conv_gap_audit", "preference_pairs", "contrastive_triplets",
     "prefix_sharing_stats", "hybrid_rrf", "semdedup_prune",
     "length_curriculum", "psi_snapshot_drift",
+    "lang_temperature_weights", "unigram_neg_sampling",
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
@@ -3945,6 +3952,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(rank_sem AS BIGINT) AS rank_sem,
                CAST(rrf_nano AS BIGINT) AS rrf_nano
         FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 20
+    """
+    # temperature language rebalancing: sqrt weights micro-rounded
+    # before the bigint normalizing sum; probabilities by integer DIV
+    oracles["lang_temperature_weights"] = """
+        WITH c AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents WHERE text IS NOT NULL GROUP BY lang
+        ), w AS (
+          SELECT lang, n_docs,
+                 CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS w_micro
+          FROM c
+        ), t AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                 CAST(sum(w_micro) AS BIGINT) AS w_total
+          FROM w
+        )
+        SELECT lang, n_docs,
+               CAST(n_docs * 1000000 // n_total AS BIGINT) AS share_ppm,
+               w_micro,
+               CAST(w_micro * 1000000 // w_total AS BIGINT) AS samp_ppm
+        FROM w, t
+    """
+    # word2vec negative sampling: count^0.75 as sqrt(x*sqrt(x)),
+    # micro-rounded per token, full-vocab bigint normalizer, top-200
+    oracles["unigram_neg_sampling"] = r"""
+        WITH toks AS (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+            x -> x <> '')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ), c AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY tok
+        ), w AS (
+          SELECT tok, cnt,
+                 CAST(round(sqrt(cnt * sqrt(cnt)) * 1000000) AS BIGINT)
+                   AS w_micro
+          FROM c
+        ), t AS (
+          SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM w
+        )
+        SELECT tok, cnt, w_micro,
+               CAST(w_micro * 1000000 // w_total AS BIGINT) AS samp_ppm
+        FROM w, t ORDER BY cnt DESC, tok LIMIT 200
     """
     # shared exact-decile cutoff CTE chain (value-domain histogram +
     # cum-count rank probe; cum·10 ≥ i·n is ceil(i·n/10) in integers)

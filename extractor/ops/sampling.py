@@ -262,3 +262,47 @@ def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the mT5/XLM-R multilingual
+    sampling rule): sample language ℓ proportionally to ``n_ℓ^α`` so
+    low-resource languages are up-weighted relative to their corpus
+    share.  α = 0.5 here — and that choice is what makes the op
+    ENGINE-EXACT: ``n^0.5 = sqrt(n)`` and IEEE-754 requires sqrt to be
+    correctly rounded, so both engines produce the bit-identical
+    double where a libm ``pow(n, 0.3)`` could differ in ULPs.  The
+    per-language weight rounds to integer micro-units BEFORE the
+    normalizing sum (bigint-exact, order-independent), and the final
+    probability is integer floor-division — no float ever crosses an
+    aggregate or the output boundary.
+
+    Output: ``(lang, n_docs, share_ppm, w_micro, samp_ppm)`` — corpus
+    share and temperature-sampling probability, both in parts-per-
+    million.
+
+    Scale shape: ONE map-side-combined aggregate to language
+    cardinality (a handful of rows), then a broadcast 1-row total.
+    Nothing else moves."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "w_micro",
+        F.round(F.sqrt(F.col("n_docs")) * F.lit(1_000_000)).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("w_micro").alias("w_total")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(n_docs * 1000000 DIV n_total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        "w_micro",
+        F.expr("CAST(w_micro * 1000000 DIV w_total AS BIGINT)").alias(
+            "samp_ppm"
+        ),
+    )

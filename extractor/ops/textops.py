@@ -845,3 +845,53 @@ def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entropy_micro"),
         )
     )
+
+
+NEG_SAMPLE_TOPK = 200
+
+
+def unigram_neg_sampling_weights(spark: SparkSession, sf_dir: str,
+                                 k: int = NEG_SAMPLE_TOPK) -> DataFrame:
+    """The word2vec negative-sampling distribution (Mikolov et al.):
+    token drawn proportionally to ``count^0.75`` — the smoothing every
+    contrastive text-embedding trainer uses to keep frequent tokens
+    from dominating negatives.  ENGINE-EXACT exponent trick:
+    ``x^0.75 = sqrt(x · sqrt(x))`` — two IEEE-correctly-rounded sqrts
+    and one exact product, bit-identical everywhere, where a libm
+    ``pow(x, 0.75)`` is not guaranteed to be.  Weights round to integer
+    micro-units before the normalizing sum (the PMI/BM25 pattern);
+    probabilities are integer floor-division in parts-per-million.
+
+    Output: top-*k* tokens by count (tok tiebreak):
+    ``(tok, cnt, w_micro, samp_ppm)``.
+
+    Scale shape: the token count is the corpus's one big map-side-
+    combined agg shuffle; the top-k is TakeOrderedAndProject; the
+    normalizer sums over the FULL vocabulary (vocab-cardinality rows,
+    exact bigints) and broadcasts as one row."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    cnt = (
+        docs.select(F.explode(_tok_arr()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = cnt.withColumn(
+        "w_micro",
+        F.round(
+            F.sqrt(F.col("cnt") * F.sqrt(F.col("cnt"))) * F.lit(1_000_000)
+        ).cast("long"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "cnt",
+            "w_micro",
+            F.expr("CAST(w_micro * 1000000 DIV w_total AS BIGINT)").alias(
+                "samp_ppm"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(k)
+    )

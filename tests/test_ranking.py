@@ -199,3 +199,23 @@ def test_hybrid_rrf_plan_no_corpus_window(spark):
     rows = df.collect()
     assert 0 < len(rows) <= 20
     assert all(r["rrf_nano"] > 0 for r in rows)
+
+
+def test_unigram_neg_sampling_smoothing_and_exactness(spark):
+    import math
+
+    from extractor.ops.textops import unigram_neg_sampling_weights
+
+    rows = unigram_neg_sampling_weights(spark, SF, k=50).collect()
+    assert 0 < len(rows) <= 50  # sf0.001's vocab is ~31 tokens
+    # ordered by raw count desc
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        x = r["cnt"]
+        assert r["w_micro"] == round(math.sqrt(x * math.sqrt(x)) * 1_000_000)
+    # smoothing: sampling share of the top token is LESS than its raw
+    # count share within the top-50 slice (0.75 < 1 flattens)
+    w_tot = sum(r["w_micro"] for r in rows)
+    c_tot = sum(cnts)
+    assert rows[0]["w_micro"] / w_tot < rows[0]["cnt"] / c_tot

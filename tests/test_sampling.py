@@ -178,3 +178,36 @@ def test_weighted_bottomk_sample(spark, tmp_path):
     assert sorted(r["doc_id"] for r in again) == sorted(rows)
     # min_ticket is an md5 hex string
     assert all(len(r["min_ticket"]) == 32 for r in out)
+
+
+# -------------------------------------------- temperature rebalancing
+
+
+def test_lang_temperature_upweights_low_resource(spark):
+    from extractor.ops.sampling import lang_temperature_weights
+
+    rows = lang_temperature_weights(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {r["lang"]: r for r in rows}
+    hi = max(rows, key=lambda r: r["n_docs"])
+    lo = min(rows, key=lambda r: r["n_docs"])
+    if hi["n_docs"] > lo["n_docs"]:
+        # temperature sampling narrows the gap: the high-resource
+        # language's sampling share drops below its corpus share, the
+        # low-resource one's rises above it
+        assert hi["samp_ppm"] < hi["share_ppm"]
+        assert lo["samp_ppm"] > lo["share_ppm"]
+    # probabilities are a near-partition of 1e6 (floor-division slack
+    # of at most one ppm per language)
+    total = sum(r["samp_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+    assert by_lang  # non-degenerate
+
+
+def test_lang_temperature_sqrt_weights_exact(spark):
+    import math
+
+    from extractor.ops.sampling import lang_temperature_weights
+
+    rows = lang_temperature_weights(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r["w_micro"] == round(math.sqrt(r["n_docs"]) * 1_000_000)
