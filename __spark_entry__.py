@@ -1372,6 +1372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # word2vec negative-sampling distribution (count^0.75 via
         # sqrt(x·sqrt(x)) — exact without libm pow)
         "unigram_neg_sampling": textops.unigram_neg_sampling_weights,
+        # composed SFT curation: quality gate → conv near-dup prune →
+        # pair assembly, the integration itself under one oracle
+        "sft_curation_pipeline": convops.sft_curation_pipeline,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1519,6 +1522,7 @@ _LAST_GREEN_R2 = [
     "prefix_sharing_stats", "hybrid_rrf", "semdedup_prune",
     "length_curriculum", "psi_snapshot_drift",
     "lang_temperature_weights", "unigram_neg_sampling",
+    "sft_curation_pipeline",
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
@@ -3708,6 +3712,57 @@ def oracle_sql() -> dict[str, str]:
         FROM cand
         JOIN sig sa ON sa.conv_id = conv_a
         JOIN sig sb ON sb.conv_id = conv_b
+    """
+    # composed SFT curation: quality HAVING gate + the near-dup CTE
+    # chain pruning the higher conv of each >=6/8-agreement pair +
+    # the bounded-frame pair-assembly window over the survivors
+    oracles["sft_curation_pipeline"] = f"""
+        {convops.DTR_RETRIED_CTE}, q AS (
+          SELECT conv_id FROM dtrr GROUP BY conv_id
+          HAVING count(*) >= 2
+             AND sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) >= 1
+             AND sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) >= 1
+             AND sum(length(text)) >= 10 * count(*)
+             AND sum(length(text)) <= 4000 * count(*)
+        ), sig AS (
+          SELECT conv_id, {_sig_mins} FROM dtrr GROUP BY conv_id
+        ), bands AS (
+          {_sig_bands}
+        ), sz AS (
+          SELECT band, bucket FROM bands GROUP BY 1, 2
+          HAVING count(*) BETWEEN 2 AND 40
+        ), pruned AS (
+          SELECT DISTINCT b.conv_id AS conv_id
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.conv_id < b.conv_id
+          JOIN sz ON sz.band = a.band AND sz.bucket = a.bucket
+          JOIN sig sa ON sa.conv_id = a.conv_id
+          JOIN sig sb ON sb.conv_id = b.conv_id
+          WHERE {_sig_agree} >= 6
+        ), cur AS (
+          SELECT dtrr.* FROM dtrr JOIN q USING (conv_id)
+          WHERE conv_id NOT IN (SELECT conv_id FROM pruned)
+        ), ctx AS (
+          SELECT conv_id, turn_idx, role, text,
+                 coalesce(array_to_string(
+                   list(role || ': ' || text) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+                   chr(10)), '') AS ctx_full,
+                 count(*) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING
+                 ) AS n_ctx_turns
+          FROM cur
+        )
+        SELECT conv_id, turn_idx,
+               CAST(n_ctx_turns AS BIGINT) AS n_ctx_turns,
+               CAST(length(ctx) AS BIGINT) AS ctx_chars,
+               md5(ctx) AS ctx_md5,
+               md5(text) AS target_md5
+        FROM (SELECT *, right(ctx_full, 600) AS ctx FROM ctx)
+        WHERE role = 'assistant'
     """
     # CDC chunk dedup: boundary rule p>=k AND p<len AND
     # md5int(trailing k-gram) % divisor == 0 (the shared keyed-uniform

@@ -793,3 +793,95 @@ def shared_prefix_stats(turns: DataFrame,
 
 def prefix_sharing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_prefix_stats(derived_transcripts_shared(spark, sf_dir))
+
+
+SFT_NEARDUP_MIN_AGREE = 6  # ≥6/8 signature agreement ≈ Jaccard 0.75
+
+
+def curate_sft_corpus(turns: DataFrame,
+                      min_agree: int = SFT_NEARDUP_MIN_AGREE) -> DataFrame:
+    """The composed SFT curation pipeline — what actually runs between
+    raw transcript landing and fine-tuning: (1) conversation quality
+    gate (:func:`conversation_quality`, keep=1 only), (2) conversation-
+    level near-dup prune (:func:`conversation_minhash_pairs` — the
+    HIGHER conv_id of every pair agreeing on ≥ *min_agree* of 8
+    signature components is dropped, min-id episode survives), (3)
+    (context, target) pair assembly (:func:`assemble_sft_pairs`) over
+    the surviving conversations.  One entry point so the integration —
+    gates feeding dedup feeding assembly — is itself under oracle.
+
+    Plan/scale: the quality agg, the signature agg, and the assembly
+    windows all key on conv_id — the extraction partitioning — so a
+    fused run pays the conversation shuffle once; the keep-list and
+    prune-list are conversation-cardinality relations that AQE
+    broadcasts onto the turn stream."""
+    quality = (
+        conversation_quality(turns)
+        .where(F.col("keep") == 1)
+        .select("conv_id")
+    )
+    pruned = (
+        conversation_minhash_pairs(turns)
+        .where(F.col("n_agree") >= min_agree)
+        .select(F.col("conv_b").alias("conv_id"))
+        .distinct()
+    )
+    kept = quality.join(pruned, "conv_id", "left_anti")
+    return assemble_sft_pairs(turns.join(kept, "conv_id"))
+
+
+def sft_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_sft_corpus(derived_transcripts_retried(spark, sf_dir))
+
+
+def derived_transcripts_retried(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Transcript view with REAL retried episodes planted for the
+    curation pipeline: conversations 36–39 are near-copies of 0–3
+    (each turn takes the corresponding turn text of ``conv_id − 36``
+    — i.e. ``doc_id − 36`` — except an md5-chosen ~1/8 of turns that
+    keep their own text: a re-run episode with a couple of divergent
+    turns), and conversation 35 is degenerate (texts cut to 4 chars,
+    failing the quality gate's mean-length floor).  DuckDB mirror:
+    DTR_RETRIED_CTE."""
+    base = derived_transcripts(spark, sf_dir)
+    src = base.select(
+        (F.col("doc_id") + 36).alias("doc_id"),
+        F.col("text").alias("src_text"),
+    )
+    return (
+        base.join(src, "doc_id", "left")
+        .select(
+            "doc_id",
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.when(
+                (F.col("conv_id") >= 36)
+                & F.expr(
+                    "substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)),"
+                    " 4, 1) < 'e'"
+                ),
+                F.coalesce("src_text", "text"),
+            )
+            .when(
+                F.col("conv_id") == 35, F.expr("substr(text, 1, 4)")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+DTR_RETRIED_CTE = DTR_CTE + """,
+    dtrr AS (
+      SELECT d.doc_id, d.conv_id, d.turn_idx, d.role,
+             CASE
+               WHEN d.conv_id >= 36
+                    AND substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1) < 'e'
+                 THEN coalesce(s.text, d.text)
+               WHEN d.conv_id = 35 THEN substr(d.text, 1, 4)
+               ELSE d.text END AS text
+      FROM dtr d LEFT JOIN dtr s ON s.doc_id = d.doc_id - 36
+    )
+"""

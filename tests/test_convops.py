@@ -457,3 +457,43 @@ def test_shared_prefix_stats_groups_and_savings(spark):
     assert shared["saved_chars"] == len("SYS~|~hello")
     single = by_n[1]
     assert single["saved_chars"] == 0
+
+
+def test_curate_sft_corpus_gates_and_prunes(spark):
+    from extractor.ops.convops import curate_sft_corpus
+
+    # conv 1: healthy; conv 2: verbatim retry of conv 1 (pruned, higher
+    # id); conv 3: degenerate (3-char turns fail the mean-length floor)
+    turns = []
+    for t in range(6):
+        role = "user" if t % 2 == 0 else "assistant"
+        text = f"substantial turn text number {t} with enough chars"
+        turns.append((t * 10 + 1, 1, t, role, text))
+        turns.append((t * 10 + 2, 2, t, role, text))
+        turns.append((t * 10 + 3, 3, t, role, "abc"))
+    df = _turns(spark, turns)
+    out = curate_sft_corpus(df).collect()
+    convs = {r["conv_id"] for r in out}
+    assert 1 in convs          # min-id episode survives
+    assert 2 not in convs      # exact retry pruned (8/8 agreement)
+    assert 3 not in convs      # quality-gated
+    # survivors produce one pair per assistant turn
+    assert len([r for r in out if r["conv_id"] == 1]) == 3
+
+
+def test_retried_view_plants_near_copies(spark):
+    from extractor.ops.convops import derived_transcripts_retried
+
+    df = derived_transcripts_retried(spark, "/root/testdata/sf0.001")
+    rows = df.where("conv_id IN (0, 36)").select(
+        "conv_id", "turn_idx", "text"
+    ).collect()
+    by_turn = {}
+    for r in rows:
+        by_turn.setdefault(r["turn_idx"], {})[r["conv_id"]] = r["text"]
+    shared = [
+        t for t, d in by_turn.items()
+        if 0 in d and 36 in d and d[0] == d[36]
+    ]
+    both = [t for t, d in by_turn.items() if 0 in d and 36 in d]
+    assert both and len(shared) >= len(both) // 2  # mostly copied
