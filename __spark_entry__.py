@@ -1375,6 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed SFT curation: quality gate → conv near-dup prune →
         # pair assembly, the integration itself under one oracle
         "sft_curation_pipeline": convops.sft_curation_pipeline,
+        # conversation-level embedding pooling: exact bigint lane sums
+        # of int8 codes on the vec_id%40 conversation axis
+        "conv_embedding_pool": similarity.conv_embedding_pool,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1522,7 +1525,7 @@ _LAST_GREEN_R2 = [
     "prefix_sharing_stats", "hybrid_rrf", "semdedup_prune",
     "length_curriculum", "psi_snapshot_drift",
     "lang_temperature_weights", "unigram_neg_sampling",
-    "sft_curation_pipeline",
+    "sft_curation_pipeline", "conv_embedding_pool",
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
@@ -4007,6 +4010,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(rank_sem AS BIGINT) AS rank_sem,
                CAST(rrf_nano AS BIGINT) AS rrf_nano
         FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 20
+    """
+    # conversation embedding pooling: int8 lane sums per conv, lanes
+    # re-assembled in position order (unnest-with-ordinality mirror)
+    oracles["conv_embedding_pool"] = """
+        WITH qv AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN list_max(list_transform(embedding,
+                                                   x -> abs(x))) > 0
+                      THEN CAST(127.0 AS DOUBLE)
+                           / list_max(list_transform(embedding,
+                                                     x -> abs(x)))
+                      ELSE CAST(0.0 AS DOUBLE) END AS scale
+          FROM embeddings
+        ), qc AS (
+          SELECT vec_id % 40 AS conv_id,
+                 list_transform(embedding,
+                   x -> CAST(round(x * scale) AS INTEGER)) AS q
+          FROM qv
+        ), lanes AS (
+          SELECT conv_id, CAST(t.i - 1 AS INTEGER) AS pos,
+                 q[CAST(t.i AS INTEGER)] AS qv
+          FROM qc, unnest(range(1, len(q) + 1)) AS t(i)
+        ), s AS (
+          SELECT conv_id, pos, CAST(sum(qv) AS BIGINT) AS sv,
+                 count(*) AS c
+          FROM lanes GROUP BY 1, 2
+        )
+        SELECT conv_id,
+               CAST(max(c) AS BIGINT) AS n_vecs,
+               array_to_string(list(CAST(sv AS VARCHAR) ORDER BY pos),
+                               ',') AS pooled,
+               CAST(sum(abs(sv)) AS BIGINT) AS l1
+        FROM s GROUP BY conv_id
     """
     # temperature language rebalancing: sqrt weights micro-rounded
     # before the bigint normalizing sum; probabilities by integer DIV

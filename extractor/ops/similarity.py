@@ -850,3 +850,56 @@ def semdedup_prune(spark: SparkSession, sf_dir: str,
     :func:`planted_dup_embeddings` for why the test corpus needs
     planting."""
     return semdedup_core(planted_dup_embeddings(spark, sf_dir), thr_milli)
+
+
+CONV_MOD = 40  # vec_id → conv_id mapping, aligned with the dtr view
+
+
+def conv_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level → conversation-level embedding pooling: element-wise
+    SUM of each conversation's int8-quantized turn embeddings (the
+    ``vec_id % 40`` conversation axis, aligned with the derived
+    transcript view) — the aggregation a conversation-retrieval /
+    episode-clustering stack runs to get one vector per episode.  Sum
+    pooling over int8 codes keeps every lane an exact bigint (mean
+    pooling would put a float division in the output; consumers divide
+    by ``n_vecs`` themselves), so the pooled vectors are
+    engine-reproducible bit for bit.
+
+    Output: ``(conv_id, n_vecs, pooled, l1)`` — pooled as the
+    comma-joined lane sums, l1 = Σ|lane| as a magnitude fingerprint.
+
+    Scale shape (10^12 turns): posexplode fans each vector into dim
+    rows, then ONE (conv, lane) aggregate — fully map-side combinable,
+    so the shuffle carries conversations×dim partial rows, not
+    turns×dim; the re-assembly collect is dim-bounded (64 structs per
+    conversation), never turn-bounded.  This beats the
+    zip_with-over-collect_list alternative, whose per-conversation
+    list is unbounded on 100k-turn conversations."""
+    emb = _emb(spark, sf_dir)
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    qc = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(CONV_MOD)).alias("conv_id"),
+        F.transform(
+            "embedding", lambda x: F.round(x * scale).cast("int")
+        ).alias("qcodes"),
+    )
+    lanes = qc.select(
+        "conv_id", F.posexplode("qcodes").alias("pos", "qv")
+    )
+    s = lanes.groupBy("conv_id", "pos").agg(
+        F.sum("qv").cast("long").alias("sv"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return s.groupBy("conv_id").agg(
+        F.max("c").cast("long").alias("n_vecs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "sv"))),
+                lambda v: v["sv"].cast("string"),
+            ),
+            ",",
+        ).alias("pooled"),
+        F.sum(F.abs(F.col("sv"))).cast("long").alias("l1"),
+    )

@@ -229,3 +229,36 @@ def test_semdedup_planted_view_prunes_only_planted(spark):
         assert vid % 5 != 0 or True  # canonical may prune onto an
         # earlier planted twin within the same cell — only the md5
         # condition is guaranteed
+
+
+def test_conv_embedding_pool_exact_sums(spark):
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from extractor.ops.similarity import conv_embedding_pool
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["conv_id"]: r for r in conv_embedding_pool(spark, sf).collect()}
+    # python third implementation
+    tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    pools, counts = {}, {}
+    for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
+        v = np.asarray(emb, dtype=np.float64)
+        m = np.abs(v).max()
+        scale = 127.0 / m if m > 0 else 0.0
+        # numpy rint is half-even; Spark/DuckDB round is half-up — do
+        # it per-element the portable way
+        q = np.array(
+            [int(np.floor(x * scale + 0.5)) if x * scale >= 0
+             else -int(np.floor(-x * scale + 0.5)) for x in v],
+            dtype=np.int64,
+        )
+        c = int(vid) % 40
+        pools[c] = pools.get(c, np.zeros(len(q), dtype=np.int64)) + q
+        counts[c] = counts.get(c, 0) + 1
+    for c, vec in pools.items():
+        assert out[c]["n_vecs"] == counts[c]
+        assert out[c]["pooled"] == ",".join(str(int(x)) for x in vec)
+        assert out[c]["l1"] == int(np.abs(vec).sum())
