@@ -1378,6 +1378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conversation-level embedding pooling: exact bigint lane sums
         # of int8 codes on the vec_id%40 conversation axis
         "conv_embedding_pool": similarity.conv_embedding_pool,
+        # off-topic turn detection: leave-one-out dot q·(S−q) against
+        # the pooled episode vector, argmin per conversation
+        "conv_offtopic_turns": similarity.conv_offtopic_turns,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1525,7 +1528,7 @@ _LAST_GREEN_R2 = [
     "prefix_sharing_stats", "hybrid_rrf", "semdedup_prune",
     "length_curriculum", "psi_snapshot_drift",
     "lang_temperature_weights", "unigram_neg_sampling",
-    "sft_curation_pipeline", "conv_embedding_pool",
+    "sft_curation_pipeline", "conv_embedding_pool", "conv_offtopic_turns",
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
@@ -4043,6 +4046,52 @@ def oracle_sql() -> dict[str, str]:
                                ',') AS pooled,
                CAST(sum(abs(sv)) AS BIGINT) AS l1
         FROM s GROUP BY conv_id
+    """
+    # off-topic turn detection: pooled lane sums re-joined per turn,
+    # leave-one-out dot, min-struct argmin — all bigint
+    oracles["conv_offtopic_turns"] = """
+        WITH qv AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN list_max(list_transform(embedding,
+                                                   x -> abs(x))) > 0
+                      THEN CAST(127.0 AS DOUBLE)
+                           / list_max(list_transform(embedding,
+                                                     x -> abs(x)))
+                      ELSE CAST(0.0 AS DOUBLE) END AS scale
+          FROM embeddings
+        ), qc AS (
+          SELECT vec_id, vec_id % 40 AS conv_id,
+                 list_transform(embedding,
+                   x -> CAST(round(x * scale) AS INTEGER)) AS q
+          FROM qv
+        ), lanes AS (
+          SELECT conv_id, CAST(t.i AS INTEGER) AS pos,
+                 q[CAST(t.i AS INTEGER)] AS qv
+          FROM qc, unnest(range(1, len(q) + 1)) AS t(i)
+        ), pooled AS (
+          SELECT conv_id, list(sv ORDER BY pos) AS s_arr
+          FROM (
+            SELECT conv_id, pos, CAST(sum(qv) AS BIGINT) AS sv
+            FROM lanes GROUP BY 1, 2
+          ) GROUP BY conv_id
+        ), scored AS (
+          SELECT qc.conv_id, qc.vec_id,
+                 CAST(list_sum(list_transform(range(1, len(qc.q) + 1),
+                   i -> CAST(qc.q[CAST(i AS INTEGER)] AS BIGINT)
+                        * (pooled.s_arr[CAST(i AS INTEGER)]
+                           - qc.q[CAST(i AS INTEGER)])))
+                   AS BIGINT) AS rel
+          FROM qc JOIN pooled USING (conv_id)
+        ), ranked AS (
+          SELECT conv_id, vec_id, rel,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY rel ASC, vec_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY conv_id) AS n_vecs
+          FROM scored
+        )
+        SELECT conv_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+               vec_id AS outlier_vec, rel AS rel_dot
+        FROM ranked WHERE rn = 1 AND n_vecs >= 2
     """
     # temperature language rebalancing: sqrt weights micro-rounded
     # before the bigint normalizing sum; probabilities by integer DIV

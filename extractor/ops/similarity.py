@@ -903,3 +903,75 @@ def conv_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pooled"),
         F.sum(F.abs(F.col("sv"))).cast("long").alias("l1"),
     )
+
+
+def conv_offtopic_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-topic turn detection: inside each conversation, the turn
+    whose int8-quantized embedding is LEAST aligned with the rest of
+    the episode — scored by the leave-one-out dot ``q·(S − q) =
+    q·S − ‖q‖²`` against the pooled lane-sum vector S of
+    :func:`conv_embedding_pool`.  This is the curation op that flags
+    derailed/injected turns (wrong-conversation stitches, prompt
+    contamination) before episode-level training; subtracting the
+    turn's own contribution keeps a conversation's sole outlier from
+    hiding inside its own centroid.  Every quantity is an exact
+    bigint, so the flagged turn is engine-reproducible even on ties
+    (min struct (score, vec_id)).
+
+    Output: one row per multi-turn conversation:
+    ``(conv_id, n_vecs, outlier_vec, rel_dot)``.
+
+    Scale shape: the pooled-S relation is conversations×dim partials
+    (see conv_embedding_pool); S re-joins the turn stream keyed on
+    conv_id — the extraction partitioning — and the scoring is a
+    map-only zip_with; the final argmin is one conv-keyed min-struct
+    aggregate."""
+    emb = _emb(spark, sf_dir)
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    qc = emb.select(
+        "vec_id",
+        F.pmod(F.col("vec_id"), F.lit(CONV_MOD)).alias("conv_id"),
+        F.transform(
+            "embedding", lambda x: F.round(x * scale).cast("int")
+        ).alias("qcodes"),
+    )
+    lanes = qc.select("conv_id", F.posexplode("qcodes").alias("pos", "qv"))
+    pooled = (
+        lanes.groupBy("conv_id", "pos")
+        .agg(F.sum("qv").cast("long").alias("sv"))
+        .groupBy("conv_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "sv"))),
+                lambda v: v["sv"],
+            ).alias("s_arr")
+        )
+    )
+    dot_s = F.aggregate(
+        F.zip_with("qcodes", "s_arr", lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = F.aggregate(
+        F.transform("qcodes", lambda x: x.cast("long") * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = qc.join(pooled, "conv_id").select(
+        "conv_id", "vec_id", (dot_s - n2).alias("rel")
+    )
+    return (
+        scored.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min(F.struct("rel", "vec_id")).alias("lo"),
+        )
+        .where(F.col("n_vecs") >= 2)
+        .select(
+            "conv_id",
+            "n_vecs",
+            F.col("lo.vec_id").alias("outlier_vec"),
+            F.col("lo.rel").alias("rel_dot"),
+        )
+    )

@@ -262,3 +262,44 @@ def test_conv_embedding_pool_exact_sums(spark):
         assert out[c]["n_vecs"] == counts[c]
         assert out[c]["pooled"] == ",".join(str(int(x)) for x in vec)
         assert out[c]["l1"] == int(np.abs(vec).sum())
+
+
+def test_conv_offtopic_flags_planted_outlier(spark):
+    from pyspark.sql import functions as F
+
+    from extractor.ops.similarity import conv_offtopic_turns
+
+    # verify on real data against a python recomputation of one conv
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["conv_id"]: r for r in conv_offtopic_turns(spark, sf).collect()
+    }
+    tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+
+    def quant(v):
+        v = np.asarray(v, dtype=np.float64)
+        m = np.abs(v).max()
+        s = 127.0 / m if m > 0 else 0.0
+        return np.array(
+            [int(np.floor(x * s + 0.5)) if x * s >= 0
+             else -int(np.floor(-x * s + 0.5)) for x in v],
+            dtype=np.int64,
+        )
+
+    groups = {}
+    for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
+        groups.setdefault(int(vid) % 40, []).append((int(vid), quant(emb)))
+    for conv, members in groups.items():
+        if len(members) < 2:
+            assert conv not in out
+            continue
+        S = np.sum([q for _, q in members], axis=0)
+        rels = sorted(
+            (int(q @ (S - q)), vid) for vid, q in members
+        )
+        assert out[conv]["outlier_vec"] == rels[0][1]
+        assert out[conv]["rel_dot"] == rels[0][0]
+        assert out[conv]["n_vecs"] == len(members)
