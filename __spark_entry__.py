@@ -1381,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # off-topic turn detection: leave-one-out dot q·(S−q) against
         # the pooled episode vector, argmin per conversation
         "conv_offtopic_turns": similarity.conv_offtopic_turns,
+        # Luhn-validated PII audit (checksum gate on 16-digit hits)
+        "pii_luhn_audit": textops.pii_luhn_audit,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1529,6 +1531,7 @@ _LAST_GREEN_R2 = [
     "length_curriculum", "psi_snapshot_drift",
     "lang_temperature_weights", "unigram_neg_sampling",
     "sft_curation_pipeline", "conv_embedding_pool", "conv_offtopic_turns",
+    "pii_luhn_audit",
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
@@ -4013,6 +4016,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(rank_sem AS BIGINT) AS rank_sem,
                CAST(rrf_nano AS BIGINT) AS rrf_nano
         FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 20
+    """
+    # Luhn-validated PII audit: synthesized 16-digit candidate, real
+    # doubled-digit checksum via a bounded indexed list transform
+    oracles["pii_luhn_audit"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 lpad(CAST((doc_id * 48271 + 12345)
+                           % 10000000000000000 AS VARCHAR),
+                      16, '0') AS card
+          FROM documents WHERE text IS NOT NULL
+        ), l AS (
+          SELECT doc_id, card,
+                 CAST(list_sum(list_transform(range(1, 17), i ->
+                   CASE WHEN i % 2 = 1 THEN
+                     CASE WHEN CAST(substr(card, CAST(i AS INTEGER), 1)
+                               AS INTEGER) * 2 > 9
+                          THEN CAST(substr(card, CAST(i AS INTEGER), 1)
+                               AS INTEGER) * 2 - 9
+                          ELSE CAST(substr(card, CAST(i AS INTEGER), 1)
+                               AS INTEGER) * 2 END
+                   ELSE CAST(substr(card, CAST(i AS INTEGER), 1)
+                        AS INTEGER) END)) AS BIGINT) AS luhn_sum
+          FROM c
+        )
+        SELECT doc_id,
+               '************' || substr(card, 13, 4) AS card_masked,
+               luhn_sum,
+               CAST(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_valid
+        FROM l
     """
     # conversation embedding pooling: int8 lane sums per conv, lanes
     # re-assembled in position order (unnest-with-ordinality mirror)

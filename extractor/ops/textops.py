@@ -895,3 +895,47 @@ def unigram_neg_sampling_weights(spark: SparkSession, sf_dir: str,
         .orderBy(F.desc("cnt"), "tok")
         .limit(k)
     )
+
+
+def pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII audit: candidate 16-digit account numbers
+    are verified with the Luhn checksum before they count as PII — the
+    production guard against regex over-redaction (most 16-digit hits
+    in web text are order ids/hashes, and scrubbing them destroys
+    training signal for nothing).  Complements :func:`pii_redact`
+    (regex-only) with the validation stage.
+
+    The corpus carries no digits, so the candidate is synthesized
+    deterministically from ``doc_id`` (same planted-payload pattern as
+    pii_redact — both engines rebuild it exactly); the Luhn evaluation
+    itself is the real production kernel: a codegen'd bounded
+    ``aggregate(sequence(1,16))`` of doubled-digit terms — map-only,
+    no Python, no shuffle.
+
+    Output: ``(doc_id, card_masked, luhn_sum, is_valid)`` — masked to
+    the last four digits, sum and verdict exact integers."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    card = F.lpad(
+        ((F.col("doc_id") * 48271 + 12345) % 10_000_000_000_000_000)
+        .cast("string"),
+        16,
+        "0",
+    )
+    luhn = F.expr(
+        "aggregate(sequence(1, 16), 0, (acc, i) -> acc +"
+        " CASE WHEN i % 2 = 1 THEN"
+        "   IF(CAST(substr(card, CAST(i AS INT), 1) AS INT) * 2 > 9,"
+        "      CAST(substr(card, CAST(i AS INT), 1) AS INT) * 2 - 9,"
+        "      CAST(substr(card, CAST(i AS INT), 1) AS INT) * 2)"
+        " ELSE CAST(substr(card, CAST(i AS INT), 1) AS INT) END)"
+    )
+    return (
+        docs.select("doc_id", card.alias("card"))
+        .select(
+            "doc_id",
+            F.concat(F.lit("************"), F.substring("card", 13, 4))
+            .alias("card_masked"),
+            luhn.cast("long").alias("luhn_sum"),
+            (luhn % 10 == 0).cast("int").alias("is_valid"),
+        )
+    )

@@ -92,3 +92,29 @@ def test_zscore_outliers_needs_full_window(spark):
     rows = [(i, t0 + dt.timedelta(minutes=i), 1, "e",
              10.0 if i < 10 else 1000.0, "{}") for i in range(11)]
     assert zscore_outliers(_events(spark, rows)).count() == 0
+
+
+def test_pii_luhn_matches_reference_implementation(spark):
+    from extractor.ops.textops import pii_luhn_audit
+
+    def luhn_ok(card: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(card)):
+            d = int(ch)
+            if i % 2 == 1:  # every second digit from the right
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rows = pii_luhn_audit(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    seen_valid = seen_invalid = 0
+    for r in rows:
+        card = f"{(r['doc_id'] * 48271 + 12345) % 10**16:016d}"
+        assert r["card_masked"] == "************" + card[-4:]
+        assert r["is_valid"] == int(luhn_ok(card))
+        seen_valid += r["is_valid"]
+        seen_invalid += 1 - r["is_valid"]
+    assert seen_valid > 0 and seen_invalid > 0  # both classes exercised
