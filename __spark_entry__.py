@@ -1218,12 +1218,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (verified against CORRECTNESS_r03.json), so ordering is rotated each
     round: entries with no green driver row ever come first, then entries
     whose last green row is oldest, then freshly-green ones.  The final
-    round-4 window (``_DRIVER_WINDOW``, applied below) = all 48 entries
-    with zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's
-    weak list + the 37 added during round 4).  Round 5 should lead with
-    the 19 last-r2 entries that immediately follow the window, plus
-    ``extract_mode_mathjax_toc`` (rows-only in r3; its hash oracle is
-    new this round and has not had a driver hash row yet).
+    round-4 window (``_DRIVER_WINDOW``, applied below) = 50 entries with
+    zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's weak
+    list + 37 added during round 4).  Entries that landed AFTER the
+    window froze sit at the head of ``_LAST_GREEN_R2`` — 24 of them are
+    never-driver-checked (from ``sft_pair_assembly`` through
+    ``pii_luhn_audit``, including ``extract_mode_mathjax_toc``'s new
+    hash oracle) and must LEAD the round-5 window, followed by 26
+    oldest-green entries.  All 50-window-external entries pass the
+    local driver_sim sweep at sf0.01 (latest full sweep: 0 fails).
     """
     q = {
         # --- never driver-checked before round 4 (VERDICT r3 weak list) ---
