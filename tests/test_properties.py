@@ -137,3 +137,13 @@ def test_ws_probe_miss_implies_collapse_identity(text):
 
     if _WS_PROBE.search(text) is None:
         assert _WS_COLLAPSE.sub(" ", text) == text
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="ab \t\r\f\v\n0123456789+-.\\", max_size=60))
+def test_linestart_probe_equals_regex(text):
+    from extractor.linearize import _MD_LINESTART_PROBE, _linestart_probe
+
+    assert _linestart_probe(text) == (
+        _MD_LINESTART_PROBE.search(text) is not None
+    )
