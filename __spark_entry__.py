@@ -1221,10 +1221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-4 window (``_DRIVER_WINDOW``, applied below) = 50 entries with
     zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's weak
     list + 37 added during round 4).  Entries that landed AFTER the
-    window froze sit at the head of ``_LAST_GREEN_R2`` — 24 of them are
+    window froze sit at the head of ``_LAST_GREEN_R2`` — 28 of them are
     never-driver-checked (from ``sft_pair_assembly`` through
-    ``pii_luhn_audit``, including ``extract_mode_mathjax_toc``'s new
-    hash oracle) and must LEAD the round-5 window, followed by 26
+    ``kn_continuation``, including ``extract_mode_mathjax_toc``'s new
+    hash oracle) and must LEAD the round-5 window, followed by the
     oldest-green entries.  All 50-window-external entries pass the
     local driver_sim sweep at sf0.01 (latest full sweep: 0 fails).
     """
@@ -1386,6 +1386,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_offtopic_turns": similarity.conv_offtopic_turns,
         # Luhn-validated PII audit (checksum gate on 16-digit hits)
         "pii_luhn_audit": textops.pii_luhn_audit,
+        # fastText-style hashed linear classifier inference: map-only,
+        # zero shuffle, no vocabulary table (the hashing trick)
+        "hashed_classifier_score": textops.hashed_classifier_score,
+        # Gopher within-doc duplicate-paragraph fractions (basis points)
+        "paragraph_dup_profile": textops.paragraph_dup_profile,
+        # count–min sketch heavy hitters (deterministic md5 hash family,
+        # so the sketch itself is oracle-checkable)
+        "cms_topk": textops.cms_topk,
+        # Kneser–Ney continuation-count tables (distinct-left-context
+        # unigram weights, Brants et al.'s distributed LM-counts shape)
+        "kn_continuation": textops.kn_continuation,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1537,6 +1548,8 @@ _LAST_GREEN_R2 = [
     "pii_luhn_audit",
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
+    "hashed_classifier_score", "paragraph_dup_profile",
+    "cms_topk", "kn_continuation",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -4464,5 +4477,130 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(n AS BIGINT) FROM ranked, tot
                 WHERE rk = n_keys) AS top_n
         FROM tot
+    """
+    # fastText-style hashed linear inference: feature -> md5 bucket ->
+    # md5-derived weight, summed per doc; bigrams joined with '_'
+    _ftb = _dd_md5_bucket("ftb:", 4096, key="feat")
+    _ftw = _dd_md5_bucket("ftw:", 2001, key="b")
+    oracles["hashed_classifier_score"] = f"""
+        WITH d AS (
+          SELECT doc_id, list_filter(
+            regexp_split_to_array(lower(trim(text)), '[ \\t\\r\\n\\f\\v]+'),
+            x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), feats AS (
+          SELECT doc_id, unnest(toks) AS feat FROM d
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                   i -> toks[CAST(i AS INTEGER)] || '_'
+                        || toks[CAST(i + 1 AS INTEGER)])) AS feat
+          FROM d
+        ), fb AS (
+          SELECT doc_id, {_ftb} AS b FROM feats
+        ), ws AS (
+          SELECT doc_id, sum({_ftw} - 1000) AS s FROM fb GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.toks) + greatest(len(d.toks) - 1, 0)
+                    AS BIGINT) AS n_feats,
+               CAST(coalesce(ws.s, 0) AS BIGINT) AS score,
+               CAST(CASE WHEN coalesce(ws.s, 0) > 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS label
+        FROM d LEFT JOIN ws USING (doc_id)
+    """
+    # Gopher duplicate-paragraph metrics over the deterministically
+    # synthesized paragraph layout (40-char windows + planted repeats)
+    oracles["paragraph_dup_profile"] = f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 CAST(floor((length(text) - 1) / 40.0) AS INTEGER) + 1 AS n,
+                 {_dd_md5_bucket("pdup:", 3)} AS bkt
+          FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+        ), pl AS (
+          SELECT doc_id,
+                 CASE WHEN bkt = 0 THEN list_concat(base, [base[1]])
+                      WHEN bkt = 1 AND n >= 2
+                        THEN list_concat(base, [base[1], base[2]])
+                      ELSE base END AS paras
+          FROM (SELECT doc_id, n, bkt,
+                       list_transform(range(0, n),
+                         i -> substr(text, CAST(i * 40 + 1 AS INTEGER), 40))
+                         AS base
+                FROM d)
+        ), pc AS (
+          SELECT doc_id, para, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(paras) AS para FROM pl)
+          GROUP BY 1, 2
+        ), agg AS (
+          SELECT doc_id,
+                 CAST(sum(cnt) AS BIGINT) AS n_paras,
+                 CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                      AS BIGINT) AS n_dup_paras,
+                 CAST(sum(cnt * length(para)) AS BIGINT) AS chars,
+                 CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(para)
+                          ELSE 0 END) AS BIGINT) AS dup_chars
+          FROM pc GROUP BY doc_id
+        )
+        SELECT doc_id, n_paras, n_dup_paras,
+               CAST((n_dup_paras * 10000) // n_paras AS BIGINT)
+                 AS dup_para_bp,
+               CAST((dup_chars * 10000) // chars AS BIGINT) AS dup_char_bp
+        FROM agg
+    """
+    # count–min sketch: deterministic given the md5 hash family, so the
+    # oracle rebuilds the d×w sketch itself and the min-estimates
+    _cms_rows = "\n          UNION ALL\n".join(
+        f"          SELECT tok, n, {j} AS j, "
+        f"{_dd_md5_bucket(f'cms{j}:', 128, 'tok')} AS bucket FROM tc"
+        for j in range(4)
+    )
+    oracles["cms_topk"] = f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '[ \\t\\r\\n\\f\\v]+'),
+            x -> x <> '')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ), tc AS (
+          SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ), tcb AS (
+{_cms_rows}
+        ), cms AS (
+          SELECT j, bucket, sum(n) AS cell FROM tcb GROUP BY 1, 2
+        ), est AS (
+          SELECT tok, min(cell) AS est, min(n) AS exact_n
+          FROM tcb JOIN cms USING (j, bucket) GROUP BY tok
+        )
+        SELECT tok, CAST(est AS BIGINT) AS est,
+               CAST(exact_n AS BIGINT) AS exact_n,
+               CAST(est - exact_n AS BIGINT) AS overcount
+        FROM est ORDER BY est DESC, tok LIMIT 20
+    """
+    # Kneser–Ney continuation counts: distinct-(prev, w) relation first
+    # (no count-distinct expansion), then per-w rollup + global N1+(••)
+    oracles["kn_continuation"] = """
+        WITH d AS (
+          SELECT list_filter(
+            regexp_split_to_array(lower(trim(text)), '[ \\t\\r\\n\\f\\v]+'),
+            x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), pairs AS (
+          SELECT toks[CAST(i AS INTEGER)] AS prev,
+                 toks[CAST(i + 1 AS INTEGER)] AS w
+          FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                FROM d WHERE len(toks) >= 2)
+        ), pc AS (
+          SELECT prev, w, count(*) AS c FROM pairs GROUP BY 1, 2
+        ), per_w AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cont_types,
+                 CAST(sum(c) AS BIGINT) AS total_count
+          FROM pc GROUP BY w
+        ), nt AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_types FROM pc
+        )
+        SELECT w, cont_types, total_count,
+               CAST((cont_types * 1000000) // n_types AS BIGINT)
+                 AS p_cont_ppm
+        FROM per_w CROSS JOIN nt
+        ORDER BY cont_types DESC, w LIMIT 30
     """
     return oracles

@@ -939,3 +939,273 @@ def pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (luhn % 10 == 0).cast("int").alias("is_valid"),
         )
     )
+
+
+FT_BUCKETS = 4096  # hashed feature space (the fastText hashing trick)
+
+
+def _ft_weight(feat):
+    """Synthetic linear-model weight for a feature string: feature →
+    hashed bucket (collisions intended — the hashing trick means NO
+    vocabulary table exists anywhere) → deterministic weight in
+    [-1000, 1000] derived from the bucket id.  Both hops are the
+    engine's shared md5 keyed-uniform primitive, so a SQL oracle
+    reproduces every weight bit-for-bit."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ftb:"), feat)), 1, 8), 16, 10)
+        .cast("long")
+        % FT_BUCKETS
+    )
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ftw:"), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+
+
+def hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier INFERENCE as a map-only
+    stage: score = Σ w[h(unigram)] + Σ w[h(bigram)] over hashed feature
+    buckets (Joulin et al. 2016's hashing trick) — the shape of every
+    production quality/toxicity classifier sweep over a pretraining
+    corpus.  The weights here are synthesized deterministically from the
+    bucket id (no training in-sandbox), but the inference path is the
+    real one: per-row HOF ``transform`` + ``aggregate`` over the token
+    array, ZERO shuffle, zero Python, and — because buckets hash from
+    the feature itself — no vocabulary broadcast either.  At 100 TB
+    this scores every document in one codegen'd scan.
+
+    Output: ``(doc_id, n_feats, score, label)`` — all-integer, exact."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = docs.select("doc_id", _tok_arr().alias("toks"))
+    uni_sum = F.aggregate(
+        F.transform(F.col("toks"), _ft_weight),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, CAST(i AS INT)), '_',"
+            " element_at(toks, CAST(i + 1 AS INT))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big_sum = F.aggregate(
+        F.transform(bigrams, _ft_weight),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    score = (uni_sum + big_sum).alias("score")
+    return d.select(
+        "doc_id",
+        (F.size("toks") + F.greatest(F.size("toks") - 1, F.lit(0)))
+        .cast("long")
+        .alias("n_feats"),
+        score,
+        (F.col("score") > 0).cast("int").alias("label"),
+    ).select("doc_id", "n_feats", "score", "label")
+
+
+PARA_W = 40  # synthesized paragraph width (chars)
+
+
+def paragraph_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's within-document duplicate-PARAGRAPH metrics (Rae et al.
+    2021 Table A1): fraction of paragraphs that are duplicates of
+    another paragraph in the SAME document, and fraction of characters
+    inside such paragraphs — the repetition signals
+    :func:`repetition_quality` (token-level) doesn't see.
+
+    The corpus is single-block prose, so a paragraph structure is
+    synthesized deterministically: fixed 40-char windows, with the
+    first window re-appended for doc_id buckets ≡0 (mod 3) and the
+    first two re-appended for ≡1 — planted duplicates both engines
+    rebuild exactly, so every branch of the metric fires.
+
+    Scale shape: paragraph hashing/counting keys on (doc_id, para) and
+    the rollup on doc_id — the extraction pipeline's own partitioning;
+    both aggs map-side combine, nothing global.  Output fractions in
+    exact basis points."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select("doc_id", "text")
+    )
+    n_win = (F.floor((F.length("text") - 1) / PARA_W) + 1).cast("int")
+    base = F.expr(
+        f"transform(sequence(0, CAST(floor((length(text) - 1) / {PARA_W}) AS INT)),"
+        f" i -> substr(text, CAST(i * {PARA_W} + 1 AS INT), {PARA_W}))"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pdup:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    paras = (
+        F.when(bucket == 0, F.concat(base, F.slice(base, 1, 1)))
+        .when((bucket == 1) & (n_win >= 2), F.concat(base, F.slice(base, 1, 2)))
+        .otherwise(base)
+    )
+    per_para = (
+        docs.select("doc_id", F.explode(paras).alias("para"))
+        .groupBy("doc_id", "para")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_para.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_paras"),
+            F.sum(F.col("cnt") * F.length("para")).cast("long").alias("chars"),
+            F.sum(
+                F.when(
+                    F.col("cnt") > 1, F.col("cnt") * F.length("para")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("dup_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            F.expr("CAST(n_dup_paras * 10000 DIV n_paras AS BIGINT)").alias(
+                "dup_para_bp"
+            ),
+            F.expr("CAST(dup_chars * 10000 DIV chars AS BIGINT)").alias(
+                "dup_char_bp"
+            ),
+        )
+    )
+
+
+CMS_D = 4  # count–min sketch depth (hash rows)
+CMS_W = 128  # count–min sketch width (buckets per row; sized so the
+# synthetic corpus vocabulary actually collides and the upward bias shows)
+
+
+def cms_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Count–min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    the mergeable frequency sketch every streaming/telemetry pipeline
+    uses where exact per-key counts don't fit.  The sketch is BUILT
+    distributed — d×w = 4×128 bounded cells regardless of corpus size —
+    and every distinct token is then estimated as min_j cms[j][h_j(tok)]
+    (upward-biased by construction; the output carries the exact count
+    alongside so the overestimate is visible and the oracle can check
+    the sketch content itself, since CMS is deterministic given its
+    hash family — here the engine's shared md5 primitive).
+
+    Scale shape: one map-side-combined token agg (vocab-sized), one
+    constant-size sketch agg, estimates via a BROADCAST of the ≤512-row
+    sketch back onto the vocab relation, top-k by TakeOrderedAndProject.
+    Output: ``(tok, est, exact_n, overcount)`` — all-integer."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    tc = (
+        docs.select(F.explode(_tok_arr()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    jb = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"cms{j}:"), F.col("tok"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % CMS_W
+                ).alias("bucket"),
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    tcb = tc.select("tok", "n", F.explode(jb).alias("jb")).select(
+        "tok", "n", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    )
+    cms = tcb.groupBy("j", "bucket").agg(F.sum("n").cast("long").alias("cell"))
+    return (
+        tcb.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("cell").cast("long").alias("est"),
+            F.min("n").cast("long").alias("exact_n"),
+        )
+        .select(
+            "tok",
+            "est",
+            "exact_n",
+            (F.col("est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("est"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def kn_continuation(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
+    """Kneser–Ney continuation counts — the lower-order distribution of
+    the best-performing classical n-gram smoother (Kneser & Ney 1995;
+    Chen & Goodman 1999): a word's unigram weight is the number of
+    DISTINCT left contexts it completes (``N1+(•w)``), not its raw
+    frequency ("francisco" is frequent but only follows "san", so it
+    gets almost no continuation mass).  Training these count tables
+    over a web corpus is a classic large-scale MapReduce job (Brants
+    et al. 2007); this is its Spark shape.
+
+    Scale shape: the distinct-(prev, w) relation is built by ONE
+    map-side-combined agg (never a count-distinct Expand); per-word
+    continuation/total counts are a second agg over that already-
+    distinct relation, and the global N1+(••) normalizer is a 1-row
+    broadcast.  Top-k via TakeOrderedAndProject.  Output ppm values by
+    integer floor-division — engine-exact."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = docs.select(_tok_arr().alias("toks")).where(F.size("toks") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, CAST(i AS INT)) AS prev,"
+                " element_at(toks, CAST(i + 1 AS INT)) AS w))"
+            )
+        ).alias("bg")
+    ).select("bg.prev", "bg.w")
+    pc = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_w = pc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cont_types"),
+        F.sum("c").cast("long").alias("total_count"),
+    )
+    n_types = pc.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    return (
+        per_w.crossJoin(F.broadcast(n_types))
+        .select(
+            "w",
+            "cont_types",
+            "total_count",
+            F.expr("CAST(cont_types * 1000000 DIV n_types AS BIGINT)").alias(
+                "p_cont_ppm"
+            ),
+        )
+        .orderBy(F.desc("cont_types"), F.asc("w"))
+        .limit(k)
+    )

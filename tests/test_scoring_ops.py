@@ -118,3 +118,96 @@ def test_pii_luhn_matches_reference_implementation(spark):
         seen_valid += r["is_valid"]
         seen_invalid += 1 - r["is_valid"]
     assert seen_valid > 0 and seen_invalid > 0  # both classes exercised
+
+
+def test_hashed_classifier_map_only_and_consistent(spark, tiny_docs_sf):
+    from extractor.ops.textops import hashed_classifier_score
+
+    df = hashed_classifier_score(spark, tiny_docs_sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # zero-shuffle inference
+    rows = {r["doc_id"]: r for r in df.collect()}
+    # "alpha alpha beta": 3 unigrams + 2 bigrams
+    assert rows[0]["n_feats"] == 5
+    # single-token doc: 1 unigram, no bigram
+    assert rows[3]["n_feats"] == 1
+    for r in rows.values():
+        assert r["label"] == (1 if r["score"] > 0 else 0)
+    # identical text -> identical hashed features -> identical score
+    again = {r["doc_id"]: r["score"]
+             for r in hashed_classifier_score(spark, tiny_docs_sf).collect()}
+    assert again == {k: v["score"] for k, v in rows.items()}
+
+
+def test_paragraph_dup_profile_counts_planted_dups(spark, tmp_path):
+    import pandas as pd
+    from extractor.ops.textops import paragraph_dup_profile
+
+    # find doc_ids in each planted-duplicate bucket (md5('pdup:'||id) % 3)
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(f"pdup:{i}".encode()).hexdigest()[:8], 16) % 3
+
+    ids = {bucket(i): i for i in range(30)}
+    text = "x" * 100  # 3 windows of 40/40/20 chars, all-'x' so w1 == w2
+    pd.DataFrame(
+        {
+            "doc_id": [ids[0], ids[1], ids[2]],
+            "text": [text] * 3,
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [100] * 3,
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {r["doc_id"]: r
+            for r in paragraph_dup_profile(spark, str(tmp_path)).collect()}
+    # bucket 0: base (w,w,tail) + [w] -> w appears 3x -> 3 dup paras of 4
+    r0 = rows[ids[0]]
+    assert (r0["n_paras"], r0["n_dup_paras"]) == (4, 3)
+    assert r0["dup_para_bp"] == 7500
+    # bucket 1: base + [w, w] -> all four 40-char windows identical
+    r1 = rows[ids[1]]
+    assert (r1["n_paras"], r1["n_dup_paras"]) == (5, 4)
+    # bucket 2: unmodified; the two 40-char windows are identical dups
+    r2 = rows[ids[2]]
+    assert (r2["n_paras"], r2["n_dup_paras"]) == (3, 2)
+    # char fractions consistent: dup chars never exceed total
+    for r in rows.values():
+        assert 0 <= r["dup_char_bp"] <= 10000
+
+
+def test_cms_topk_never_underestimates(spark):
+    from extractor.ops.textops import cms_topk, CMS_D, CMS_W
+
+    sf = "/root/testdata/sf0.001"
+    rows = cms_topk(spark, sf).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overcount"] >= 0  # CMS is upward-biased by construction
+        assert r["est"] == r["exact_n"] + r["overcount"]
+    # the sketch the estimates came from is genuinely bounded
+    from extractor.ops.textops import _docs, _tok_arr
+    from pyspark.sql import functions as F
+
+    vocab = (
+        _docs(spark, sf).where(F.col("text").isNotNull())
+        .select(F.explode(_tok_arr()).alias("tok")).distinct().count()
+    )
+    assert vocab > 0 and CMS_D * CMS_W == 512
+
+
+def test_kn_continuation_properties(spark, tiny_docs_sf):
+    from extractor.ops.textops import kn_continuation
+
+    rows = kn_continuation(spark, tiny_docs_sf).collect()
+    # corpus bigrams: (alpha,alpha) (alpha,beta) x2, (gamma,gamma);
+    # distinct pair types = 3
+    by_w = {r["w"]: r for r in rows}
+    assert by_w["beta"]["cont_types"] == 1  # only 'alpha' precedes beta
+    assert by_w["beta"]["total_count"] == 2
+    assert by_w["alpha"]["cont_types"] == 1  # 'alpha alpha' only
+    assert by_w["gamma"]["cont_types"] == 1
+    for r in rows:
+        assert r["cont_types"] <= r["total_count"]
+        assert r["p_cont_ppm"] == r["cont_types"] * 1_000_000 // 3
