@@ -1221,9 +1221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-4 window (``_DRIVER_WINDOW``, applied below) = 50 entries with
     zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's weak
     list + 37 added during round 4).  Entries that landed AFTER the
-    window froze sit at the head of ``_LAST_GREEN_R2`` — 28 of them are
+    window froze sit at the head of ``_LAST_GREEN_R2`` — 29 of them are
     never-driver-checked (from ``sft_pair_assembly`` through
-    ``kn_continuation``, including ``extract_mode_mathjax_toc``'s new
+    ``incremental_ingest_dedup``, including ``extract_mode_mathjax_toc``'s new
     hash oracle) and must LEAD the round-5 window, followed by the
     oldest-green entries.  All 50-window-external entries pass the
     local driver_sim sweep at sf0.01 (latest full sweep: 0 fails).
@@ -1397,6 +1397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Kneser–Ney continuation-count tables (distinct-left-context
         # unigram weights, Brants et al.'s distributed LM-counts shape)
         "kn_continuation": textops.kn_continuation,
+        # cross-snapshot incremental ingest dedup: new batch vs the
+        # stored corpus fingerprint table (planted dup branches)
+        "incremental_ingest_dedup": dedup.incremental_ingest_dedup,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1549,7 +1552,7 @@ _LAST_GREEN_R2 = [
     "export_training_shards", "conv_stitch_exact",
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "hashed_classifier_score", "paragraph_dup_profile",
-    "cms_topk", "kn_continuation",
+    "cms_topk", "kn_continuation", "incremental_ingest_dedup",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -4574,6 +4577,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(exact_n AS BIGINT) AS exact_n,
                CAST(est - exact_n AS BIGINT) AS overcount
         FROM est ORDER BY est DESC, tok LIMIT 20
+    """
+    # incremental ingest dedup: batch-vs-stored-fingerprints verdicts
+    # with planted cross-snapshot and in-batch duplicates
+    oracles["incremental_ingest_dedup"] = f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ), inc AS (
+          SELECT * FROM docs WHERE doc_id % 5 = 0
+        ), ex AS (
+          SELECT * FROM docs WHERE doc_id % 5 <> 0
+        ), b AS (
+          SELECT i.doc_id,
+                 CASE WHEN {_dd_md5_bucket("ing:", 3, "i.doc_id")} = 0
+                        THEN coalesce(c.text, i.text)
+                      WHEN {_dd_md5_bucket("ing:", 3, "i.doc_id")} = 1
+                        THEN coalesce(bb.text, i.text)
+                      ELSE i.text END AS text
+          FROM inc i
+          LEFT JOIN ex c ON c.doc_id = i.doc_id + 1
+          LEFT JOIN inc bb ON bb.doc_id = i.doc_id - 5
+        ), rn AS (
+          SELECT doc_id, md5(text) AS fp,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+          FROM b
+        ), cf AS (
+          SELECT DISTINCT md5(text) AS fp FROM ex
+        )
+        SELECT rn.doc_id, rn.fp,
+               CASE WHEN cf.fp IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN rn.rn > 1 THEN 'dup_in_batch'
+                    ELSE 'novel' END AS status
+        FROM rn LEFT JOIN cf USING (fp)
+        ORDER BY doc_id
     """
     # Kneser–Ney continuation counts: distinct-(prev, w) relation first
     # (no count-distinct expansion), then per-w rollup + global N1+(••)

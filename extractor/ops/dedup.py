@@ -1166,3 +1166,86 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str,
         .cast("long")
         .alias("saved_chars"),
     )
+
+
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup — the path every production
+    corpus actually runs: a NEW batch of crawled documents is checked
+    against the fingerprint table of the already-ingested corpus, and
+    only novel content lands.  (Full-corpus re-dedup at 10^12 rows per
+    ingest is the anti-pattern; the fingerprint table is the persisted
+    artifact the checkpoint module's snapshots already model.)
+
+    Snapshot split is derived deterministically: ``doc_id % 5 == 0`` is
+    the incoming batch, the rest the existing corpus.  Cross-snapshot
+    and in-batch duplicates are PLANTED so every verdict branch fires:
+    incoming docs in md5 bucket ≡0 (mod 3) take the text of existing
+    neighbor ``doc_id+1``, bucket ≡1 the text of incoming neighbor
+    ``doc_id-5`` (both engines rebuild the plant exactly).
+
+    Verdict precedence mirrors production ingest: ``dup_of_corpus``
+    (fingerprint already stored) beats ``dup_in_batch`` (an earlier
+    doc in THIS batch has the same fingerprint; first occurrence by
+    doc_id survives) beats ``novel``.
+
+    Scale shape: the corpus side reduces to its DISTINCT fingerprint
+    relation (the stored table — at ingest time this is a READ, not a
+    scan of the corpus); the verdict is one fp-keyed left join plus an
+    fp-partitioned window over the batch only.  Batch ≪ corpus, so AQE
+    broadcasts the batch side of nothing — the join shuffles the small
+    batch against the fingerprint table's partitioning, and at 10^12
+    rows the fingerprint table can be bucketed by fp so the join is
+    exchange-free on its side (see ``maintenance.write_bucketed``)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ing:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    # plant: bucket 0 copies an existing doc's text, bucket 1 an earlier
+    # in-batch doc's text (left joins — missing neighbors keep own text)
+    nb_corpus = existing.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t_corpus")
+    )
+    nb_batch = incoming.select(
+        (F.col("doc_id") + 5).alias("doc_id"), F.col("text").alias("t_batch")
+    )
+    batch = (
+        incoming.withColumn("bkt", bucket)
+        .join(nb_corpus, "doc_id", "left")
+        .join(nb_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("bkt") == 0, F.coalesce("t_corpus", "text"))
+            .when(F.col("bkt") == 1, F.coalesce("t_batch", "text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    corpus_fp = existing.select(F.md5("text").alias("fp")).distinct()
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    verdict = (
+        batch.select("doc_id", F.md5("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .join(corpus_fp.withColumn("in_corpus", F.lit(1)), "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("in_corpus") == 1, "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+    return verdict.orderBy("doc_id")

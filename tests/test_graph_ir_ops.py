@@ -235,3 +235,45 @@ def test_substring_dup_profile_plan_no_expand_no_python(spark):
     plan = _plan(dedup.substring_dup_profile(spark, SF))
     assert "Expand" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_incremental_ingest_dedup_precedence(spark, tmp_path):
+    """Verdict precedence on a hand-built snapshot split: corpus-dup
+    beats batch-dup, first in-batch occurrence survives as novel."""
+    import hashlib
+
+    import pandas as pd
+
+    from extractor.ops.dedup import incremental_ingest_dedup
+
+    # choose incoming ids (%5==0) whose planted-text bucket is 2 so the
+    # synthesis keeps each doc's own text and the fixture controls dups
+    def bucket(i):
+        return int(hashlib.md5(f"ing:{i}".encode()).hexdigest()[:8], 16) % 3
+
+    ids = [i for i in range(0, 400, 5) if bucket(i) == 2][:4]
+    assert len(ids) == 4
+    rows = [
+        # corpus doc + an incoming copy of it -> dup_of_corpus
+        {"doc_id": 1, "text": "shared corpus text"},
+        {"doc_id": ids[0], "text": "shared corpus text"},
+        # two incoming copies of a NEW text -> novel (first), dup_in_batch
+        {"doc_id": ids[1], "text": "batch only text"},
+        {"doc_id": ids[2], "text": "batch only text"},
+        # plain novel
+        {"doc_id": ids[3], "text": "unique new text"},
+    ]
+    pd.DataFrame(
+        [
+            {**r, "lang": "en", "source": "s", "n_chars": len(r["text"])}
+            for r in rows
+        ]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_ingest_dedup(spark, str(tmp_path)).collect()
+    }
+    assert out[ids[0]] == "dup_of_corpus"
+    first, second = sorted([ids[1], ids[2]])
+    assert out[first] == "novel" and out[second] == "dup_in_batch"
+    assert out[ids[3]] == "novel"
