@@ -737,6 +737,60 @@ def _anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST = ("ads.site1.example.com", "site2.example.com", "example.org")
+
+
+def _url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist verdicts (``extractor/ops/links.py::
+    blocklist_filter``) over deterministic multi-level domains
+    ({www|ads|cdn|ε}.site{doc_id%7}.example.com): the UT1-style filter
+    stage — an entry blocks itself and every subdomain via the
+    codegen'd suffix-chain walk.  The fixture exercises exact match
+    (``ads.site1...``), ancestor match (``site2.example.com`` catches
+    www/ads/cdn subdomains), and a never-matching entry; the oracle
+    states each family's verdict in SQL."""
+    from extractor.ops.links import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    sub = (
+        F.when(F.pmod(d, F.lit(4)) == 0, "www.")
+        .when(F.pmod(d, F.lit(4)) == 1, "ads.")
+        .when(F.pmod(d, F.lit(4)) == 2, "cdn.")
+        .otherwise("")
+    )
+    domain = F.concat(
+        sub, F.lit("site"), F.pmod(d, F.lit(7)).cast("string"),
+        F.lit(".example.com"),
+    )
+    return blocklist_filter(
+        docs.select("doc_id", domain.alias("domain")), list(_BLOCKLIST)
+    ).orderBy("doc_id")
+
+
+def _politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain round-robin crawl schedule (``extractor/ops/links.py::
+    politeness_schedule``) over a deterministic frontier (50 domains × 5
+    URLs): round 0 visits every domain once before any host repeats.
+    The 200-row cut lands mid-round so the TakeOrderedAndProject path is
+    exercised; the oracle replays the same two windows in SQL."""
+    from extractor.ops.links import politeness_schedule
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    domain = F.concat(
+        F.lit("site"), F.pmod(d, F.lit(50)).cast("string"),
+        F.lit(".example.com"),
+    )
+    url = F.concat(
+        F.lit("https://"), domain, F.lit("/p"),
+        F.pmod(d, F.lit(250)).cast("string"),
+    )
+    return politeness_schedule(
+        docs.select(domain.alias("domain"), url.alias("url")), limit=200
+    )
+
+
 def _zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags over the events stream
     (``extractor/ops/temporal.py::zscore_outliers``): trailing-20-event
@@ -1221,9 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-4 window (``_DRIVER_WINDOW``, applied below) = 50 entries with
     zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's weak
     list + 37 added during round 4).  Entries that landed AFTER the
-    window froze sit at the head of ``_LAST_GREEN_R2`` — 29 of them are
+    window froze sit at the head of ``_LAST_GREEN_R2`` — 33 of them are
     never-driver-checked (from ``sft_pair_assembly`` through
-    ``incremental_ingest_dedup``, including ``extract_mode_mathjax_toc``'s new
+    ``ccnet_perplexity_buckets``, including ``extract_mode_mathjax_toc``'s new
     hash oracle) and must LEAD the round-5 window, followed by the
     oldest-green entries.  All 50-window-external entries pass the
     local driver_sim sweep at sf0.01 (latest full sweep: 0 fails).
@@ -1400,6 +1454,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-snapshot incremental ingest dedup: new batch vs the
         # stored corpus fingerprint table (planted dup branches)
         "incremental_ingest_dedup": dedup.incremental_ingest_dedup,
+        # MOSS winnowing fingerprints (local-min k-gram sampling with
+        # the shared-substring guarantee) + corpus sharing profile
+        "winnowing_fingerprints": dedup.winnowing_fingerprints,
+        # UT1-style domain blocklist with subdomain suffix semantics
+        "url_blocklist_filter": _url_blocklist_filter,
+        # per-domain round-robin crawl politeness schedule
+        "politeness_schedule": _politeness_schedule,
+        # CCNet head/middle/tail perplexity thirds per language
+        # (composed over bigram_lm_score's oracle-exact output)
+        "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1553,6 +1617,8 @@ _LAST_GREEN_R2 = [
     "expire_checkpoints", "extract_mode_mathjax_toc",
     "hashed_classifier_score", "paragraph_dup_profile",
     "cms_topk", "kn_continuation", "incremental_ingest_dedup",
+    "winnowing_fingerprints", "url_blocklist_filter",
+    "politeness_schedule", "ccnet_perplexity_buckets",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -4611,6 +4677,114 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'novel' END AS status
         FROM rn LEFT JOIN cf USING (fp)
         ORDER BY doc_id
+    """
+    # winnowing: the md5-int k-gram hash has no salt/mod, so reuse the
+    # bucket helper with an identity modulus (hash < 2^32 << 2^62).
+    # NB the helper's own digit lambda binds ``i`` — the outer gram
+    # position must use a different variable (``p``) or it is shadowed
+    _win_h = _dd_md5_bucket(
+        "", 1 << 62, key="substr(text, CAST(p AS INTEGER), 8)"
+    )
+    oracles["winnowing_fingerprints"] = f"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 11
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) - 6),
+                   p -> {_win_h}) AS h
+          FROM d
+        ), fp AS (
+          SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(h) - 2),
+                     j -> list_min(list_transform(range(0, 4),
+                       t -> h[CAST(j + t AS INTEGER)])))) AS fp
+            FROM hs
+          )
+        ), fd AS (
+          SELECT fp, count(*) AS n_docs FROM fp GROUP BY fp
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared_fps,
+               CAST((sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 10000)
+                    // count(*) AS BIGINT) AS shared_bp
+        FROM fp JOIN fd USING (fp) GROUP BY doc_id
+    """
+    # blocklist verdicts: most-specific entry first, LIKE covers the
+    # subdomain (suffix) semantics of the Spark-side suffix-chain walk
+    oracles["url_blocklist_filter"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'ads.'
+                       WHEN 2 THEN 'cdn.' ELSE '' END)
+                 || 'site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com' AS domain
+          FROM documents
+        )
+        SELECT doc_id, domain,
+               CAST(CASE WHEN domain = 'ads.site1.example.com'
+                           OR domain LIKE '%.ads.site1.example.com'
+                           OR domain = 'site2.example.com'
+                           OR domain LIKE '%.site2.example.com'
+                           OR domain = 'example.org'
+                           OR domain LIKE '%.example.org'
+                    THEN 1 ELSE 0 END AS INTEGER) AS blocked,
+               CASE WHEN domain = 'ads.site1.example.com'
+                      OR domain LIKE '%.ads.site1.example.com'
+                      THEN 'ads.site1.example.com'
+                    WHEN domain = 'site2.example.com'
+                      OR domain LIKE '%.site2.example.com'
+                      THEN 'site2.example.com'
+                    WHEN domain = 'example.org'
+                      OR domain LIKE '%.example.org'
+                      THEN 'example.org'
+               END AS matched_entry
+        FROM b ORDER BY doc_id
+    """
+    # politeness: per-domain round number, global (round, domain, url)
+    # order, 200-row cut, then the position stamp over survivors
+    oracles["politeness_schedule"] = """
+        WITH pairs AS (
+          SELECT DISTINCT
+            'site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example.com' AS domain,
+            'https://site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example.com/p' || CAST(doc_id % 250 AS VARCHAR) AS url
+          FROM documents
+        ), r AS (
+          SELECT domain, url,
+                 CAST(row_number() OVER (PARTITION BY domain ORDER BY url)
+                      - 1 AS INTEGER) AS fetch_round
+          FROM pairs
+        ), top AS (
+          SELECT * FROM r ORDER BY fetch_round, domain, url LIMIT 200
+        )
+        SELECT CAST(row_number() OVER (ORDER BY fetch_round, domain, url)
+                    AS INTEGER) AS position,
+               fetch_round, domain, url
+        FROM top
+    """
+    # CCNet thirds: compose the bigram-LM oracle, then per-language
+    # exact-rank head/middle/tail cut-points in integers
+    oracles["ccnet_perplexity_buckets"] = f"""
+        WITH base AS ({oracles["bigram_lm_score"]}),
+        j AS (
+          SELECT base.doc_id, d.lang, base.lm_score
+          FROM base JOIN documents d ON base.doc_id = d.doc_id
+        ), r AS (
+          SELECT doc_id, lang, lm_score,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY lm_score, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM j
+        )
+        SELECT doc_id, lang, lm_score,
+               CASE WHEN rn * 3 <= n THEN 'head'
+                    WHEN rn * 3 <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM r
     """
     # Kneser–Ney continuation counts: distinct-(prev, w) relation first
     # (no count-distinct expansion), then per-w rollup + global N1+(••)

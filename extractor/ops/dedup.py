@@ -1249,3 +1249,68 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verdict.orderBy("doc_id")
+
+
+WINNOW_K = 8  # k-gram width (chars)
+WINNOW_W = 4  # winnowing window (hashes)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str,
+                           k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-char gram, slide a
+    w-hash window, keep each window's MINIMUM hash.  The selected
+    fingerprints are a position-independent ~2/(w+1) sample of the
+    k-grams with the GUARANTEE that any shared substring of length
+    ≥ k+w−1 contributes at least one shared fingerprint — the local
+    plagiarism/containment detector that MinHash (whole-doc similarity)
+    and CDC chunking (storage dedup) don't give you.
+
+    Scale shape: hashing + window minima + per-doc dedup are ONE
+    codegen'd HOF projection (``transform(sequence)`` + ``array_min`` +
+    ``array_distinct`` — no Python, no shuffle); the only exchange is
+    the fp-keyed sharing count, and per-doc fingerprint sets are
+    already distinct so it carries ~2·len/(w+1) rows per doc max.
+
+    Output per doc: ``(doc_id, n_fps, n_shared_fps, shared_bp)`` —
+    fingerprints, fingerprints also present in ≥1 other doc, and the
+    shared fraction in basis points."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.length("text") >= k + w - 1))
+        .select("doc_id", "text")
+    )
+    h = (
+        f"transform(sequence(1, length(text) - {k} + 1),"
+        f" i -> CAST(conv(substring(md5(substr(text, CAST(i AS INT), {k})),"
+        f" 1, 8), 16, 10) AS BIGINT))"
+    )
+    # hash array materialized as a column FIRST so each row computes its
+    # k-gram hashes once — referencing the transform inside every window
+    # lambda would re-evaluate it per window position
+    fps = (
+        f"array_distinct(transform(sequence(1, size(h) - {w} + 1),"
+        f" j -> array_min(slice(h, CAST(j AS INT), {w}))))"
+    )
+    doc_fp = docs.withColumn("h", F.expr(h)).select(
+        "doc_id", F.explode(F.expr(fps)).alias("fp")
+    )
+    fp_docs = doc_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        doc_fp.join(fp_docs, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.sum((F.col("n_docs") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_shared_fps"),
+        )
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_shared_fps",
+            F.expr("CAST(n_shared_fps * 10000 DIV n_fps AS BIGINT)").alias(
+                "shared_bp"
+            ),
+        )
+    )

@@ -353,3 +353,77 @@ def bfs_hop_distance(edges: DataFrame, seeds: DataFrame,
         frontier = new.select("node")
     e.unpersist()
     return dist
+
+
+def blocklist_filter(links: DataFrame, blocklist: list[str],
+                     domain_col: str = "domain") -> DataFrame:
+    """UT1-style domain-blocklist verdicts — the URL-filtering stage
+    every web-curation pipeline runs before fetch/ingest (C4, RefinedWeb
+    and friends all gate on domain blocklists).  An entry blocks the
+    domain itself AND every subdomain (``site.example.com`` blocks
+    ``ads.site.example.com``), so matching walks the domain's suffix
+    chain (``a.b.c`` → ``a.b.c``, ``b.c``, ``c``) and takes the most
+    specific blocklisted suffix.
+
+    Scale shape: the suffix walk is a pure codegen'd HOF over the split
+    domain — map-only, zero Python, zero shuffle; the blocklist rides
+    along as a literal array (fine to a few thousand entries — it is a
+    per-task constant, not a join side).  For million-entry blocklists,
+    explode the suffix chain and LeftSemi-join a broadcast blocklist
+    table instead; the verdict semantics are identical.
+
+    Output adds ``blocked`` (0/1) and ``matched_entry`` (most specific
+    match, null if clean) to the input's columns."""
+    bl = F.array(*[F.lit(b) for b in blocklist])
+    parts = F.split(F.col(domain_col), r"\.")
+    suffixes = F.transform(
+        parts,
+        lambda _, i: F.array_join(
+            F.slice(parts, i + 1, F.size(parts) - i), "."
+        ),
+    )
+    matched = F.filter(suffixes, lambda s: F.array_contains(bl, s))
+    return links.select(
+        "*",
+        (F.size(matched) > 0).cast("int").alias("blocked"),
+        F.when(F.size(matched) > 0, F.element_at(matched, 1)).alias(
+            "matched_entry"
+        ),
+    )
+
+
+def politeness_schedule(urls: DataFrame, limit: int = 200) -> DataFrame:
+    """Per-domain round-robin fetch schedule — crawl politeness: no two
+    consecutive fetches hit the same host until every other pending host
+    has been visited.  Each URL gets a per-domain round number
+    (``row_number`` over the domain partition), and the global fetch
+    order is ``(round, domain, url)`` — round 0 visits every domain
+    once, then round 1, and so on.
+
+    Scale shape: the per-domain window is the frontier's natural
+    partitioning (one shuffle); the global ordering NEVER materializes —
+    the emitted schedule is cut to ``limit`` rows via
+    TakeOrderedAndProject, and a full-corpus schedule would simply write
+    ``(round, domain)`` as the sink's sort key (the order is defined by
+    the key, not by a global sort).  The closing position window runs
+    over the ≤``limit`` surviving rows only.
+
+    Input: distinct ``(domain, url)`` pairs.  Output: ``(position,
+    fetch_round, domain, url)``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("domain").orderBy("url")
+    top = (
+        urls.select("domain", "url")
+        .distinct()
+        .withColumn("fetch_round", F.row_number().over(w) - 1)
+        .orderBy("fetch_round", "domain", "url")
+        .limit(limit)
+    )
+    w_pos = Window.orderBy("fetch_round", "domain", "url")
+    return top.select(
+        F.row_number().over(w_pos).alias("position"),
+        "fetch_round",
+        "domain",
+        "url",
+    )

@@ -1209,3 +1209,44 @@ def kn_continuation(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
         .orderBy(F.desc("cont_types"), F.asc("w"))
         .limit(k)
     )
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): within each
+    language, rank documents by LM score and split into head / middle /
+    tail thirds — the published recipe for grading Common Crawl by a
+    KenLM trained on Wikipedia (head ≈ clean, tail ≈ junk), and the
+    knob curated corpora (CCNet, RedPajama, CCMatrix) actually ship.
+    The LM here is the corpus-trained add-one bigram model of
+    :func:`bigram_lm_score` (its oracle-exact mean-NLL output), making
+    this the composed quality-pipeline entry: score → per-language
+    exact-rank thirds.
+
+    Ranking is (lm_score, doc_id) — the score is already rounded to 3
+    decimals per document, so ordering and the integer cut-points
+    ``rn·3 ≤ n`` / ``rn·3 ≤ 2n`` are engine-exact.  Scale shape: the
+    scoring plan is unchanged (see bigram_lm_score); bucketing adds one
+    language-partitioned window over the per-DOC score relation (rows =
+    docs, never tokens) — ``ntile``'s global sort never happens."""
+    from pyspark.sql.window import Window
+
+    scores = bigram_lm_score(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = scores.join(langs, "doc_id").select(
+        "doc_id",
+        "lang",
+        "lm_score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "lm_score",
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

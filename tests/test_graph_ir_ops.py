@@ -277,3 +277,30 @@ def test_incremental_ingest_dedup_precedence(spark, tmp_path):
     first, second = sorted([ids[1], ids[2]])
     assert out[first] == "novel" and out[second] == "dup_in_batch"
     assert out[ids[3]] == "novel"
+
+
+def test_winnowing_shared_substring_guarantee(spark, tmp_path):
+    """Schleimer et al.'s theorem: any shared substring of length
+    >= k + w - 1 (= 11 here) yields at least one shared fingerprint."""
+    import pandas as pd
+
+    from extractor.ops.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps"  # 25 chars >> 11
+    rows = [
+        {"doc_id": 0, "text": "AAAA " + shared + " BBBB"},
+        {"doc_id": 1, "text": "CCCCCC " + shared + " DDDD"},
+        {"doc_id": 2, "text": "totally unrelated content here zzz"},
+    ]
+    pd.DataFrame(
+        [{**r, "lang": "en", "source": "s", "n_chars": len(r["text"])}
+         for r in rows]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = {r["doc_id"]: r
+           for r in winnowing_fingerprints(spark, str(tmp_path)).collect()}
+    assert out[0]["n_shared_fps"] >= 1 and out[1]["n_shared_fps"] >= 1
+    assert out[2]["n_shared_fps"] == 0
+    # density: winnowing keeps a strict subset of the k-gram hashes
+    for r in out.values():
+        assert 1 <= r["n_fps"] <= len("x") * 200  # bounded
+        assert 0 <= r["shared_bp"] <= 10000

@@ -199,3 +199,56 @@ def test_anchor_text_topk_shape_and_plan(spark):
     )
     # top-k filter must be pushed inside the window operator
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    from extractor.ops.links import blocklist_filter
+
+    rows = [
+        (0, "ads.site1.example.com"),   # exact match
+        (1, "x.ads.site1.example.com"), # subdomain of an entry
+        (2, "www.site2.example.com"),   # ancestor entry match
+        (3, "site2.example.com"),       # exact ancestor entry
+        (4, "site3.example.com"),       # clean
+        (5, "notsite2.example.com"),    # suffix STRING but not a label
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = {r["doc_id"]: r for r in blocklist_filter(
+        df, ["ads.site1.example.com", "site2.example.com"]).collect()}
+    assert [out[i]["blocked"] for i in range(6)] == [1, 1, 1, 1, 0, 0]
+    assert out[1]["matched_entry"] == "ads.site1.example.com"
+    assert out[2]["matched_entry"] == "site2.example.com"
+    assert out[4]["matched_entry"] is None
+    # label-boundary: 'notsite2.example.com' must NOT match 'site2...'
+    assert out[5]["matched_entry"] is None
+
+
+def test_blocklist_filter_is_map_only(spark):
+    from extractor.ops.links import blocklist_filter
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+    )
+    plan = blocklist_filter(df, ["s1.example.com"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_politeness_schedule_round_robin(spark):
+    from extractor.ops.links import politeness_schedule
+
+    rows = [(f"d{i}", f"https://d{i}/p{j}") for i in range(5)
+            for j in range(3)]
+    df = spark.createDataFrame(rows, "domain string, url string")
+    out = politeness_schedule(df, limit=100).collect()
+    assert [r["position"] for r in out] == list(range(1, 16))
+    # every round visits all domains before any domain repeats
+    seen = {}
+    for r in out:
+        seen.setdefault(r["fetch_round"], []).append(r["domain"])
+    assert all(len(v) == len(set(v)) == 5 for v in seen.values())
+    # rounds are emitted in order
+    rounds = [r["fetch_round"] for r in out]
+    assert rounds == sorted(rounds)

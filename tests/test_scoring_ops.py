@@ -211,3 +211,25 @@ def test_kn_continuation_properties(spark, tiny_docs_sf):
     for r in rows:
         assert r["cont_types"] <= r["total_count"]
         assert r["p_cont_ppm"] == r["cont_types"] * 1_000_000 // 3
+
+
+def test_ccnet_buckets_are_ordered_thirds(spark):
+    from collections import Counter, defaultdict
+
+    from extractor.ops.textops import ccnet_perplexity_buckets
+
+    rows = ccnet_perplexity_buckets(spark, "/root/testdata/sf0.001").collect()
+    per_lang = defaultdict(list)
+    for r in rows:
+        per_lang[r["lang"]].append(r)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in per_lang.items():
+        n = len(rs)
+        c = Counter(r["ppl_bucket"] for r in rs)
+        # exact integer cut-points: head = floor(n/3), head+middle = floor(2n/3)
+        assert c["head"] == n // 3
+        assert c["head"] + c["middle"] == 2 * n // 3
+        # scores are monotone across buckets
+        rs.sort(key=lambda r: (r["lm_score"], r["doc_id"]))
+        labels = [order[r["ppl_bucket"]] for r in rs]
+        assert labels == sorted(labels)
