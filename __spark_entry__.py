@@ -737,6 +737,43 @@ def _anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _headings_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline side table, HASH-CHECKED: deterministic h1/h2/h3
+    structures built from ``documents.doc_id`` (nested sections, an
+    even-doc-only h3, a mod-3-doc-only second h1 part) drive the REAL
+    stdlib DOM parser (``extractor/ops/structure.py`` →
+    ``extractor/dom.py``) and its counter-stack section numbering; the
+    oracle reconstructs every (pos, level, section_no, text) row —
+    including the branch-dependent positions and the "2"/"2.1" restart
+    after the second h1 — in SQL."""
+    from extractor.ops.structure import extract_headings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+
+    def h(tag: str, label: str, mod: int):
+        return F.concat(
+            F.lit(f"<{tag}>{label} "),
+            F.pmod(d, F.lit(mod)).cast("string"),
+            F.lit(f"</{tag}>"),
+        )
+
+    html = F.concat(
+        h("h1", "Intro", 3),
+        F.lit("<p>alpha</p>"),
+        h("h2", "A", 5),
+        F.when(F.pmod(d, F.lit(2)) == 0, h("h3", "Deep", 7)).otherwise(
+            F.lit("")
+        ),
+        h("h2", "B", 5),
+        F.when(
+            F.pmod(d, F.lit(3)) == 0, F.concat(h("h1", "Part", 3), h("h2", "C", 5))
+        ).otherwise(F.lit("")),
+        F.lit("<p>end</p>"),
+    )
+    return extract_headings(docs.select("doc_id", html.alias("html")))
+
+
 _BLOCKLIST = ("ads.site1.example.com", "site2.example.com", "example.org")
 
 
@@ -1275,9 +1312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-4 window (``_DRIVER_WINDOW``, applied below) = 50 entries with
     zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's weak
     list + 37 added during round 4).  Entries that landed AFTER the
-    window froze sit at the head of ``_LAST_GREEN_R2`` — 33 of them are
+    window froze sit at the head of ``_LAST_GREEN_R2`` — 35 of them are
     never-driver-checked (from ``sft_pair_assembly`` through
-    ``ccnet_perplexity_buckets``, including ``extract_mode_mathjax_toc``'s new
+    ``flesch_readability``, including ``extract_mode_mathjax_toc``'s new
     hash oracle) and must LEAD the round-5 window, followed by the
     oldest-green entries.  All 50-window-external entries pass the
     local driver_sim sweep at sf0.01 (latest full sweep: 0 fails).
@@ -1464,6 +1501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet head/middle/tail perplexity thirds per language
         # (composed over bigram_lm_score's oracle-exact output)
         "ccnet_perplexity_buckets": textops.ccnet_perplexity_buckets,
+        # heading-outline side table through the real DOM parser with
+        # counter-stack section numbering (templated, hash-checked)
+        "headings_outline": _headings_outline,
+        # Flesch reading-ease quality signal, exact milli-units
+        "flesch_readability": textops.flesch_readability,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1619,6 +1661,7 @@ _LAST_GREEN_R2 = [
     "cms_topk", "kn_continuation", "incremental_ingest_dedup",
     "winnowing_fingerprints", "url_blocklist_filter",
     "politeness_schedule", "ccnet_perplexity_buckets",
+    "headings_outline", "flesch_readability",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -4785,6 +4828,62 @@ def oracle_sql() -> dict[str, str]:
                     WHEN rn * 3 <= 2 * n THEN 'middle'
                     ELSE 'tail' END AS ppl_bucket
         FROM r
+    """
+    # heading outline: the six templated branch families with their
+    # branch-dependent positions and the post-h1 counter restart
+    oracles["headings_outline"] = """
+        SELECT doc_id, CAST(0 AS INTEGER) AS pos, CAST(1 AS INTEGER)
+                 AS level, '1' AS section_no,
+               'Intro ' || CAST(doc_id % 3 AS VARCHAR) AS text
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INTEGER), CAST(2 AS INTEGER), '1.1',
+               'A ' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(2 AS INTEGER), CAST(3 AS INTEGER), '1.1.1',
+               'Deep ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+        WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INTEGER),
+               CAST(2 AS INTEGER), '1.2',
+               'B ' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER),
+               CAST(1 AS INTEGER), '2',
+               'Part ' || CAST(doc_id % 3 AS VARCHAR) FROM documents
+        WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 4 END AS INTEGER),
+               CAST(2 AS INTEGER), '2.1',
+               'C ' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        WHERE doc_id % 3 = 0
+    """
+    # Flesch: vowel-group syllables + synthesized sentence boundaries
+    # (every 7th token), integer floor-divided milli-unit score
+    oracles["flesch_readability"] = """
+        WITH d AS (
+          SELECT doc_id, text, list_filter(
+            regexp_split_to_array(lower(trim(text)), '[ \\t\\r\\n\\f\\v]+'),
+            x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), f AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(greatest(len(toks) // 7, 1) AS BIGINT) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      + len(list_filter(toks,
+                          t -> NOT regexp_matches(t, '[aeiouy]')))
+                      AS BIGINT) AS n_syllables
+          FROM d WHERE len(toks) >= 1
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CAST(206835 - (1015 * n_words) // n_sentences
+                    - (84600 * n_syllables) // n_words
+                    AS BIGINT) AS flesch_milli
+        FROM f
     """
     # Kneser–Ney continuation counts: distinct-(prev, w) relation first
     # (no count-distinct expansion), then per-w rollup + global N1+(••)

@@ -1250,3 +1250,63 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (Flesch 1948; Kincaid et al. 1975) —
+    the classical readability quality signal (simple-wiki filtering,
+    kids-content selection, curriculum ordering all gate on it):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)``.
+
+    Syllables are the standard vowel-group approximation
+    (``[aeiouy]+`` runs, vowel-less words count 1); the corpus carries
+    no sentence punctuation, so a sentenced view is synthesized
+    deterministically (a period every 7th token) and sentence counting
+    then runs the REAL detection path (regexp over the text) on it.
+
+    Exactness: the score is reported in milli-units with each ratio
+    term floor-divided as integers (``(1015·W) DIV S``,
+    ``(84600·Y) DIV W``) — no float division crosses engines.  Scale
+    shape: map-only codegen'd projection, zero shuffle, zero Python."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = docs.select("doc_id", "text", _tok_arr().alias("toks")).where(
+        F.size("toks") >= 1
+    )
+    sent_text = F.array_join(
+        F.transform(
+            F.col("toks"),
+            lambda t, i: F.concat(
+                t, F.when((i + 1) % 7 == 0, ".").otherwise("")
+            ),
+        ),
+        " ",
+    )
+    n_words = F.size("toks").cast("long")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(sent_text, F.lit(r"\."), 0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    vowel_groups = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    no_vowel_words = F.size(
+        F.filter(F.col("toks"), lambda t: ~t.rlike("[aeiouy]"))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        (vowel_groups + no_vowel_words).alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(206835)
+            - F.expr("(1015 * n_words) DIV n_sentences")
+            - F.expr("(84600 * n_syllables) DIV n_words")
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    )

@@ -252,3 +252,35 @@ def test_politeness_schedule_round_robin(spark):
     # rounds are emitted in order
     rounds = [r["fetch_round"] for r in out]
     assert rounds == sorted(rounds)
+
+
+def test_extract_headings_numbering(spark):
+    from extractor.ops.structure import extract_headings
+
+    html = ("<h1>One</h1><h2>A</h2><h3>x</h3><h3>y</h3><h2>B</h2>"
+            "<h1>Two</h1><h2>C</h2>")
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = extract_headings(df).orderBy("pos").collect()
+    assert [(r["level"], r["section_no"], r["text"]) for r in rows] == [
+        (1, "1", "One"), (2, "1.1", "A"), (3, "1.1.1", "x"),
+        (3, "1.1.2", "y"), (2, "1.2", "B"),
+        (1, "2", "Two"), (2, "2.1", "C"),
+    ]
+    assert [r["pos"] for r in rows] == list(range(7))
+
+
+def test_extract_headings_orphan_level_and_containment(spark):
+    from extractor.ops.structure import extract_headings
+
+    rows = spark.createDataFrame(
+        [
+            (1, "<h2>orphan</h2><h1>late</h1>"),  # h2 before any h1
+            (2, None),  # null html: contained, no rows
+            (3, "<p>no headings</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = extract_headings(rows).orderBy("doc_id", "pos").collect()
+    assert [(r["doc_id"], r["section_no"], r["text"]) for r in out] == [
+        (1, "0.1", "orphan"), (1, "1", "late"),
+    ]

@@ -233,3 +233,27 @@ def test_ccnet_buckets_are_ordered_thirds(spark):
         rs.sort(key=lambda r: (r["lm_score"], r["doc_id"]))
         labels = [order[r["ppl_bucket"]] for r in rs]
         assert labels == sorted(labels)
+
+
+def test_flesch_readability_hand_values(spark, tmp_path):
+    import pandas as pd
+
+    from extractor.ops.textops import flesch_readability
+
+    rows = [
+        # 14 words of one syllable each -> 2 sentences, W=14, Y=14
+        {"doc_id": 0, "text": " ".join(["cat"] * 14)},
+        # 3 words, no sentence boundary -> S=1; "rhythm"-like vowel-less
+        {"doc_id": 1, "text": "zz shh psst"},
+    ]
+    pd.DataFrame(
+        [{**r, "lang": "en", "source": "s", "n_chars": len(r["text"])}
+         for r in rows]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = {r["doc_id"]: r for r in flesch_readability(spark, str(tmp_path)).collect()}
+    r0 = out[0]
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (14, 2, 14)
+    assert r0["flesch_milli"] == 206835 - (1015 * 14) // 2 - (84600 * 14) // 14
+    r1 = out[1]
+    # vowel-less words count one syllable each
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (3, 1, 3)
