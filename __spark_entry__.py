@@ -774,6 +774,19 @@ def _headings_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_headings(docs.select("doc_id", html.alias("html")))
 
 
+def _media_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup buckets over the multimodal corpus
+    (``extractor/ops/multimodal.py::dhash_groups``): the 8-bit gradient
+    hash over the Arrow feature kernel's float32 strided-bin means.
+    Hash-checked end to end — the oracle rebuilds the float32 features
+    (same emulation as ``media_features``, pinned by
+    tests/test_oracle_emulation.py) and replays the bit chain."""
+    from extractor.ops import multimodal as mm
+
+    media = mm.synth_media_df(spark, n=200, seed=42)
+    return mm.dhash_groups(mm.extract_features(media))
+
+
 _BLOCKLIST = ("ads.site1.example.com", "site2.example.com", "example.org")
 
 
@@ -1312,9 +1325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-4 window (``_DRIVER_WINDOW``, applied below) = 50 entries with
     zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's weak
     list + 37 added during round 4).  Entries that landed AFTER the
-    window froze sit at the head of ``_LAST_GREEN_R2`` — 35 of them are
+    window froze sit at the head of ``_LAST_GREEN_R2`` — 37 of them are
     never-driver-checked (from ``sft_pair_assembly`` through
-    ``flesch_readability``, including ``extract_mode_mathjax_toc``'s new
+    ``media_neardup_groups``, including ``extract_mode_mathjax_toc``'s new
     hash oracle) and must LEAD the round-5 window, followed by the
     oldest-green entries.  All 50-window-external entries pass the
     local driver_sim sweep at sf0.01 (latest full sweep: 0 fails).
@@ -1506,6 +1519,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "headings_outline": _headings_outline,
         # Flesch reading-ease quality signal, exact milli-units
         "flesch_readability": textops.flesch_readability,
+        # winnowing containment pairs (planted cross-doc passages,
+        # hot-fingerprint m² guard)
+        "winnowing_containment_pairs": dedup.winnowing_containment_pairs,
+        # perceptual-hash (dHash) image near-dup buckets over the
+        # float32 feature kernel
+        "media_neardup_groups": _media_neardup_groups,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1662,6 +1681,7 @@ _LAST_GREEN_R2 = [
     "winnowing_fingerprints", "url_blocklist_filter",
     "politeness_schedule", "ccnet_perplexity_buckets",
     "headings_outline", "flesch_readability",
+    "winnowing_containment_pairs", "media_neardup_groups",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -4828,6 +4848,108 @@ def oracle_sql() -> dict[str, str]:
                     WHEN rn * 3 <= 2 * n THEN 'middle'
                     ELSE 'tail' END AS ppl_bucket
         FROM r
+    """
+    # winnowing containment pairs: planted neighbor passages, capped
+    # fingerprint sharing, exact pair/containment arithmetic
+    oracles["winnowing_containment_pairs"] = f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ), nbr AS (
+          SELECT doc_id - 1 AS doc_id, substr(text, 1, 80) AS t_nb
+          FROM docs
+        ), planted AS (
+          SELECT d.doc_id,
+                 CASE WHEN {_dd_md5_bucket("win:", 5, "d.doc_id")} = 0
+                        AND nbr.t_nb IS NOT NULL
+                      THEN d.text || ' ' || nbr.t_nb
+                      ELSE d.text END AS text
+          FROM docs d LEFT JOIN nbr ON d.doc_id = nbr.doc_id
+        ), pl AS (
+          SELECT doc_id, text FROM planted WHERE length(text) >= 11
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) - 6),
+                   p -> {_dd_md5_bucket("", 1 << 62, key="substr(text, CAST(p AS INTEGER), 8)")}) AS h
+          FROM pl
+        ), fp AS (
+          SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(h) - 2),
+                     j -> list_min(list_transform(range(0, 4),
+                       t -> h[CAST(j + t AS INTEGER)])))) AS fp
+            FROM hs
+          )
+        ), cold AS (
+          SELECT fp FROM (
+            SELECT fp, count(*) AS n FROM fp GROUP BY fp
+          ) WHERE n BETWEEN 2 AND 20
+        ), cf AS (
+          SELECT doc_id, fp FROM fp JOIN cold USING (fp)
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS shared_fps
+          FROM cf a JOIN cf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 5
+        ), nf AS (
+          SELECT doc_id, count(*) AS n_fps FROM fp GROUP BY doc_id
+        )
+        SELECT doc_a, doc_b, shared_fps,
+               CAST((shared_fps * 10000) // least(na.n_fps, nb2.n_fps)
+                    AS BIGINT) AS containment_bp
+        FROM pairs
+        JOIN nf na ON na.doc_id = doc_a
+        JOIN nf nb2 ON nb2.doc_id = doc_b
+        ORDER BY doc_a, doc_b
+    """
+    # media dHash buckets: the media_features float32 emulation (pinned
+    # by test_oracle_emulation) + the 8-bit gradient chain
+    oracles["media_neardup_groups"] = r"""
+        WITH ids AS (SELECT unnest(range(200)) AS media_id),
+        nib AS (
+          SELECT media_id, md5('42:' || CAST(media_id AS VARCHAR)) AS hx
+          FROM ids
+        ), hb AS (
+          SELECT media_id,
+                 list_transform(range(16), j ->
+                   (strpos('0123456789abcdef',
+                           substr(hx, CAST(2*j+1 AS INTEGER), 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef',
+                           substr(hx, CAST(2*j+2 AS INTEGER), 1)) - 1)
+                 ) AS h
+          FROM nib
+        ), sz AS (
+          SELECT media_id, h,
+                 (16 + (h[1] % 64)) * (16 + (h[2] % 64)) AS n,
+                 CAST(ceil((16 + (h[1] % 64)) * (16 + (h[2] % 64)) / 16.0)
+                      AS BIGINT) AS chunk
+          FROM hb
+        ), vals AS (
+          SELECT media_id, chunk, CAST(t.m // chunk AS INTEGER) AS k,
+                 h[CAST(t.m % 16 AS INTEGER) + 1] AS v
+          FROM sz, unnest(range(sz.n)) AS t(m)
+        ), sums AS (
+          SELECT media_id, k, chunk, sum(v) AS s
+          FROM vals GROUP BY media_id, k, chunk
+        ), feats AS (
+          SELECT media_id, k,
+                 CAST(CAST(CAST(s AS FLOAT) / CAST(chunk AS FLOAT) AS FLOAT)
+                      / CAST(255 AS FLOAT) AS FLOAT) AS f
+          FROM sums
+        ), bits AS (
+          SELECT media_id, k,
+                 CASE WHEN f > lead(f) OVER (PARTITION BY media_id ORDER BY k)
+                      THEN 1 ELSE 0 END AS b
+          FROM feats
+        ), sig AS (
+          SELECT media_id,
+                 CAST(sum(b * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)))
+                      AS BIGINT) AS dhash
+          FROM bits WHERE k < 8 GROUP BY media_id
+        )
+        SELECT dhash, CAST(count(*) AS BIGINT) AS n_media,
+               min(media_id) AS min_media_id,
+               max(media_id) AS max_media_id
+        FROM sig GROUP BY dhash HAVING count(*) >= 2
     """
     # heading outline: the six templated branch families with their
     # branch-dependent positions and the post-h1 counter restart

@@ -1314,3 +1314,111 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str,
             ),
         )
     )
+
+
+def winnowing_containment_pairs(
+    spark: SparkSession, sf_dir: str,
+    k: int = WINNOW_K, w: int = WINNOW_W,
+    min_shared: int = 5, max_fp_docs: int = 20,
+) -> DataFrame:
+    """Containment-pair detection over winnowing fingerprints — the MOSS
+    end state: find document pairs that share a local passage (quote,
+    boilerplate block, copied section), which whole-document MinHash
+    misses when the rest of the documents differ.  Candidate pairs are
+    generated ONLY through shared fingerprints; a shared passage of
+    length ≥ k+w−1 guarantees ≥1 shared fingerprint (the winnowing
+    theorem), and ≥ ``min_shared`` shared fingerprints is the verdict.
+
+    Containment is PLANTED deterministically so the detector has ground
+    truth: docs in md5 bucket ≡0 (mod 5) append the first 80 chars of
+    neighbor ``doc_id+1``'s text (both engines rebuild the plant).
+
+    The m² guard: fingerprints shared by more than ``max_fp_docs``
+    documents (corpus-wide boilerplate grams) are EXCLUDED from pair
+    generation — the same hot-bucket cap as MinHash-LSH/conv-LSH, which
+    bounds any fingerprint's pair contribution at max_fp_docs² instead
+    of letting one stop-gram produce a quadratic blowup.  Scale shape:
+    fp-keyed count + self-join on the capped fp relation + one pair
+    agg; per-doc fingerprint sets are pre-deduped so joins move
+    ~2·len/(w+1) rows per doc."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("win:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    nb = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.substring("text", 1, 80).alias("t_nb"),
+    )
+    planted = (
+        docs.withColumn("bkt", bucket)
+        .join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("bkt") == 0) & F.col("t_nb").isNotNull(),
+                F.concat("text", F.lit(" "), F.col("t_nb")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .where(F.length("text") >= k + w - 1)
+    )
+    h = (
+        f"transform(sequence(1, length(text) - {k} + 1),"
+        f" i -> CAST(conv(substring(md5(substr(text, CAST(i AS INT), {k})),"
+        f" 1, 8), 16, 10) AS BIGINT))"
+    )
+    fps = (
+        f"array_distinct(transform(sequence(1, size(h) - {w} + 1),"
+        f" j -> array_min(slice(h, CAST(j AS INT), {w}))))"
+    )
+    doc_fp = planted.withColumn("h", F.expr(h)).select(
+        "doc_id", F.explode(F.expr(fps)).alias("fp")
+    )
+    cold = (
+        doc_fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs").between(2, max_fp_docs))
+        .select("fp")
+    )
+    cf = doc_fp.join(cold, "fp")
+    pairs = (
+        cf.alias("a")
+        .join(cf.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    n_fps = doc_fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    return (
+        pairs.join(n_fps.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_fps", "n_fps_a")
+        .join(n_fps.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_fps", "n_fps_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.expr(
+                "CAST(shared_fps * 10000 DIV least(n_fps_a, n_fps_b)"
+                " AS BIGINT)"
+            ).alias("containment_bp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

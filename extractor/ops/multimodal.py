@@ -171,3 +171,40 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def dhash_groups(features: DataFrame, bits: int = 8) -> DataFrame:
+    """Perceptual-hash (dHash) near-duplicate bucketing over the feature
+    vectors — image dedup for a multimodal corpus: the gradient hash
+    (Krawetz's dHash, public) sets bit *i* iff ``f[i] > f[i+1]``, so
+    visually-similar images (similar pooled intensity profiles) land in
+    the same bucket regardless of absolute brightness.  Buckets with ≥2
+    members are the near-dup candidate groups an exact verifier would
+    re-rank — the same bucket-then-verify topology as MinHash-LSH, on
+    the image axis.
+
+    The comparison chain is a pure codegen'd ``aggregate(sequence)``
+    over the feature array (map-only, no Python); grouping is ONE
+    dhash-keyed agg.  With the feature kernel's float32 values emulated
+    exactly by the oracle, even the float comparisons are
+    engine-reproducible.  Output: ``(dhash, n_media, min_media_id,
+    max_media_id)`` for each candidate group."""
+    sig = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + CAST(CASE WHEN"
+        "   element_at(features, CAST(i + 1 AS INT)) >"
+        "   element_at(features, CAST(i + 2 AS INT))"
+        " THEN 1 ELSE 0 END AS BIGINT)"
+        " * shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)))"
+    )
+    return (
+        features.where(F.col("features").isNotNull())
+        .select("media_id", sig.alias("dhash"))
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.min("media_id").alias("min_media_id"),
+            F.max("media_id").alias("max_media_id"),
+        )
+        .where(F.col("n_media") >= 2)
+    )

@@ -304,3 +304,45 @@ def test_winnowing_shared_substring_guarantee(spark, tmp_path):
     for r in out.values():
         assert 1 <= r["n_fps"] <= len("x") * 200  # bounded
         assert 0 <= r["shared_bp"] <= 10000
+
+
+def test_winnowing_containment_detects_planted_pairs(spark):
+    """Docs in md5('win:'||id)%5==0 append 80 chars of doc_id+1's text;
+    those (id, id+1) pairs must surface with substantial containment."""
+    import hashlib
+
+    from extractor.ops.dedup import winnowing_containment_pairs
+
+    out = winnowing_containment_pairs(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+
+    def bucket(i):
+        return int(hashlib.md5(f"win:{i}".encode()).hexdigest()[:8], 16) % 5
+
+    planted = [(i, i + 1) for i in range(0, 499) if bucket(i) == 0]
+    found = [p for p in planted if p in pairs]
+    # the 80-char planted passage guarantees shared fingerprints well
+    # above the min_shared=5 verdict for the large majority of plants
+    # (a plant can only be missed if the passage's winnowed mins all
+    # collide with hot corpus-wide fingerprints)
+    assert len(found) >= len(planted) * 0.8, (len(found), len(planted))
+    for p in found[:10]:
+        assert pairs[p]["shared_fps"] >= 5
+        assert 0 < pairs[p]["containment_bp"] <= 10000
+
+
+def test_dhash_groups_buckets_identical_profiles(spark):
+    from extractor.ops.multimodal import dhash_groups
+
+    rows = [
+        (1, [0.9, 0.1, 0.8, 0.2, 0.7, 0.3, 0.6, 0.4, 0.5]),
+        (2, [0.8, 0.2, 0.7, 0.3, 0.6, 0.4, 0.5, 0.3, 0.4]),  # same gradient signs
+        (3, [0.1, 0.9, 0.2, 0.8, 0.3, 0.7, 0.4, 0.6, 0.5]),  # inverted
+        (4, None),  # contained
+    ]
+    df = spark.createDataFrame(rows, "media_id long, features array<float>")
+    out = dhash_groups(df)
+    groups = out.collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g["n_media"], g["min_media_id"], g["max_media_id"]) == (2, 1, 2)
