@@ -1525,6 +1525,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perceptual-hash (dHash) image near-dup buckets over the
         # float32 feature kernel
         "media_neardup_groups": _media_neardup_groups,
+        # C4 heuristic line/page cleaning (terminal punct, >=5 words,
+        # javascript lines, curly/lorem pages) — planted-payload oracle
+        "c4_page_filter": textops.c4_page_filter,
+        # encoding-damage audit: mojibake marker counts + repair chain
+        "mojibake_stats": textops.mojibake_stats,
+        # SFT loss-masking char spans over the stitched conversation
+        "loss_mask_spans": convops.loss_mask_spans_query,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1682,6 +1689,7 @@ _LAST_GREEN_R2 = [
     "politeness_schedule", "ccnet_perplexity_buckets",
     "headings_outline", "flesch_readability",
     "winnowing_containment_pairs", "media_neardup_groups",
+    "c4_page_filter", "mojibake_stats", "loss_mask_spans",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5034,5 +5042,95 @@ def oracle_sql() -> dict[str, str]:
                  AS p_cont_ppm
         FROM per_w CROSS JOIN nt
         ORDER BY cont_types DESC, w LIMIT 30
+    """
+    # C4 page filter: rebuild the synthesized 6-line page, the line
+    # rules, and the kept-text md5 with DuckDB list HOFs.
+    oracles["c4_page_filter"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 [substr(text, 1, 60) || '.',
+                  'Click here to subscribe',
+                  CASE WHEN doc_id % 7 = 0 THEN 'function() { return 0; }'
+                       ELSE 'plain footer line without punctuation at all'
+                       END,
+                  CASE WHEN doc_id % 5 = 1 THEN
+                         'enable the javascript snippet to view this '
+                         || 'content today.'
+                       ELSE substr(text, 61, 60) || '.' END,
+                  CASE WHEN doc_id % 11 = 3 THEN 'lorem ipsum dolor sit amet.'
+                       ELSE substr(text, 121, 60) || '!' END,
+                  CASE WHEN doc_id % 3 = 0 THEN 'Too short.'
+                       ELSE substr(text, 181, 60) || '?' END] AS lines
+          FROM documents WHERE text IS NOT NULL
+        ), k AS (
+          SELECT doc_id,
+                 array_to_string(lines, chr(10)) AS page,
+                 list_filter(lines, ln ->
+                     right(ln, 1) IN ('.', '!', '?', '"')
+                     AND len(string_split(ln, ' ')) >= 5
+                     AND NOT contains(lower(ln), 'javascript')) AS kept
+          FROM p
+        ), r AS (
+          SELECT doc_id, kept,
+                 CASE WHEN contains(page, '{') THEN 'curly_brace'
+                      WHEN contains(lower(page), 'lorem ipsum')
+                        THEN 'lorem_ipsum'
+                      WHEN len(kept) < 3 THEN 'too_few_lines'
+                      ELSE 'kept' END AS drop_reason
+          FROM k
+        )
+        SELECT doc_id,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               CAST(coalesce(list_sum(list_transform(kept,
+                   ln -> len(string_split(ln, ' ')))), 0) AS BIGINT)
+                 AS kept_words,
+               drop_reason,
+               CASE WHEN drop_reason = 'kept'
+                    THEN md5(array_to_string(kept, chr(10))) END AS kept_md5
+        FROM r
+    """
+    # mojibake audit: same planted suffixes / markers / repair chain as
+    # textops.mojibake_stats, injected from the module constants so the
+    # two engines can never drift.
+    _moji_rep = "payload"
+    for _bad, _good in textops._MOJIBAKE_REPAIRS:
+        _moji_rep = f"replace({_moji_rep}, '{_bad}', '{_good}')"
+    _moji_n = " + ".join(
+        f"(len(payload) - len(replace(payload, '{m}', ''))) // {len(m)}"
+        for m in textops._MOJIBAKE_MARKERS
+    )
+    oracles["mojibake_stats"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+                 substr(text, 1, 40) ||
+                 CASE WHEN doc_id % 4 = 2 THEN '{textops._MOJIBAKE_SUFFIX_A}'
+                      WHEN doc_id % 4 = 3 THEN '{textops._MOJIBAKE_SUFFIX_B}'
+                      ELSE '' END AS payload
+          FROM documents WHERE text IS NOT NULL
+        ), c AS (
+          SELECT doc_id, payload, {_moji_n} AS n_moji FROM p
+        )
+        SELECT doc_id,
+               CAST(n_moji AS BIGINT) AS n_mojibake,
+               n_moji > 0 AS is_mojibake,
+               md5({_moji_rep}) AS repaired_md5
+        FROM c
+    """
+    # SFT loss-mask spans: cumulative (length + 2) window over the
+    # deterministic transcript view.
+    oracles["loss_mask_spans"] = f"""
+        {convops.DTR_CTE}, spans AS (
+          SELECT conv_id, turn_idx, role, length(text) AS n,
+                 coalesce(sum(length(text) + 2) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS s
+          FROM dtr
+        )
+        SELECT conv_id, turn_idx, role,
+               CAST(s AS BIGINT) AS span_start,
+               CAST(s + n AS BIGINT) AS span_end,
+               role <> 'assistant' AS mask
+        FROM spans
     """
     return oracles

@@ -885,3 +885,40 @@ DTR_RETRIED_CTE = DTR_CTE + """,
       FROM dtr d LEFT JOIN dtr s ON s.doc_id = d.doc_id - 36
     )
 """
+
+
+def loss_mask_spans(turns: DataFrame, sep_len: int = 2) -> DataFrame:
+    """SFT loss-masking spans: for each turn, the [start, end) character
+    offsets of its text inside the conversation's stitched training
+    document (turns joined in ``turn_idx`` order by a ``sep_len``-char
+    separator), plus the mask bit — ``True`` (excluded from the loss)
+    for every non-assistant turn.  Trainers consume exactly this shape
+    to zero out user/tool tokens in the label tensor.
+
+    Plan: one cumulative-sum window on the extraction partitioning
+    (hash(conv_id), sort turn_idx) — at 10^12 turns this reuses the
+    pipeline shuffle and streams; no per-conversation state beyond the
+    running sum.  The reference has no conversation axis (documents are
+    converted one file at a time, ``document_converter.py:225-255``);
+    this is training-surface extension, exact by construction.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(
+        F.sum(F.length("text") + sep_len).over(w), F.lit(0)
+    ).cast("long")
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        start.alias("span_start"),
+        (start + F.length("text")).cast("long").alias("span_end"),
+        (F.col("role") != "assistant").alias("mask"),
+    )
+
+
+def loss_mask_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return loss_mask_spans(derived_transcripts(spark, sf_dir))

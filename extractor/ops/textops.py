@@ -1310,3 +1310,135 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flesch_milli"),
     )
+
+
+def c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic page cleaning (Raffel et al. 2020 §2.2) — the classic
+    line/page filter every web-scale pretraining corpus starts from.
+
+    Line rules: keep a line only if it ends in terminal punctuation
+    (``. ! ? "``), has >= 5 space-separated words, and does not mention
+    "javascript".  Page rules: drop the whole page on any curly brace or
+    on the phrase "lorem ipsum"; otherwise drop it when fewer than 3
+    lines survive.  The prose corpus has no line structure, so a 6-line
+    page is synthesized deterministically from each doc (real text
+    chunks + planted junk lines exercising every rule on a known subset
+    — the ``pii_redact`` planted-payload pattern); the filter itself is
+    the generic production shape: array HOFs (``filter``/``aggregate``)
+    over a split page, one map-only codegen stage, zero shuffle — at
+    100 TB this runs at scan speed with no exchange.  The DuckDB oracle
+    rebuilds page, rules, and kept-text md5 bit for bit.
+
+    Reference parity: the reference's filter stage is a path/extension
+    gate (``app/core/file_filter.py:12-44``); this is its content-level
+    analogue for the extraction tier.
+    """
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    lines = F.array(
+        F.concat(F.substring("text", 1, 60), F.lit(".")),
+        F.lit("Click here to subscribe"),
+        F.when(did % 7 == 0, F.lit("function() { return 0; }")).otherwise(
+            F.lit("plain footer line without punctuation at all")
+        ),
+        F.when(
+            did % 5 == 1,
+            F.lit("enable the javascript snippet to view this content today."),
+        ).otherwise(F.concat(F.substring("text", 61, 60), F.lit("."))),
+        F.when(did % 11 == 3, F.lit("lorem ipsum dolor sit amet.")).otherwise(
+            F.concat(F.substring("text", 121, 60), F.lit("!"))
+        ),
+        F.when(did % 3 == 0, F.lit("Too short.")).otherwise(
+            F.concat(F.substring("text", 181, 60), F.lit("?"))
+        ),
+    )
+
+    def _line_kept(ln):
+        return (
+            F.substring(ln, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(F.split(ln, " ")) >= 5)
+            & ~F.contains(F.lower(ln), F.lit("javascript"))
+        )
+
+    d = docs.select(
+        "doc_id",
+        F.array_join(lines, "\n").alias("page"),
+        F.filter(lines, _line_kept).alias("kept"),
+    )
+    n_kept = F.size("kept")
+    reason = (
+        F.when(F.contains(F.col("page"), F.lit("{")), "curly_brace")
+        .when(F.contains(F.lower("page"), F.lit("lorem ipsum")), "lorem_ipsum")
+        .when(n_kept < 3, "too_few_lines")
+        .otherwise("kept")
+    )
+    return d.select(
+        "doc_id",
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.aggregate(
+            "kept",
+            F.lit(0).cast("long"),
+            lambda acc, ln: acc + F.size(F.split(ln, " ")).cast("long"),
+        ).alias("kept_words"),
+        reason.alias("drop_reason"),
+        F.when(reason == "kept", F.md5(F.array_join("kept", "\n"))).alias(
+            "kept_md5"
+        ),
+    )
+
+
+# Mojibake model: UTF-8 bytes re-read as Latin-1.  The escaped
+# literals below ARE that damage (e.g. \u00e2\u0080\u0099 is the
+# three-byte UTF-8 encoding of '\u2019' seen as Latin-1 chars).
+_MOJIBAKE_SUFFIX_A = " caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9 na\u00c3\u00afve co\u00c3\u00b6rdinate"
+_MOJIBAKE_SUFFIX_B = " don\u00e2\u0080\u0099t use \u00e2\u0080\u009csmart\u00e2\u0080\u009d quotes \u00c2\u00a75"
+_MOJIBAKE_REPAIRS = (
+    ("\u00e2\u0080\u0099", "\u2019"),
+    ("\u00e2\u0080\u009c", "\u201c"),
+    ("\u00e2\u0080\u009d", "\u201d"),
+    ("\u00c3\u00a9", "\u00e9"),
+    ("\u00c3\u00af", "\u00ef"),
+    ("\u00c3\u00b6", "\u00f6"),
+    ("\u00c2\u00a7", "\u00a7"),
+)
+_MOJIBAKE_MARKERS = ("\u00c3", "\u00e2\u0080", "\u00c2")
+
+def mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit + repair for a web-crawl corpus: detect
+    UTF-8-decoded-as-Latin-1 mojibake ("cafÃ©", "donâ€™t") by its three
+    classic marker characters and repair the known sequences back.
+
+    A mojibake suffix is planted deterministically on two doc_id
+    residue classes (the corpus itself is clean ASCII); detection
+    counts literal marker occurrences via the length-difference trick
+    (no regex, pure codegen) and repair is a fixed longest-first
+    ``replace`` chain — one map-only stage, no shuffle, scan-speed at
+    100 TB.  The DuckDB oracle replays markers, counts, and the
+    repaired-text md5 exactly.
+    """
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    payload = F.concat(
+        F.substring("text", 1, 40),
+        F.when(did % 4 == 2, F.lit(_MOJIBAKE_SUFFIX_A))
+        .when(did % 4 == 3, F.lit(_MOJIBAKE_SUFFIX_B))
+        .otherwise(F.lit("")),
+    )
+
+    def _occ(col, marker):
+        return (
+            F.length(col) - F.length(F.replace(col, F.lit(marker)))
+        ) / len(marker)
+
+    repaired = payload
+    for bad, good in _MOJIBAKE_REPAIRS:
+        repaired = F.replace(repaired, F.lit(bad), F.lit(good))
+    n_mojibake = sum(
+        _occ(payload, m) for m in _MOJIBAKE_MARKERS
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_mojibake.alias("n_mojibake"),
+        (n_mojibake > 0).alias("is_mojibake"),
+        F.md5(repaired).alias("repaired_md5"),
+    )

@@ -1,0 +1,127 @@
+"""Unit tests for the corpus-curation filters added in round 4's
+extension sweep: C4 line/page cleaning, mojibake detection + repair,
+and SFT loss-mask spans — hand-computed expectations on tiny inputs,
+independent of the DuckDB oracle parity in test_entry_contract."""
+
+import pandas as pd
+import pytest
+
+from extractor.ops import convops
+from extractor.ops.textops import (
+    _MOJIBAKE_MARKERS,
+    _MOJIBAKE_REPAIRS,
+    _MOJIBAKE_SUFFIX_A,
+    _MOJIBAKE_SUFFIX_B,
+    c4_page_filter,
+    mojibake_stats,
+)
+
+LONG = " ".join(["word"] * 60)  # > 181 chars of clean prose
+
+
+@pytest.fixture()
+def docs_sf(tmp_path):
+    # doc_ids chosen to hit each planted branch:
+    #   7  -> %7==0  curly-brace page drop
+    #   3  -> %11==3 lorem-ipsum page drop (and %3==0 short l5)
+    #   1  -> %5==1  javascript line drop
+    #   2  -> clean page, everything survives
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 7],
+            "text": [LONG] * 4,
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(LONG)] * 4,
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_c4_page_rules(spark, docs_sf):
+    out = {r["doc_id"]: r for r in c4_page_filter(spark, docs_sf).collect()}
+    assert out[7]["drop_reason"] == "curly_brace"
+    assert out[7]["kept_md5"] is None
+    assert out[3]["drop_reason"] == "lorem_ipsum"
+    # doc 2: l0/l3/l4/l5 survive (12-word chunks, terminal punct); the
+    # subscribe line (no punct) and footer line (no punct) never do
+    assert out[2]["drop_reason"] == "kept"
+    assert out[2]["n_kept_lines"] == 4
+    assert out[2]["kept_md5"] is not None
+    # doc 1: javascript kills l3 but l0/l4/l5 still clear the page bar
+    assert out[1]["drop_reason"] == "kept"
+    assert out[1]["n_kept_lines"] == 3
+
+
+def test_c4_word_counts_match_python(spark, docs_sf):
+    row = {r["doc_id"]: r for r in c4_page_filter(spark, docs_sf).collect()}[2]
+    # rebuild doc 2's kept lines in plain Python
+    lines = [
+        LONG[:60] + ".",
+        LONG[60:120] + ".",
+        LONG[120:180] + "!",
+        LONG[180:240] + "?",
+    ]
+    assert row["kept_words"] == sum(len(ln.split(" ")) for ln in lines)
+
+
+def test_mojibake_repair_roundtrip():
+    # the planted suffixes are real UTF-8-as-Latin-1 damage: repairing
+    # them must reproduce the clean originals
+    repaired_a = _MOJIBAKE_SUFFIX_A
+    repaired_b = _MOJIBAKE_SUFFIX_B
+    for bad, good in _MOJIBAKE_REPAIRS:
+        repaired_a = repaired_a.replace(bad, good)
+        repaired_b = repaired_b.replace(bad, good)
+    assert repaired_a == " café résumé naïve coördinate"
+    assert repaired_b == " don’t use “smart” quotes §5"
+    # damage model identity: clean -> encode utf-8 -> decode latin-1
+    assert (
+        " café résumé naïve coördinate".encode("utf-8").decode("latin-1")
+        == _MOJIBAKE_SUFFIX_A
+    )
+
+
+def test_mojibake_stats_counts(spark, docs_sf):
+    out = {r["doc_id"]: r for r in mojibake_stats(spark, docs_sf).collect()}
+    # doc 2 (%4==2): suffix A — four 'Ã' markers, no 'â€'/'Â'
+    assert out[2]["n_mojibake"] == sum(
+        _MOJIBAKE_SUFFIX_A.count(m) for m in _MOJIBAKE_MARKERS
+    )
+    assert bool(out[2]["is_mojibake"])
+    # doc 3 (%4==3): suffix B — three 'â€' + one 'Â'
+    assert out[3]["n_mojibake"] == 4
+    # doc 1 (%4==1): clean — zero markers, not flagged
+    assert out[1]["n_mojibake"] == 0 and not out[1]["is_mojibake"]
+
+
+def test_loss_mask_spans_offsets(spark):
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello"),
+            ("c1", 1, "assistant", "hi there"),
+            ("c1", 2, "tool", "{}"),
+            ("c1", 3, "assistant", "done"),
+            ("c2", 0, "assistant", "solo"),
+        ],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in convops.loss_mask_spans(turns).collect()
+    }
+    # stitched c1 = "hello\n\nhi there\n\n{}\n\ndone"
+    assert (rows[("c1", 0)]["span_start"], rows[("c1", 0)]["span_end"]) == (0, 5)
+    assert (rows[("c1", 1)]["span_start"], rows[("c1", 1)]["span_end"]) == (7, 15)
+    assert (rows[("c1", 2)]["span_start"], rows[("c1", 2)]["span_end"]) == (17, 19)
+    assert (rows[("c1", 3)]["span_start"], rows[("c1", 3)]["span_end"]) == (21, 25)
+    assert rows[("c2", 0)]["span_start"] == 0
+    # mask: loss only on assistant turns
+    assert not rows[("c1", 1)]["mask"] and not rows[("c1", 3)]["mask"]
+    assert rows[("c1", 0)]["mask"] and rows[("c1", 2)]["mask"]
+    # spans reconstruct the exact turn text from the stitched doc
+    stitched = "hello\n\nhi there\n\n{}\n\ndone"
+    for (cid, _), r in rows.items():
+        if cid == "c1":
+            src = {0: "hello", 1: "hi there", 2: "{}", 3: "done"}[r["turn_idx"]]
+            assert stitched[r["span_start"]:r["span_end"]] == src
