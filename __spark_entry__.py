@@ -1532,6 +1532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_stats": textops.mojibake_stats,
         # SFT loss-masking char spans over the stitched conversation
         "loss_mask_spans": convops.loss_mask_spans_query,
+        # MRL truncated-serving gate: top-20 overlap full-dim vs dim/4,
+        # exact int8 dots (Kusupati et al. matryoshka evaluation)
+        "matryoshka_eval": similarity.matryoshka_eval,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1690,6 +1693,7 @@ _LAST_GREEN_R2 = [
     "headings_outline", "flesch_readability",
     "winnowing_containment_pairs", "media_neardup_groups",
     "c4_page_filter", "mojibake_stats", "loss_mask_spans",
+    "matryoshka_eval",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5115,6 +5119,55 @@ def oracle_sql() -> dict[str, str]:
                n_moji > 0 AS is_mojibake,
                md5({_moji_rep}) AS repaired_md5
         FROM c
+    """
+    # Matryoshka truncation eval: int8 quantize (scale from the FULL
+    # vector), both dots in one unnest pass, per-query top-20 overlap.
+    oracles["matryoshka_eval"] = """
+        WITH qv AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN list_max(list_transform(embedding,
+                                                   x -> abs(x))) > 0
+                      THEN CAST(127.0 AS DOUBLE)
+                           / list_max(list_transform(embedding,
+                                                     x -> abs(x)))
+                      ELSE CAST(0.0 AS DOUBLE) END AS scale
+          FROM embeddings
+        ), qc AS (
+          SELECT vec_id, list_transform(embedding,
+                   x -> CAST(round(x * scale) AS INTEGER)) AS qcodes
+          FROM qv
+        ), qs AS (
+          SELECT vec_id AS query_id, qcodes AS pcodes FROM qc
+          WHERE vec_id < 5
+        ), dots AS (
+          SELECT q.query_id, c.vec_id,
+                 CAST(sum(CAST(c.qcodes[CAST(t.i AS INTEGER)] AS BIGINT)
+                          * q.pcodes[CAST(t.i AS INTEGER)]) AS BIGINT)
+                   AS dot_full,
+                 CAST(sum(CASE WHEN t.i <= len(c.qcodes) // 4
+                          THEN CAST(c.qcodes[CAST(t.i AS INTEGER)] AS BIGINT)
+                               * q.pcodes[CAST(t.i AS INTEGER)]
+                          ELSE 0 END) AS BIGINT) AS dot_trunc
+          FROM qc c, qs q, unnest(range(1, len(c.qcodes) + 1)) AS t(i)
+          WHERE c.vec_id <> q.query_id
+          GROUP BY 1, 2
+        ), rf AS (
+          SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY dot_full DESC, vec_id) AS r
+          FROM dots
+        ), rt AS (
+          SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY dot_trunc DESC, vec_id) AS r
+          FROM dots
+        ), tf AS (SELECT query_id, vec_id FROM rf WHERE r <= 20),
+           tt AS (SELECT query_id, vec_id FROM rt WHERE r <= 20)
+        SELECT tf.query_id,
+               CAST(20 AS BIGINT) AS k,
+               CAST(count(tt.vec_id) AS BIGINT) AS n_overlap,
+               CAST(count(tt.vec_id) * 10000 // 20 AS BIGINT) AS recall_bp
+        FROM tf LEFT JOIN tt
+          ON tf.query_id = tt.query_id AND tf.vec_id = tt.vec_id
+        GROUP BY tf.query_id
     """
     # SFT loss-mask spans: cumulative (length + 2) window over the
     # deterministic transcript view.

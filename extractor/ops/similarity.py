@@ -975,3 +975,100 @@ def conv_offtopic_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo.rel").alias("rel_dot"),
         )
     )
+
+
+MRL_QUERIES = 5     # vec_ids 0..4 serve as the evaluation query set
+MRL_K = 20          # retrieval depth compared between the two dims
+MRL_FRACTION = 4    # truncated serving dim = full dim / 4 (64 -> 16)
+
+
+def matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding truncation evaluation (Kusupati et al.
+    2022): how much retrieval quality survives serving the FIRST
+    ``dim/4`` coordinates instead of the full vector — the standard
+    accept/reject gate before flipping a vector store to truncated
+    (4× cheaper) MRL serving.  For each query in a fixed 5-query set,
+    rank the corpus by exact int8 dot at full dim and at the prefix
+    dim, and report top-20 overlap / recall in basis points.
+
+    Exactness: both rankings reuse the :func:`embedding_quantize_int8`
+    transform (scale from the FULL vector, so truncation only shortens
+    the summation) and int8×int8 long dots — no float crosses the
+    output, the DuckDB oracle hash-matches bit for bit.
+
+    Plan (100 TB): quantization is map-only; the 5-row query set
+    broadcasts onto the unshuffled corpus; both dots come out of ONE
+    pass over the pairs; the two per-query top-20s are rank-filter
+    windows Spark rewrites to WindowGroupLimit (map-side partial
+    top-k, only ~k·queries rows per task reach the exchange); the
+    final overlap join touches ≤ 100-row relations.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * scale).cast("int")
+        ).alias("q_codes"),
+    )
+    queries = q.where(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q_codes").alias("p_codes")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    trunc = F.expr(f"size(q_codes) DIV {MRL_FRACTION}")
+    pairs = (
+        q.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _dot("q_codes", "p_codes").alias("dot_full"),
+            _dot(
+                F.slice("q_codes", F.lit(1), trunc),
+                F.slice("p_codes", F.lit(1), trunc),
+            ).alias("dot_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_full"), "vec_id"
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_trunc"), "vec_id"
+    )
+    top_full = (
+        pairs.withColumn("r", F.row_number().over(w_full))
+        .where(F.col("r") <= MRL_K)
+        .select("query_id", "vec_id")
+    )
+    top_trunc = (
+        pairs.withColumn("r", F.row_number().over(w_trunc))
+        .where(F.col("r") <= MRL_K)
+        .select("query_id", "vec_id")
+    )
+    return (
+        top_full.join(
+            top_trunc.withColumn("hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            F.lit(MRL_K).cast("long").alias("k"),
+            "n_overlap",
+            F.expr(f"n_overlap * 10000 DIV {MRL_K}").cast("long").alias(
+                "recall_bp"
+            ),
+        )
+    )

@@ -125,3 +125,32 @@ def test_loss_mask_spans_offsets(spark):
         if cid == "c1":
             src = {0: "hello", 1: "hi there", 2: "{}", 3: "done"}[r["turn_idx"]]
             assert stitched[r["span_start"]:r["span_end"]] == src
+
+
+@pytest.fixture()
+def prefix_heavy_emb_sf(tmp_path):
+    # 30 vectors, 64 dims, all signal in the first 16 dims (the MRL
+    # training ideal): truncated and full rankings must coincide.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = np.zeros((30, 64), dtype=np.float32)
+    vecs[:, :16] = rng.uniform(-1, 1, (30, 16)).astype(np.float32)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(30, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+            "label": np.zeros(30, dtype=np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_matryoshka_perfect_prefix_recall(spark, prefix_heavy_emb_sf):
+    from extractor.ops.similarity import matryoshka_eval
+
+    rows = matryoshka_eval(spark, prefix_heavy_emb_sf).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["recall_bp"] == 10000, r
+        assert r["n_overlap"] == r["k"]
