@@ -1535,6 +1535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MRL truncated-serving gate: top-20 overlap full-dim vs dim/4,
         # exact int8 dots (Kusupati et al. matryoshka evaluation)
         "matryoshka_eval": similarity.matryoshka_eval,
+        # whole-doc next-fit-decreasing packing: per-shard greedy via
+        # applyInPandas, recursive-CTE oracle replays the chain
+        "bin_pack_nextfit": dedup.bin_pack_nextfit,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1693,7 +1696,7 @@ _LAST_GREEN_R2 = [
     "headings_outline", "flesch_readability",
     "winnowing_containment_pairs", "media_neardup_groups",
     "c4_page_filter", "mojibake_stats", "loss_mask_spans",
-    "matryoshka_eval",
+    "matryoshka_eval", "bin_pack_nextfit",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5168,6 +5171,34 @@ def oracle_sql() -> dict[str, str]:
         FROM tf LEFT JOIN tt
           ON tf.query_id = tt.query_id AND tf.vec_id = tt.vec_id
         GROUP BY tf.query_id
+    """
+    # Next-fit bin packing: the oracle replays the per-shard greedy
+    # chain (length desc, doc_id order) as a recursive CTE.
+    oracles["bin_pack_nextfit"] = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 CAST(doc_id % {dedup.BINPACK_SHARDS} AS BIGINT) AS shard,
+                 CAST(length(text) AS BIGINT) AS n,
+                 row_number() OVER (
+                   PARTITION BY doc_id % {dedup.BINPACK_SHARDS}
+                   ORDER BY length(text) DESC, doc_id) AS r
+          FROM documents WHERE text IS NOT NULL
+        ), state AS (
+          SELECT shard, r, doc_id, n,
+                 CAST(0 AS BIGINT) AS bin_local, n AS fill
+          FROM d WHERE r = 1
+          UNION ALL
+          SELECT d.shard, d.r, d.doc_id, d.n,
+                 CASE WHEN s.fill + d.n <= {dedup.BINPACK_CAP}
+                      THEN s.bin_local ELSE s.bin_local + 1 END,
+                 CASE WHEN s.fill + d.n <= {dedup.BINPACK_CAP}
+                      THEN s.fill + d.n ELSE d.n END
+          FROM state s JOIN d ON d.shard = s.shard AND d.r = s.r + 1
+        )
+        SELECT doc_id, shard,
+               CAST(bin_local AS BIGINT) AS bin_local,
+               CAST(fill AS BIGINT) AS bin_fill_after
+        FROM state
     """
     # SFT loss-mask spans: cumulative (length + 2) window over the
     # deterministic transcript view.

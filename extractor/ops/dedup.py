@@ -1422,3 +1422,71 @@ def winnowing_containment_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+BINPACK_CAP = 1000      # bin capacity in chars (proxy for tokens)
+BINPACK_SHARDS = 16     # parallel packing shards
+
+
+def bin_pack_nextfit(spark: SparkSession, sf_dir: str,
+                     cap: int = BINPACK_CAP,
+                     shards: int = BINPACK_SHARDS) -> DataFrame:
+    """Whole-document next-fit-decreasing bin packing — the SFT packing
+    shape that never splits a document across context windows (the
+    complement of :func:`pack_sequences`, which cuts a token stream at
+    exact boundaries).  Docs are sharded, ordered (length desc, doc_id)
+    within each shard, and greedily placed: a doc that no longer fits
+    closes the bin and opens the next.  An oversized doc (> cap) gets a
+    bin of its own — the standard degradation.
+
+    Scale topology (100 TB): greedy packing is inherently sequential,
+    so parallelism comes from SHARDING, not from the algorithm — one
+    hash shuffle into ``shards`` groups, then a per-shard Arrow batch
+    walk (`applyInPandas`, the mandate's custom-stateful-operator
+    fallback: the data dependency chain genuinely can't be a window).
+    Shard count scales with the cluster; per-shard state is two ints.
+    The DuckDB oracle replays the identical greedy chain as a
+    recursive CTE, so placement is hash-checked row for row.
+    """
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.pmod("doc_id", F.lit(shards)).cast("long").alias("shard"),
+            F.length("text").cast("long").alias("n"),
+        )
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        bins, fills = [], []
+        b, fill = 0, None
+        for n in pdf["n"]:
+            if fill is None:
+                fill = int(n)
+            elif fill + int(n) <= cap:
+                fill += int(n)
+            else:
+                b += 1
+                fill = int(n)
+            bins.append(b)
+            fills.append(fill)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "bin_local": bins,
+                "bin_fill_after": fills,
+            }
+        )
+        return out.astype("int64")
+
+    return docs.groupBy("shard").applyInPandas(
+        pack,
+        "doc_id long, shard long, bin_local long, bin_fill_after long",
+    )

@@ -154,3 +154,54 @@ def test_matryoshka_perfect_prefix_recall(spark, prefix_heavy_emb_sf):
     for r in rows:
         assert r["recall_bp"] == 10000, r
         assert r["n_overlap"] == r["k"]
+
+
+@pytest.fixture()
+def packdocs_sf(tmp_path):
+    # lengths chosen so shard 0 (all ids % 16 == 0) packs:
+    # order by len desc: 1200(oversized solo) | 600+300 | 500
+    texts = {0: "a" * 600, 16: "b" * 1200, 32: "c" * 300, 48: "d" * 500}
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_bin_pack_nextfit_chain(spark, packdocs_sf):
+    from extractor.ops.dedup import bin_pack_nextfit
+
+    rows = {
+        r["doc_id"]: r for r in bin_pack_nextfit(spark, packdocs_sf).collect()
+    }
+    assert all(r["shard"] == 0 for r in rows.values())
+    # greedy order 1200, 600, 500, 300: 1200 alone (oversized), then
+    # 600 opens bin 1, 500 doesn't fit (1100 > 1000) -> bin 2, 300
+    # fits after 500 (800 <= 1000)
+    assert (rows[16]["bin_local"], rows[16]["bin_fill_after"]) == (0, 1200)
+    assert (rows[0]["bin_local"], rows[0]["bin_fill_after"]) == (1, 600)
+    assert (rows[48]["bin_local"], rows[48]["bin_fill_after"]) == (2, 500)
+    assert (rows[32]["bin_local"], rows[32]["bin_fill_after"]) == (2, 800)
+
+
+def test_bin_pack_invariants_sf001(spark):
+    from extractor.ops.dedup import BINPACK_CAP, bin_pack_nextfit
+
+    df = bin_pack_nextfit(spark, "/root/testdata/sf0.01").toPandas()
+    # every doc placed exactly once
+    assert df["doc_id"].is_unique and len(df) == 500
+    # within each (shard, bin): final fill <= cap unless the bin holds
+    # a single oversized doc
+    g = df.groupby(["shard", "bin_local"])
+    for (_, _), grp in g:
+        final = grp["bin_fill_after"].max()
+        assert final <= BINPACK_CAP or len(grp) == 1
+    # bins are contiguous from 0 within each shard
+    for _, grp in df.groupby("shard"):
+        b = sorted(grp["bin_local"].unique())
+        assert b == list(range(len(b)))
