@@ -1538,6 +1538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whole-doc next-fit-decreasing packing: per-shard greedy via
         # applyInPandas, recursive-CTE oracle replays the chain
         "bin_pack_nextfit": dedup.bin_pack_nextfit,
+        # RAG groundedness: assistant claim phrase vs prior tool output,
+        # conversation-locked verbatim-support join
+        "grounding_audit": convops.grounding_audit_query,
+        # per-role-transition latency profile over the ts column
+        "turn_latency_stats": convops.turn_latency_query,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1697,6 +1702,7 @@ _LAST_GREEN_R2 = [
     "winnowing_containment_pairs", "media_neardup_groups",
     "c4_page_filter", "mojibake_stats", "loss_mask_spans",
     "matryoshka_eval", "bin_pack_nextfit",
+    "grounding_audit", "turn_latency_stats",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5199,6 +5205,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(bin_local AS BIGINT) AS bin_local,
                CAST(fill AS BIGINT) AS bin_fill_after
         FROM state
+    """
+    # Grounding audit: assistant first-3-token claim phrase vs earlier
+    # tool turns of the same conversation, verbatim containment.
+    oracles["grounding_audit"] = f"""
+        {convops.DTR_CTE}, a AS (
+          SELECT conv_id, turn_idx,
+                 array_to_string(
+                   list_slice(string_split(text, ' '), 1, 3), ' ') AS claim
+          FROM dtr WHERE role = 'assistant'
+        ), t AS (
+          SELECT conv_id, turn_idx AS tool_idx, text AS tool_text
+          FROM dtr WHERE role = 'tool'
+        )
+        SELECT a.conv_id, a.turn_idx,
+               CAST(count(t.tool_idx) AS BIGINT) AS n_prior_tool,
+               CAST(coalesce(sum(CASE WHEN contains(t.tool_text, a.claim)
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_supporting,
+               coalesce(sum(CASE WHEN contains(t.tool_text, a.claim)
+                                 THEN 1 ELSE 0 END), 0) > 0 AS grounded
+        FROM a LEFT JOIN t
+          ON t.conv_id = a.conv_id AND t.tool_idx < a.turn_idx
+        GROUP BY a.conv_id, a.turn_idx
+    """
+    # Turn-latency transitions: lag over the deterministic ts column.
+    oracles["turn_latency_stats"] = f"""
+        {convops.DTR_CTE}, ts AS (
+          SELECT conv_id, turn_idx, role,
+                 CAST(turn_idx * 120 + doc_id % 90 AS BIGINT) AS ts_sec
+          FROM dtr
+        ), gaps AS (
+          SELECT ts_sec - lag(ts_sec) OVER w AS gap_s,
+                 lag(role) OVER w || '->' || role AS transition
+          FROM ts
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT transition,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+               CAST(sum(gap_s) * 1000 // count(*) AS BIGINT)
+                 AS mean_gap_milli
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY transition
     """
     # SFT loss-mask spans: cumulative (length + 2) window over the
     # deterministic transcript view.

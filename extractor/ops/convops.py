@@ -922,3 +922,111 @@ def loss_mask_spans(turns: DataFrame, sep_len: int = 2) -> DataFrame:
 
 def loss_mask_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_spans(derived_transcripts(spark, sf_dir))
+
+
+def grounding_audit(turns: DataFrame, phrase_tokens: int = 3) -> DataFrame:
+    """Attribution audit for agent transcripts: is an assistant turn's
+    leading claim phrase (its first ``phrase_tokens`` whitespace tokens)
+    VERBATIM-supported by any earlier tool output in the same
+    conversation?  The cheap-and-exact core of RAG groundedness checks
+    (quote-level support, not semantic entailment).
+
+    Output per assistant turn: the count of prior tool turns, how many
+    contain the phrase, and the grounded verdict.  Assistant turns with
+    no prior tool context report 0/0/false — auditably distinct from
+    "had context, cited none".
+
+    Plan: conversation-locked self-join (assistant turns × earlier tool
+    turns of the SAME conv_id) — the join key is the extraction
+    partitioning, so at 10^12 turns this shuffles each side once on
+    hash(conv_id) and every comparison stays inside a conversation
+    (bounded by the longest episode, never cross-conv quadratic).
+    """
+    a = turns.where(F.col("role") == "assistant").select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, phrase_tokens), " "
+        ).alias("claim"),
+    )
+    t = turns.where(F.col("role") == "tool").select(
+        "conv_id",
+        F.col("turn_idx").alias("tool_idx"),
+        F.col("text").alias("tool_text"),
+    )
+    j = a.join(
+        t,
+        (a["conv_id"] == t["conv_id"]) & (t["tool_idx"] < a["turn_idx"]),
+        "left",
+    )
+    return (
+        j.groupBy(a["conv_id"], "turn_idx", "claim")
+        .agg(
+            F.count("tool_idx").cast("long").alias("n_prior_tool"),
+            F.sum(
+                F.when(
+                    F.contains("tool_text", F.col("claim")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_supporting"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n_prior_tool",
+            "n_supporting",
+            (F.col("n_supporting") > 0).alias("grounded"),
+        )
+    )
+
+
+def grounding_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grounding_audit(derived_transcripts(spark, sf_dir))
+
+
+def turn_latency_stats(turns_ts: DataFrame) -> DataFrame:
+    """Per-role-transition response-latency profile over agent
+    transcripts: lag the per-turn timestamp within each conversation,
+    label each gap ``prev_role->role``, and aggregate exact seconds
+    (min/max/count) plus an integer-milli mean — the ops dashboard for
+    "how long do tool calls take" / "how fast does the assistant reply".
+
+    Plan: one window (the extraction partitioning: hash(conv_id), sort
+    turn_idx) + one tiny agg keyed by ≤ role² transition labels; at
+    10^12 turns the window reuses the pipeline shuffle and the agg
+    output is constant-size.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = turns_ts.select(
+        "conv_id",
+        (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap_s"),
+        F.concat(
+            F.lag("role").over(w), F.lit("->"), F.col("role")
+        ).alias("transition"),
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("transition")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            F.expr("sum(gap_s) * 1000 DIV count(*)")
+            .cast("long")
+            .alias("mean_gap_milli"),
+        )
+    )
+
+
+def derived_transcripts_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript view + a deterministic monotonic per-turn timestamp:
+    ``ts_sec = turn_idx*120 + doc_id%90`` (jitter < step, so gaps stay
+    positive: 31..209 s) — mirrors the input_hint's ``ts`` column."""
+    return derived_transcripts(spark, sf_dir).withColumn(
+        "ts_sec",
+        (F.col("turn_idx") * 120 + F.pmod("doc_id", F.lit(90))).cast("long"),
+    )
+
+
+def turn_latency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return turn_latency_stats(derived_transcripts_ts(spark, sf_dir))

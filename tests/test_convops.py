@@ -497,3 +497,54 @@ def test_retried_view_plants_near_copies(spark):
     ]
     both = [t for t, d in by_turn.items() if 0 in d and 36 in d]
     assert both and len(shared) >= len(both) // 2  # mostly copied
+
+
+def test_grounding_audit_verbatim_support(spark):
+    from extractor.ops.convops import grounding_audit
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "find the warranty terms"),
+            ("c1", 1, "tool", "the warranty covers two years of parts"),
+            ("c1", 2, "assistant", "the warranty covers everything"),
+            ("c1", 3, "assistant", "shipping takes three days"),
+            ("c2", 0, "assistant", "no tools were used here"),
+        ],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in grounding_audit(turns).collect()
+    }
+    # claim "the warranty covers" appears verbatim in the prior tool turn
+    g = out[("c1", 2)]
+    assert (g["n_prior_tool"], g["n_supporting"], g["grounded"]) == (1, 1, True)
+    # claim "shipping takes three" is unsupported despite tool context
+    u = out[("c1", 3)]
+    assert (u["n_prior_tool"], u["n_supporting"], u["grounded"]) == (1, 0, False)
+    # assistant with no prior tool context: 0/0/false, still reported
+    n = out[("c2", 0)]
+    assert (n["n_prior_tool"], n["n_supporting"], n["grounded"]) == (0, 0, False)
+
+
+def test_turn_latency_transitions(spark):
+    from extractor.ops.convops import turn_latency_stats
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "q", 0),
+            ("c1", 1, "assistant", "a", 7),
+            ("c1", 2, "user", "q2", 10),
+            ("c1", 3, "assistant", "a2", 25),
+            ("c2", 0, "user", "x", 100),
+            ("c2", 1, "assistant", "y", 104),
+        ],
+        ["conv_id", "turn_idx", "role", "text", "ts_sec"],
+    )
+    out = {r["transition"]: r for r in turn_latency_stats(turns).collect()}
+    ua = out["user->assistant"]
+    # gaps 7, 15, 4 -> mean 26/3 s = 8666 milli
+    assert ua["n_gaps"] == 3
+    assert (ua["min_gap_s"], ua["max_gap_s"]) == (4, 15)
+    assert ua["mean_gap_milli"] == 26 * 1000 // 3
+    assert out["assistant->user"]["n_gaps"] == 1
