@@ -466,3 +466,42 @@ def test_length_curriculum_no_corpus_sort(spark):
     # the bucket assignment itself must be join+project, no row_number
     # over the corpus: exactly one Window operator in the whole plan
     assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+
+
+def test_c4_and_mojibake_map_only(spark):
+    from extractor.ops import textops
+
+    for fn in (textops.c4_page_filter, textops.mojibake_stats):
+        plan = _plan(fn(spark, SF))
+        assert _n_exchanges(plan) == 0, plan
+        # scan -> filter -> projections only; no join, no python stage
+        assert "Join" not in plan and "InPandas" not in plan
+
+
+def test_matryoshka_windowgrouplimit_and_broadcast(spark):
+    from extractor.ops.similarity import matryoshka_eval
+
+    plan = _plan(matryoshka_eval(spark, SF))
+    # per-query top-k must be the map-side partial group limit, not a
+    # full sort of the corpus per query
+    assert "WindowGroupLimit" in plan, plan
+    # the 5-row query set broadcasts; the corpus side never broadcasts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bin_pack_single_shard_shuffle(spark):
+    from extractor.ops.dedup import bin_pack_nextfit
+
+    plan = _plan(bin_pack_nextfit(spark, SF))
+    # exactly one Exchange: the hash shuffle into packing shards
+    assert _n_exchanges(plan) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_grounding_audit_conv_locked_join(spark):
+    from extractor.ops.convops import grounding_audit_query
+
+    plan = _plan(grounding_audit_query(spark, SF))
+    # the self-join must key on conv_id (hash-partitioned equi-join with
+    # the range predicate as join condition), never a cartesian product
+    assert "CartesianProduct" not in plan, plan
