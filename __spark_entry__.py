@@ -1543,6 +1543,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grounding_audit": convops.grounding_audit_query,
         # per-role-transition latency profile over the ts column
         "turn_latency_stats": convops.turn_latency_query,
+        # exact-integer ROC AUC of the hashed classifier (Mann-Whitney
+        # over the distinct-score histogram, never a global row sort)
+        "classifier_auc": textops.classifier_auc,
+        # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
+        # in ONE fused scan (the ops share column helpers — no joins)
+        "curation_report": textops.curation_report,
         # JSONL training-shard export sink (atomic publish, read-back
         # verified manifest; oracle checks disk contents vs packing spec)
         "export_training_shards": export.export_training_shards,
@@ -1703,6 +1709,7 @@ _LAST_GREEN_R2 = [
     "c4_page_filter", "mojibake_stats", "loss_mask_spans",
     "matryoshka_eval", "bin_pack_nextfit",
     "grounding_audit", "turn_latency_stats",
+    "classifier_auc", "curation_report",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5205,6 +5212,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(bin_local AS BIGINT) AS bin_local,
                CAST(fill AS BIGINT) AS bin_fill_after
         FROM state
+    """
+    # Classifier AUC: Mann-Whitney pair counting over the per-distinct-
+    # score histogram of the hashed-classifier oracle.
+    oracles["classifier_auc"] = f"""
+        WITH s AS ({oracles["hashed_classifier_score"]}),
+        d AS (
+          SELECT score,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '8' AS y
+          FROM s
+        ), per AS (
+          SELECT score,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                 CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+          FROM d GROUP BY score
+        ), c AS (
+          SELECT p, q,
+                 CAST(coalesce(sum(q) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cumq
+          FROM per
+        )
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(q) AS BIGINT) AS n_neg,
+               CAST(sum(p * cumq) AS BIGINT) AS pairs_won,
+               CAST(sum(p * q) AS BIGINT) AS ties,
+               CAST((2 * sum(p * cumq) + sum(p * q)) * 1000000
+                    // (2 * sum(p) * sum(q)) AS BIGINT) AS auc_micro
+        FROM c
+    """
+    # Curation funnel: compose the c4 / quality / mojibake oracles and
+    # roll up per source.
+    oracles["curation_report"] = f"""
+        WITH c4 AS ({oracles["c4_page_filter"]}),
+        qs AS ({oracles["quality_score"]}),
+        mj AS ({oracles["mojibake_stats"]})
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN c4.drop_reason = 'kept'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_c4,
+               CAST(sum(CASE WHEN qs.passes_quality
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pass_quality,
+               CAST(sum(CASE WHEN mj.n_mojibake = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clean_encoding,
+               CAST(sum(CASE WHEN c4.drop_reason = 'kept'
+                              AND qs.passes_quality
+                              AND mj.n_mojibake = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        FROM documents d
+        JOIN c4 ON c4.doc_id = d.doc_id
+        JOIN qs ON qs.doc_id = d.doc_id
+        JOIN mj ON mj.doc_id = d.doc_id
+        WHERE d.text IS NOT NULL
+        GROUP BY d.source
     """
     # Grounding audit: assistant first-3-token claim phrase vs earlier
     # tool turns of the same conversation, verbatim containment.

@@ -8,6 +8,7 @@ no Python in the hot path); each has a DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
 
@@ -66,6 +67,18 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_pass():
+    """The ``passes_quality`` verdict as an unresolved column over
+    ``text`` — shared by :func:`quality_score` and the fused
+    :func:`curation_report` scan."""
+    tokens = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    mean_wl = F.length(F.regexp_replace("text", r"\s+", "")) / n_tokens
+    return (n_tokens >= 10) & (n_stop / n_tokens >= 0.0) & (mean_wl < 15)
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean word length, stopword ratio,
     punctuation density — the jusText/C4-style heuristic family."""
@@ -82,11 +95,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
         F.round(n_punct / F.length("text"), 4).alias("punct_density"),
         F.round(mean_wl, 4).alias("mean_word_len"),
-        (
-            (n_tokens >= 10)
-            & (n_stop / n_tokens >= 0.0)
-            & (mean_wl < 15)
-        ).alias("passes_quality"),
+        _quality_pass().alias("passes_quality"),
     )
 
 
@@ -1312,6 +1321,47 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_lines():
+    """The synthesized 6-line page as an unresolved array column over
+    (doc_id, text) — shared by :func:`c4_page_filter` and the fused
+    :func:`curation_report` scan."""
+    did = F.col("doc_id")
+    return F.array(
+        F.concat(F.substring("text", 1, 60), F.lit(".")),
+        F.lit("Click here to subscribe"),
+        F.when(did % 7 == 0, F.lit("function() { return 0; }")).otherwise(
+            F.lit("plain footer line without punctuation at all")
+        ),
+        F.when(
+            did % 5 == 1,
+            F.lit("enable the javascript snippet to view this content today."),
+        ).otherwise(F.concat(F.substring("text", 61, 60), F.lit("."))),
+        F.when(did % 11 == 3, F.lit("lorem ipsum dolor sit amet.")).otherwise(
+            F.concat(F.substring("text", 121, 60), F.lit("!"))
+        ),
+        F.when(did % 3 == 0, F.lit("Too short.")).otherwise(
+            F.concat(F.substring("text", 181, 60), F.lit("?"))
+        ),
+    )
+
+
+def _c4_line_kept(ln):
+    return (
+        F.substring(ln, -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(ln, " ")) >= 5)
+        & ~F.contains(F.lower(ln), F.lit("javascript"))
+    )
+
+
+def _c4_reason(page, kept):
+    return (
+        F.when(F.contains(page, F.lit("{")), "curly_brace")
+        .when(F.contains(F.lower(page), F.lit("lorem ipsum")), "lorem_ipsum")
+        .when(F.size(kept) < 3, "too_few_lines")
+        .otherwise("kept")
+    )
+
+
 def c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 heuristic page cleaning (Raffel et al. 2020 §2.2) — the classic
     line/page filter every web-scale pretraining corpus starts from.
@@ -1334,44 +1384,13 @@ def c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue for the extraction tier.
     """
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    did = F.col("doc_id")
-    lines = F.array(
-        F.concat(F.substring("text", 1, 60), F.lit(".")),
-        F.lit("Click here to subscribe"),
-        F.when(did % 7 == 0, F.lit("function() { return 0; }")).otherwise(
-            F.lit("plain footer line without punctuation at all")
-        ),
-        F.when(
-            did % 5 == 1,
-            F.lit("enable the javascript snippet to view this content today."),
-        ).otherwise(F.concat(F.substring("text", 61, 60), F.lit("."))),
-        F.when(did % 11 == 3, F.lit("lorem ipsum dolor sit amet.")).otherwise(
-            F.concat(F.substring("text", 121, 60), F.lit("!"))
-        ),
-        F.when(did % 3 == 0, F.lit("Too short.")).otherwise(
-            F.concat(F.substring("text", 181, 60), F.lit("?"))
-        ),
-    )
-
-    def _line_kept(ln):
-        return (
-            F.substring(ln, -1, 1).isin(".", "!", "?", '"')
-            & (F.size(F.split(ln, " ")) >= 5)
-            & ~F.contains(F.lower(ln), F.lit("javascript"))
-        )
-
     d = docs.select(
         "doc_id",
-        F.array_join(lines, "\n").alias("page"),
-        F.filter(lines, _line_kept).alias("kept"),
+        F.array_join(_c4_lines(), "\n").alias("page"),
+        F.filter(_c4_lines(), _c4_line_kept).alias("kept"),
     )
     n_kept = F.size("kept")
-    reason = (
-        F.when(F.contains(F.col("page"), F.lit("{")), "curly_brace")
-        .when(F.contains(F.lower("page"), F.lit("lorem ipsum")), "lorem_ipsum")
-        .when(n_kept < 3, "too_few_lines")
-        .otherwise("kept")
-    )
+    reason = _c4_reason(F.col("page"), F.col("kept"))
     return d.select(
         "doc_id",
         n_kept.cast("long").alias("n_kept_lines"),
@@ -1403,6 +1422,28 @@ _MOJIBAKE_REPAIRS = (
 )
 _MOJIBAKE_MARKERS = ("\u00c3", "\u00e2\u0080", "\u00c2")
 
+def _mojibake_payload():
+    """The planted-damage payload as an unresolved column over
+    (doc_id, text) — shared by :func:`mojibake_stats` and the fused
+    :func:`curation_report` scan."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.substring("text", 1, 40),
+        F.when(did % 4 == 2, F.lit(_MOJIBAKE_SUFFIX_A))
+        .when(did % 4 == 3, F.lit(_MOJIBAKE_SUFFIX_B))
+        .otherwise(F.lit("")),
+    )
+
+
+def _mojibake_n(payload):
+    def _occ(marker):
+        return (
+            F.length(payload) - F.length(F.replace(payload, F.lit(marker)))
+        ) / len(marker)
+
+    return sum(_occ(m) for m in _MOJIBAKE_MARKERS).cast("long")
+
+
 def mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-damage audit + repair for a web-crawl corpus: detect
     UTF-8-decoded-as-Latin-1 mojibake ("cafÃ©", "donâ€™t") by its three
@@ -1417,28 +1458,105 @@ def mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired-text md5 exactly.
     """
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    did = F.col("doc_id")
-    payload = F.concat(
-        F.substring("text", 1, 40),
-        F.when(did % 4 == 2, F.lit(_MOJIBAKE_SUFFIX_A))
-        .when(did % 4 == 3, F.lit(_MOJIBAKE_SUFFIX_B))
-        .otherwise(F.lit("")),
-    )
-
-    def _occ(col, marker):
-        return (
-            F.length(col) - F.length(F.replace(col, F.lit(marker)))
-        ) / len(marker)
-
+    payload = _mojibake_payload()
     repaired = payload
     for bad, good in _MOJIBAKE_REPAIRS:
         repaired = F.replace(repaired, F.lit(bad), F.lit(good))
-    n_mojibake = sum(
-        _occ(payload, m) for m in _MOJIBAKE_MARKERS
-    ).cast("long")
+    n_mojibake = _mojibake_n(payload)
     return docs.select(
         "doc_id",
         n_mojibake.alias("n_mojibake"),
         (n_mojibake > 0).alias("is_mojibake"),
         F.md5(repaired).alias("repaired_md5"),
+    )
+
+
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer ROC AUC of the hashed quality classifier against a
+    deterministic ground-truth label — the calibration step every
+    classifier-gated corpus (FineWeb-Edu, DCLM) runs before trusting a
+    score threshold.  AUC is computed as the Mann-Whitney pair count,
+    entirely in BIGINT: ``auc = (2*pairs_won + ties) / (2*n_pos*n_neg)``
+    reported in micro-units via floor division.
+
+    Scale topology (100 TB): ranks are NEVER assigned to raw rows (a
+    global row sort).  Scores aggregate to one (p, q) row per DISTINCT
+    score (one map-side-combined shuffle); the cumulative-negatives
+    window then runs over the distinct-score relation only — bounded by
+    score cardinality, the same histogram-window shape as
+    ``length_curriculum``.  Ground truth is an md5 bit of doc_id
+    (hex digit 2, decorrelated from every other planted md5 use).
+    """
+    s = hashed_classifier_score(spark, sf_dir).select("doc_id", "score")
+    y = F.expr(
+        "substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 2, 1) < '8'"
+    )
+    per = (
+        s.select("score", y.alias("y"))
+        .groupBy("score")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("p"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("long").alias("q"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = per.withColumn(
+        "cumq", F.coalesce(F.sum("q").over(w), F.lit(0)).cast("long")
+    )
+    return c.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        F.sum(F.col("p") * F.col("cumq")).cast("long").alias("pairs_won"),
+        F.sum(F.col("p") * F.col("q")).cast("long").alias("ties"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "pairs_won",
+        "ties",
+        F.expr(
+            "(2 * pairs_won + ties) * 1000000 DIV (2 * n_pos * n_neg)"
+        )
+        .cast("long")
+        .alias("auc_micro"),
+    )
+
+
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: how many documents pass the C4 page
+    filter, the heuristic quality gate, and the encoding audit — and
+    how many pass ALL three — the acceptance dashboard a corpus team
+    reads before a training run.
+
+    Scale topology (100 TB): this is the reason the three filters
+    expose column helpers — all three verdicts are computed in ONE
+    fused scan (zero joins, no re-read), followed by a single
+    map-side-combined agg keyed by ≤ |sources| groups.  Composing the
+    per-op DataFrames with joins would re-read the table 4× and
+    shuffle 3×; composing the EXPRESSIONS is free.
+    """
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    reason = _c4_reason(
+        F.array_join(_c4_lines(), "\n"), F.filter(_c4_lines(), _c4_line_kept)
+    )
+    p_c4 = (reason == "kept").alias("p_c4")
+    p_q = _quality_pass().alias("p_q")
+    p_enc = (_mojibake_n(_mojibake_payload()) == 0).alias("p_enc")
+    flags = docs.select("source", p_c4, p_q, p_enc)
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("p_c4").cast("long")).cast("long").alias("n_pass_c4"),
+            F.sum(F.col("p_q").cast("long")).cast("long").alias(
+                "n_pass_quality"
+            ),
+            F.sum(F.col("p_enc").cast("long")).cast("long").alias(
+                "n_clean_encoding"
+            ),
+            F.sum(
+                (F.col("p_c4") & F.col("p_q") & F.col("p_enc")).cast("long")
+            )
+            .cast("long")
+            .alias("n_pass_all"),
+        )
     )

@@ -205,3 +205,41 @@ def test_bin_pack_invariants_sf001(spark):
     for _, grp in df.groupby("shard"):
         b = sorted(grp["bin_local"].unique())
         assert b == list(range(len(b)))
+
+
+def test_classifier_auc_matches_bruteforce(spark):
+    import hashlib
+
+    from extractor.ops.textops import classifier_auc, hashed_classifier_score
+
+    sf = "/root/testdata/sf0.001"
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in hashed_classifier_score(spark, sf).collect()
+    }
+    y = {
+        d: hashlib.md5(str(d).encode()).hexdigest()[1] < "8" for d in scores
+    }
+    pos = [scores[d] for d in scores if y[d]]
+    neg = [scores[d] for d in scores if not y[d]]
+    won = sum(1 for p in pos for q in neg if p > q)
+    tie = sum(1 for p in pos for q in neg if p == q)
+    row = classifier_auc(spark, sf).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    assert (row["pairs_won"], row["ties"]) == (won, tie)
+    assert row["auc_micro"] == (2 * won + tie) * 10**6 // (
+        2 * len(pos) * len(neg)
+    )
+
+
+def test_curation_report_funnel_consistency(spark):
+    from extractor.ops.textops import curation_report
+
+    df = curation_report(spark, "/root/testdata/sf0.01").toPandas()
+    assert df["n_docs"].sum() == 500
+    for _, r in df.iterrows():
+        assert r["n_pass_all"] <= min(
+            r["n_pass_c4"], r["n_pass_quality"], r["n_clean_encoding"]
+        )
+        for c in ("n_pass_c4", "n_pass_quality", "n_clean_encoding"):
+            assert 0 <= r[c] <= r["n_docs"]

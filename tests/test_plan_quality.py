@@ -505,3 +505,26 @@ def test_grounding_audit_conv_locked_join(spark):
     # the self-join must key on conv_id (hash-partitioned equi-join with
     # the range predicate as join condition), never a cartesian product
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curation_report_fused_single_scan(spark):
+    from extractor.ops.textops import curation_report
+
+    plan = _plan(curation_report(spark, SF))
+    # all three verdicts in one scan: exactly one Exchange (the
+    # per-source agg) and zero joins
+    assert _n_exchanges(plan) == 1, plan
+    assert "Join" not in plan
+    import re as _re
+
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)) == 1, plan
+
+
+def test_classifier_auc_histogram_window(spark):
+    from extractor.ops.textops import classifier_auc
+
+    plan = _plan(classifier_auc(spark, SF))
+    # ranks never touch raw rows: the window runs after the
+    # distinct-score aggregation, and there is no join
+    assert "Join" not in plan
+    assert _n_exchanges(plan) <= 3, plan
