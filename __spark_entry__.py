@@ -647,6 +647,30 @@ def _domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=4)
 
 
+def _domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities over the SAME deterministic
+    domain graph as ``domain_pagerank``, HASH-CHECKED: 3 rounds of the
+    exact-integer max-normalized power iteration
+    (``extractor/ops/links.py::hits``); the oracle unrolls the identical
+    rounds as chained CTEs.  Complements PageRank on the link-analysis
+    surface: hubs (directory pages) vs authorities (cited content) is
+    the crawl-seeding signal PageRank's single score can't give."""
+    from extractor.ops.links import hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s = F.pmod(F.col("doc_id"), F.lit(50))
+    t = F.expr("doc_id DIV 50")
+    edges = (
+        docs.where(F.pmod(s + F.lit(2) * t, F.lit(3)) != 0)
+        .select(
+            s.alias("src"),
+            F.pmod(F.lit(7) * s + t, F.lit(50)).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=3)
+
+
 def _bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS crawl depth over the SAME deterministic domain
     graph as ``domain_pagerank`` (src = doc_id%50, dst = (7·src +
@@ -1546,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-integer ROC AUC of the hashed classifier (Mann-Whitney
         # over the distinct-score histogram, never a global row sort)
         "classifier_auc": textops.classifier_auc,
+        # HITS hubs/authorities, max-normalized exact-integer rounds
+        "domain_hits": _domain_hits,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1709,7 +1735,7 @@ _LAST_GREEN_R2 = [
     "c4_page_filter", "mojibake_stats", "loss_mask_spans",
     "matryoshka_eval", "bin_pack_nextfit",
     "grounding_audit", "turn_latency_stats",
-    "classifier_auc", "curation_report",
+    "classifier_auc", "curation_report", "domain_hits",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5213,6 +5239,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(fill AS BIGINT) AS bin_fill_after
         FROM state
     """
+    # HITS: unroll the 3 max-normalized rounds as chained CTEs over the
+    # shared deterministic domain graph (generated to match links.hits).
+    _hits_cte = [
+        """
+        WITH e AS (
+          SELECT DISTINCT
+                 doc_id % 50 AS src,
+                 (7 * (doc_id % 50) + doc_id // 50) % 50 AS dst
+          FROM documents
+          WHERE ((doc_id % 50) + 2 * (doc_id // 50)) % 3 <> 0
+        ), n AS (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), h0 AS (
+          SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n
+        )"""
+    ]
+    for _k in (1, 2, 3):
+        _hits_cte.append(f""", a{_k}r AS (
+          SELECT n.node, CAST(coalesce(sum(h.hub), 0) AS BIGINT) AS raw
+          FROM n LEFT JOIN e ON e.dst = n.node
+                 LEFT JOIN h{_k - 1} h ON h.node = e.src
+          GROUP BY n.node
+        ), a{_k}m AS (
+          SELECT greatest(max(raw), 1) AS m FROM a{_k}r
+        ), a{_k} AS (
+          SELECT node, CAST(raw * 1000000 // m AS BIGINT) AS auth
+          FROM a{_k}r, a{_k}m
+        ), h{_k}r AS (
+          SELECT n.node, CAST(coalesce(sum(a.auth), 0) AS BIGINT) AS raw
+          FROM n LEFT JOIN e ON e.src = n.node
+                 LEFT JOIN a{_k} a ON a.node = e.dst
+          GROUP BY n.node
+        ), h{_k}m AS (
+          SELECT greatest(max(raw), 1) AS m FROM h{_k}r
+        ), h{_k} AS (
+          SELECT node, CAST(raw * 1000000 // m AS BIGINT) AS hub
+          FROM h{_k}r, h{_k}m
+        )""")
+    _hits_cte.append("""
+        SELECT a3.node, a3.auth, h3.hub
+        FROM a3 JOIN h3 ON a3.node = h3.node
+    """)
+    oracles["domain_hits"] = "".join(_hits_cte)
     # Classifier AUC: Mann-Whitney pair counting over the per-distinct-
     # score histogram of the hashed-classifier oracle.
     oracles["classifier_auc"] = f"""

@@ -1428,6 +1428,27 @@ BINPACK_CAP = 1000      # bin capacity in chars (proxy for tokens)
 BINPACK_SHARDS = 16     # parallel packing shards
 
 
+def nextfit_chain(lengths, cap: int):
+    """The sequential next-fit state chain: given lengths in placement
+    order, return (bin index, fill-after) per item.  An item that no
+    longer fits closes the bin; the first item of a bin always enters
+    it, so an oversized item occupies a bin alone.  Pure function so the
+    per-shard Arrow walk and the property tests share one definition."""
+    bins, fills = [], []
+    b, fill = 0, None
+    for n in lengths:
+        if fill is None:
+            fill = int(n)
+        elif fill + int(n) <= cap:
+            fill += int(n)
+        else:
+            b += 1
+            fill = int(n)
+        bins.append(b)
+        fills.append(fill)
+    return bins, fills
+
+
 def bin_pack_nextfit(spark: SparkSession, sf_dir: str,
                      cap: int = BINPACK_CAP,
                      shards: int = BINPACK_SHARDS) -> DataFrame:
@@ -1464,18 +1485,7 @@ def bin_pack_nextfit(spark: SparkSession, sf_dir: str,
         pdf = pdf.sort_values(
             ["n", "doc_id"], ascending=[False, True], kind="mergesort"
         )
-        bins, fills = [], []
-        b, fill = 0, None
-        for n in pdf["n"]:
-            if fill is None:
-                fill = int(n)
-            elif fill + int(n) <= cap:
-                fill += int(n)
-            else:
-                b += 1
-                fill = int(n)
-            bins.append(b)
-            fills.append(fill)
+        bins, fills = nextfit_chain(pdf["n"], cap)
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),

@@ -427,3 +427,82 @@ def politeness_schedule(urls: DataFrame, limit: int = 200) -> DataFrame:
         "domain",
         "url",
     )
+
+
+def hits(edges: DataFrame, iterations: int = 3,
+         scale: int = 10 ** 6) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    (src, dst) edge table, in EXACT integer arithmetic:
+
+        auth_0 = hub_0 = scale
+        auth'_{k+1}(v) = Σ_{u→v} hub_k(u)
+        auth_{k+1}    = auth' * scale // max(auth')        (per round)
+        hub'_{k+1}(u) = Σ_{u→v} auth_{k+1}(v)
+        hub_{k+1}     = hub' * scale // max(hub')
+
+    Max-normalization replaces the usual L2 norm so every value stays a
+    BIGINT — integer sums and a 1-row max are order-independent, so a
+    SQL oracle verifies the fixpoint bit-for-bit (the same exactness
+    trick as :func:`pagerank`'s floor-division contributions).
+
+    Unlike :func:`pagerank` (one self-reference per round → linear
+    lineage), each half-round here reads the previous vector TWICE (the
+    edge-sum and the 1-row max), so an unbroken lineage doubles per
+    half-round — 2^(2k) recompute.  Each normalized vector is therefore
+    ``localCheckpoint``-ed (node-cardinality rows, cheap) to keep every
+    round O(edges).
+
+    Scale posture (~10^11 edges, ~10^8 nodes): identical to
+    :func:`pagerank` — both score vectors are node-sized and BROADCAST
+    onto the cached, never-reshuffled edge table each half-round; every
+    shuffle carries node-cardinality partial sums; the per-round max is
+    a 1-row aggregate cross-joined back (never a driver collect).  At
+    10^8+ nodes swap broadcasts for src/dst-bucketed sort-merge joins.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    auth = nodes.select("node", F.lit(scale).cast("long").alias("auth"))
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(F.broadcast(hub), e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").cast("long").alias("s"))
+        )
+        auth = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .select(
+                "node",
+                F.coalesce("s", F.lit(0)).cast("long").alias("raw"),
+            )
+        )
+        auth = auth.localCheckpoint()
+        amax = auth.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
+        auth = auth.crossJoin(F.broadcast(amax)).select(
+            "node",
+            F.expr(f"raw * {scale} DIV m").cast("long").alias("auth"),
+        ).localCheckpoint()
+        h_raw = (
+            e.join(F.broadcast(auth), e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").cast("long").alias("s"))
+        )
+        hub = (
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .select(
+                "node",
+                F.coalesce("s", F.lit(0)).cast("long").alias("raw"),
+            )
+        )
+        hub = hub.localCheckpoint()
+        hmax = hub.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
+        hub = hub.crossJoin(F.broadcast(hmax)).select(
+            "node",
+            F.expr(f"raw * {scale} DIV m").cast("long").alias("hub"),
+        ).localCheckpoint()
+    return auth.join(hub, "node").select("node", "auth", "hub")

@@ -147,3 +147,33 @@ def test_linestart_probe_equals_regex(text):
     assert _linestart_probe(text) == (
         _MD_LINESTART_PROBE.search(text) is not None
     )
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=2000), max_size=200),
+    st.integers(min_value=1, max_value=1500),
+)
+def test_nextfit_chain_invariants(lengths, cap):
+    from extractor.ops.dedup import nextfit_chain
+
+    bins, fills = nextfit_chain(lengths, cap)
+    assert len(bins) == len(fills) == len(lengths)
+    prev_b, prev_fill = 0, 0
+    for n, b, fill in zip(lengths, bins, fills):
+        # bins only ever advance by 0 or 1
+        assert b in (prev_b, prev_b + 1)
+        if b == prev_b and fill != n:
+            # stayed in the bin: fill accumulates and respects cap
+            assert fill == prev_fill + n and fill <= cap
+        else:
+            # opened (or started) a bin: fill restarts at n
+            assert fill == n
+        prev_b, prev_fill = b, fill
+    # a bin exceeding cap must contain exactly one (oversized) item
+    from collections import Counter
+
+    per_bin = Counter(bins)
+    for n, b, fill in zip(lengths, bins, fills):
+        if fill > cap:
+            assert per_bin[b] == 1 and n > cap
