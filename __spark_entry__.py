@@ -671,6 +671,38 @@ def _domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=3)
 
 
+def _domain_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, 4 fixed rounds) over a deterministic domain
+    graph built to exhibit the real cascade: a sparse chain layer
+    (doc_id%150 generator, mod-7 keep) that peels away round by round
+    PLUS a dense 12-node ring layer that survives as the core — at
+    sf0.01 the alive set contracts 108 → 22 → 12 → 12 → 12, i.e. the
+    peel CONVERGES inside the round budget and the output is the true
+    3-core (the link-ring/spam-farm detection signal of web curation).
+    HASH-CHECKED: the oracle unrolls the identical rounds as chained
+    CTEs over the identical generated graph."""
+    from extractor.ops.links import kcore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s150 = F.pmod(F.col("doc_id"), F.lit(150))
+    chain = docs.where(
+        F.pmod(s150 + F.lit(3) * F.expr("doc_id DIV 150"), F.lit(7)) == 0
+    ).select(
+        s150.alias("src"),
+        F.pmod(F.lit(7) * s150 + F.expr("doc_id DIV 150"), F.lit(150)).alias(
+            "dst"
+        ),
+    )
+    s12 = F.pmod(F.col("doc_id"), F.lit(12))
+    core = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        s12.alias("src"),
+        F.pmod(F.lit(5) * s12 + F.expr("doc_id DIV 12"), F.lit(12)).alias(
+            "dst"
+        ),
+    )
+    return kcore(chain.union(core).distinct(), k=3, rounds=4)
+
+
 def _bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS crawl depth over the SAME deterministic domain
     graph as ``domain_pagerank`` (src = doc_id%50, dst = (7·src +
@@ -1572,6 +1604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": textops.classifier_auc,
         # HITS hubs/authorities, max-normalized exact-integer rounds
         "domain_hits": _domain_hits,
+        # blocked-Levenshtein entity resolution: best fuzzy duplicate
+        # per part (equi-join blocking + length-band prune + struct-min)
+        "fuzzy_match_parts": dedup.fuzzy_match_parts,
+        # k-core peeling (converged 3-core of the layered domain graph)
+        "domain_kcore": _domain_kcore,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1736,6 +1773,7 @@ _LAST_GREEN_R2 = [
     "matryoshka_eval", "bin_pack_nextfit",
     "grounding_audit", "turn_latency_stats",
     "classifier_auc", "curation_report", "domain_hits",
+    "fuzzy_match_parts", "domain_kcore",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5282,6 +5320,66 @@ def oracle_sql() -> dict[str, str]:
         FROM a3 JOIN h3 ON a3.node = h3.node
     """)
     oracles["domain_hits"] = "".join(_hits_cte)
+    # k-core: unroll the 4 peel rounds as chained CTEs over the layered
+    # deterministic graph (sparse chain + dense 12-node core).
+    _kcore_cte = [
+        """
+        WITH e0 AS (
+          SELECT DISTINCT doc_id % 150 AS src,
+                 (7 * (doc_id % 150) + doc_id // 150) % 150 AS dst
+          FROM documents
+          WHERE ((doc_id % 150) + 3 * (doc_id // 150)) % 7 = 0
+          UNION
+          SELECT DISTINCT doc_id % 12 AS src,
+                 (5 * (doc_id % 12) + doc_id // 12) % 12 AS dst
+          FROM documents
+          WHERE doc_id % 5 = 0
+        ), e AS (
+          SELECT src, dst FROM e0 WHERE src <> dst
+          UNION SELECT dst, src FROM e0 WHERE src <> dst
+        ), a0 AS (
+          SELECT DISTINCT src AS node FROM e
+        )"""
+    ]
+    for _k in (1, 2, 3, 4):
+        _kcore_cte.append(f""", d{_k} AS (
+          SELECT e.src AS node, count(*) AS deg
+          FROM e JOIN a{_k - 1} x ON x.node = e.src
+                 JOIN a{_k - 1} y ON y.node = e.dst
+          GROUP BY e.src
+        ), a{_k} AS (
+          SELECT node FROM d{_k} WHERE deg >= 3
+        )""")
+    _kcore_cte.append("""
+        SELECT CAST(e.src AS BIGINT) AS node,
+               CAST(count(*) AS BIGINT) AS deg
+        FROM e JOIN a4 x ON x.node = e.src
+               JOIN a4 y ON y.node = e.dst
+        GROUP BY e.src
+    """)
+    oracles["domain_kcore"] = "".join(_kcore_cte)
+    # Blocked fuzzy entity resolution: identical blocking + levenshtein
+    # threshold; the argmin tie-break (dist, then key) via row_number.
+    oracles["fuzzy_match_parts"] = """
+        WITH p AS (
+          SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS n,
+                 split_part(p_name, ' ', 1) AS b,
+                 length(p_name) AS ln
+          FROM part
+        ), pairs AS (
+          SELECT a.k, c.k AS k2, levenshtein(a.n, c.n) AS d
+          FROM p a JOIN p c ON a.b = c.b AND a.k <> c.k
+                              AND abs(a.ln - c.ln) <= 5
+          WHERE levenshtein(a.n, c.n) <= 5
+        ), ranked AS (
+          SELECT k, k2, d,
+                 row_number() OVER (PARTITION BY k ORDER BY d, k2) AS rn
+          FROM pairs
+        )
+        SELECT k AS p_partkey, CAST(k2 AS BIGINT) AS match_key,
+               CAST(d AS BIGINT) AS dist
+        FROM ranked WHERE rn = 1
+    """
     # Classifier AUC: Mann-Whitney pair counting over the per-distinct-
     # score histogram of the hashed-classifier oracle.
     oracles["classifier_auc"] = f"""

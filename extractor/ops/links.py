@@ -506,3 +506,59 @@ def hits(edges: DataFrame, iterations: int = 3,
             F.expr(f"raw * {scale} DIV m").cast("long").alias("hub"),
         ).localCheckpoint()
     return auth.join(hub, "node").select("node", "auth", "hub")
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected graph given as a
+    (src, dst) edge table (either orientation; self-loops dropped,
+    duplicates collapsed): each round removes every node whose degree
+    in the CURRENTLY-surviving induced subgraph is below ``k``.  After
+    ``rounds`` peels, returns the survivors with their induced degree
+    ``(node, deg)``.  Fixed-iteration semantics (like :func:`hits` /
+    :func:`pagerank`) keep the op exactly SQL-unrollable; at the
+    convergence point a{r} == a{r-1} and the result IS the k-core —
+    the spam-farm/link-ring filter of web-graph curation (a genuine
+    k-core is densely interlinked; chains and stars peel away).
+
+    Scale posture (~10^11 edges): the symmetrized edge table is
+    persisted once and NEVER re-shuffled — each round's degree count
+    joins it against two BROADCAST copies of the (node-cardinality,
+    shrinking) alive set, then one map-side-combined count per src.
+    The alive set is read twice per round (src- and dst-side), so it is
+    ``localCheckpoint``-ed to keep lineage linear.  At 10^8+ surviving
+    nodes, swap the broadcasts for src/dst-bucketed semi-joins; the
+    edge table still never moves."""
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    e = (
+        e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    alive = (
+        e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+
+    def _induced_degree(surv: DataFrame) -> DataFrame:
+        return (
+            e.join(
+                F.broadcast(surv.select(F.col("node").alias("src"))), "src"
+            )
+            .join(
+                F.broadcast(surv.select(F.col("node").alias("dst"))), "dst"
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    for _ in range(rounds):
+        alive = (
+            _induced_degree(alive)
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+    return _induced_degree(alive).select(
+        F.col("src").cast("long").alias("node"), "deg"
+    )

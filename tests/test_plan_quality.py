@@ -528,3 +528,41 @@ def test_classifier_auc_histogram_window(spark):
     # distinct-score aggregation, and there is no join
     assert "Join" not in plan
     assert _n_exchanges(plan) <= 3, plan
+
+
+def test_domain_hits_broadcast_power_iteration(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e._domain_hits(spark, SF))
+    # the power-iteration rounds run eagerly at localCheckpoint time
+    # (lineage cut is the point), so the returned plan is just the final
+    # auth⋈hub join of two node-cardinality checkpoint relations: it
+    # must be a plain equi-join (never a cartesian product) with only
+    # its own partitioning exchanges
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_fuzzy_match_blocked_equi_join(spark):
+    from extractor.ops.dedup import fuzzy_match_parts
+
+    plan = _plan(fuzzy_match_parts(spark, SF))
+    # blocking makes the self-join an equi-join: no cartesian product /
+    # broadcast nested loop; the argmin is a struct-min aggregate (no
+    # row_number window sort)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "levenshtein" in plan
+
+
+def test_domain_kcore_edges_never_reshuffle(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e._domain_kcore(spark, SF))
+    # every alive-set filter is a broadcast join against the persisted
+    # edge table — the only Exchanges are the initial distinct and the
+    # per-round degree aggregations (node-cardinality keys)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
