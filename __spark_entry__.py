@@ -1609,6 +1609,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_parts": dedup.fuzzy_match_parts,
         # k-core peeling (converged 3-core of the layered domain graph)
         "domain_kcore": _domain_kcore,
+        # reliability-diagram calibration of the hashed classifier:
+        # mid-rank confidence vs observed accuracy per decile, exact
+        "calibration_ece": textops.calibration_ece,
+        # Bradley-Terry episode strengths: exact-integer MM rounds over
+        # bounded within-family pairwise comparisons
+        "bt_strength": convops.bt_strength_query,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1773,7 +1779,8 @@ _LAST_GREEN_R2 = [
     "matryoshka_eval", "bin_pack_nextfit",
     "grounding_audit", "turn_latency_stats",
     "classifier_auc", "curation_report", "domain_hits",
-    "fuzzy_match_parts", "domain_kcore",
+    "fuzzy_match_parts", "domain_kcore", "calibration_ece",
+    "bt_strength",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5358,6 +5365,109 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.src
     """)
     oracles["domain_kcore"] = "".join(_kcore_cte)
+    # Calibration ECE: mid-rank confidence per distinct score, decile
+    # bins, exact integer accuracy/confidence gap — all on the
+    # distinct-score histogram of the shared classifier oracle.
+    oracles["calibration_ece"] = f"""
+        WITH s AS ({oracles["hashed_classifier_score"]}),
+        d AS (
+          SELECT score,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '8' AS y
+          FROM s
+        ), per AS (
+          SELECT score,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+          FROM d GROUP BY score
+        ), c AS (
+          SELECT n, p,
+                 CAST(coalesce(sum(n) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS cumb,
+                 CAST(sum(n) OVER () AS BIGINT) AS tot
+          FROM per
+        ), ph AS (
+          SELECT n, p,
+                 (2 * cumb + n) * 500000 // tot AS phat
+          FROM c
+        ), b AS (
+          SELECT least(phat // 100000, 9) AS bin,
+                 CAST(sum(n) AS BIGINT) AS nb,
+                 CAST(sum(p) AS BIGINT) AS pb,
+                 CAST(sum(n * phat) AS BIGINT) AS confsum
+          FROM ph GROUP BY 1
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, nb AS n,
+               CAST(pb * 1000000 // nb AS BIGINT) AS acc_micro,
+               CAST(confsum // nb AS BIGINT) AS conf_micro,
+               CAST(abs(pb * 1000000 // nb - confsum // nb) AS BIGINT)
+                 AS gap_micro
+        FROM b
+    """
+    # Bradley-Terry MM: identical deterministic comparisons (md5-ranked
+    # family contestants, lexicographic winner), 3 unrolled exact-
+    # integer rounds with per-round max normalization.
+    _bt_cte = [
+        f"""
+        {convops.DTR_SHARED_CTE}, sc AS (
+          SELECT conv_id,
+                 CAST(sum(length(text)) + count(*) AS BIGINT) AS score,
+                 conv_id % 32 AS g
+          FROM dtrs WHERE role = 'assistant' GROUP BY conv_id
+        ), samp AS (
+          SELECT * FROM (
+            SELECT g, conv_id, score,
+                   row_number() OVER (PARTITION BY g
+                     ORDER BY md5('bt:' || CAST(conv_id AS VARCHAR)),
+                              conv_id) AS rk
+            FROM sc
+          ) WHERE rk <= 6
+        ), comp AS (
+          SELECT CASE WHEN (a.score, a.conv_id) > (c.score, c.conv_id)
+                      THEN a.conv_id ELSE c.conv_id END AS w,
+                 CASE WHEN (a.score, a.conv_id) > (c.score, c.conv_id)
+                      THEN c.conv_id ELSE a.conv_id END AS l
+          FROM samp a JOIN samp c ON a.g = c.g AND a.rk < c.rk
+        ), items AS (
+          SELECT w AS conv_id FROM comp UNION SELECT l FROM comp
+        ), wins AS (
+          SELECT i.conv_id, CAST(coalesce(cw.n, 0) AS BIGINT) AS wins
+          FROM items i LEFT JOIN (
+            SELECT w, count(*) AS n FROM comp GROUP BY w
+          ) cw ON cw.w = i.conv_id
+        ), p0 AS (
+          SELECT conv_id, CAST(1000000 AS BIGINT) AS pv FROM items
+        )"""
+    ]
+    for _k in (1, 2, 3):
+        _bt_cte.append(f""", t{_k} AS (
+          SELECT comp.w, comp.l,
+                 CAST(1000000000000 // greatest(pw.pv + pl.pv, 1)
+                      AS BIGINT) AS term
+          FROM comp JOIN p{_k - 1} pw ON pw.conv_id = comp.w
+                    JOIN p{_k - 1} pl ON pl.conv_id = comp.l
+        ), d{_k} AS (
+          SELECT conv_id, CAST(sum(term) AS BIGINT) AS dsum FROM (
+            SELECT w AS conv_id, term FROM t{_k}
+            UNION ALL SELECT l, term FROM t{_k}
+          ) GROUP BY conv_id
+        ), praw{_k} AS (
+          SELECT wins.conv_id,
+                 CAST(wins.wins * 1000000000000 // greatest(d.dsum, 1)
+                      AS BIGINT) AS raw
+          FROM wins JOIN d{_k} d USING (conv_id)
+        ), m{_k} AS (
+          SELECT greatest(max(raw), 1) AS m FROM praw{_k}
+        ), p{_k} AS (
+          SELECT conv_id, CAST(raw * 1000000 // m AS BIGINT) AS pv
+          FROM praw{_k}, m{_k}
+        )""")
+    _bt_cte.append("""
+        SELECT CAST(w.conv_id AS BIGINT) AS conv_id, w.wins,
+               p3.pv AS strength
+        FROM wins w JOIN p3 ON p3.conv_id = w.conv_id
+    """)
+    oracles["bt_strength"] = "".join(_bt_cte)
     # Blocked fuzzy entity resolution: identical blocking + levenshtein
     # threshold; the argmin tie-break (dist, then key) via row_number.
     oracles["fuzzy_match_parts"] = """

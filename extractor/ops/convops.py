@@ -1030,3 +1030,161 @@ def derived_transcripts_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def turn_latency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_latency_stats(derived_transcripts_ts(spark, sf_dir))
+
+
+BT_GROUPS = 32        # episode families (conv_id % BT_GROUPS)
+BT_PER_GROUP = 6      # sampled contestants per family
+BT_ROUNDS = 3         # fixed MM iterations
+BT_SCALE = 10 ** 6    # strength fixed-point scale
+BT_BIG = 10 ** 12     # floor-division headroom per MM term
+
+
+def bt_strength(turns: DataFrame, n_groups: int = BT_GROUPS,
+                per_group: int = BT_PER_GROUP, rounds: int = BT_ROUNDS,
+                scale: int = BT_SCALE, big: int = BT_BIG) -> DataFrame:
+    """Bradley–Terry strength estimation over pairwise episode
+    comparisons — the reward-model pre-step that turns a pile of
+    (chosen, rejected) preference pairs into a per-policy scalar
+    ranking (Elo-style leaderboards, RLHF data triage).  Fixed-round
+    minorization-maximization in EXACT integer arithmetic:
+
+        p_0(i)   = scale
+        D_r(i)   = Σ_{comparisons (i,j)} big // max(p_{r-1}(i)+p_{r-1}(j), 1)
+        p'_r(i)  = wins(i) * big // D_r(i)
+        p_r      = p'_r * scale // max_i(p'_r)       (per-round max norm)
+
+    Every quantity is a BIGINT (integer sums + floor division + a 1-row
+    max are order-independent), so a SQL oracle unrolls the identical
+    rounds and matches bit-for-bit — the same exactness pattern as
+    ``links.pagerank``/``links.hits``.  Winless items floor to 0, the
+    true BT maximum-likelihood direction.
+
+    Comparisons are synthesized deterministically: conversations score
+    by the same all-integer proxy as :func:`mine_preference_pairs`,
+    families are ``conv_id % n_groups``, each family fields its
+    ``per_group`` md5-ranked contestants, and every within-family pair
+    plays once (winner = lexicographic (score, conv_id) max).  Bounding
+    the family size caps comparisons at C(per_group, 2) per family —
+    the all-pairs blowup is impossible by construction.
+
+    Scale posture: the comparison table is ``localCheckpoint``-ed once
+    (≤ n_groups·C(per_group,2) rows at any corpus size — sampling, not
+    the corpus, sets its cardinality); each round BROADCASTS the
+    item-cardinality strength vector onto it twice (winner/loser side),
+    aggregates node-keyed partial sums, and max-normalizes via a 1-row
+    broadcast — no driver collect, nothing corpus-sized ever shuffles
+    after the one per-conv score aggregate.
+
+    Output: ``(conv_id, wins, strength)``, all BIGINT."""
+    score = (
+        turns.where(F.col("role") == "assistant")
+        .groupBy("conv_id")
+        .agg(
+            (
+                F.sum(F.length("text")).cast("long")
+                + F.count(F.lit(1)).cast("long")
+            ).alias("score")
+        )
+        .withColumn("g", F.pmod(F.col("conv_id"), F.lit(n_groups)))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("g").orderBy(
+            F.md5(
+                F.concat(
+                    F.lit("bt:"), F.col("conv_id").cast("string")
+                ).cast("binary")
+            ),
+            "conv_id",
+        )
+    )
+    samp = score.withColumn("rk", rk).where(F.col("rk") <= per_group)
+    a, c = samp.alias("a"), samp.alias("c")
+    comp = (
+        a.join(c, "g")
+        .where(F.col("a.rk") < F.col("c.rk"))
+        .select(
+            F.when(
+                F.struct("a.score", "a.conv_id")
+                > F.struct("c.score", "c.conv_id"),
+                F.col("a.conv_id"),
+            )
+            .otherwise(F.col("c.conv_id"))
+            .alias("w"),
+            F.when(
+                F.struct("a.score", "a.conv_id")
+                > F.struct("c.score", "c.conv_id"),
+                F.col("c.conv_id"),
+            )
+            .otherwise(F.col("a.conv_id"))
+            .alias("l"),
+        )
+        .localCheckpoint()
+    )
+    items = (
+        comp.select(F.col("w").alias("conv_id"))
+        .union(comp.select(F.col("l").alias("conv_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    wins = items.join(
+        comp.groupBy(F.col("w").alias("conv_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("wins")
+        ),
+        "conv_id",
+        "left",
+    ).select(
+        "conv_id", F.coalesce("wins", F.lit(0)).cast("long").alias("wins")
+    ).localCheckpoint()
+    p = items.select(
+        "conv_id", F.lit(scale).cast("long").alias("pv")
+    )
+    for _ in range(rounds):
+        t = (
+            comp.join(
+                F.broadcast(
+                    p.select(F.col("conv_id").alias("w"),
+                             F.col("pv").alias("pw"))
+                ),
+                "w",
+            )
+            .join(
+                F.broadcast(
+                    p.select(F.col("conv_id").alias("l"),
+                             F.col("pv").alias("pl"))
+                ),
+                "l",
+            )
+            .select(
+                "w",
+                "l",
+                F.expr(f"{big} DIV greatest(pw + pl, 1)")
+                .cast("long")
+                .alias("term"),
+            )
+        )
+        d = (
+            t.select(F.col("w").alias("conv_id"), "term")
+            .union(t.select(F.col("l").alias("conv_id"), "term"))
+            .groupBy("conv_id")
+            .agg(F.sum("term").cast("long").alias("dsum"))
+        )
+        praw = wins.join(d, "conv_id").select(
+            "conv_id",
+            F.expr(f"wins * {big} DIV greatest(dsum, 1)")
+            .cast("long")
+            .alias("raw"),
+        ).localCheckpoint()
+        pmax = praw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
+        p = praw.crossJoin(F.broadcast(pmax)).select(
+            "conv_id",
+            F.expr(f"raw * {scale} DIV m").cast("long").alias("pv"),
+        ).localCheckpoint()
+    return wins.join(p, "conv_id").select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        "wins",
+        F.col("pv").alias("strength"),
+    )
+
+
+def bt_strength_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bt_strength(derived_transcripts_shared(spark, sf_dir))

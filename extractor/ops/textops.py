@@ -1560,3 +1560,65 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pass_all"),
         )
     )
+
+
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer calibration (reliability-diagram) audit of the
+    hashed quality classifier — the companion to :func:`classifier_auc`:
+    AUC says the ranking is right, calibration says the SCORES can be
+    trusted as probabilities before a corpus gate thresholds on them.
+
+    Confidence is the mid-rank fraction of each distinct score in
+    micro-units (``(2*cum_below + n_at) * 500000 DIV N`` — rank-based
+    calibration, exactly integer), bucketed into 10 equal-width bins;
+    per bin the audit reports observed accuracy vs mean confidence and
+    their absolute gap (the per-bin ECE term), all in BIGINT
+    micro-units so the oracle matches bit-for-bit.
+
+    Scale topology (100 TB): identical to ``classifier_auc`` — scores
+    collapse to one row per DISTINCT score first (one map-side-combined
+    shuffle), and every window (cumulative count, grand total) runs over
+    that bounded histogram relation, never over raw rows; the final
+    10-row bin aggregate is a second tiny shuffle.
+
+    Output: ``(bin, n, acc_micro, conf_micro, gap_micro)``."""
+    s = hashed_classifier_score(spark, sf_dir).select("doc_id", "score")
+    y = F.expr(
+        "substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 2, 1) < '8'"
+    )
+    per = (
+        s.select("score", y.alias("y"))
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("p"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = (
+        per.withColumn(
+            "cumb", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+        .withColumn("phat", F.expr("(2 * cumb + n) * 500000 DIV tot"))
+        .withColumn(
+            "bin",
+            F.least(F.expr("phat DIV 100000"), F.lit(9)).cast("long"),
+        )
+    )
+    b = c.groupBy("bin").agg(
+        F.sum("n").cast("long").alias("nb"),
+        F.sum("p").cast("long").alias("pb"),
+        F.sum(F.expr("n * phat")).cast("long").alias("confsum"),
+    )
+    return b.select(
+        "bin",
+        F.col("nb").alias("n"),
+        F.expr("pb * 1000000 DIV nb").cast("long").alias("acc_micro"),
+        F.expr("confsum DIV nb").cast("long").alias("conf_micro"),
+        F.abs(
+            F.expr("pb * 1000000 DIV nb") - F.expr("confsum DIV nb")
+        )
+        .cast("long")
+        .alias("gap_micro"),
+    )

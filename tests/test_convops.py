@@ -548,3 +548,38 @@ def test_turn_latency_transitions(spark):
     assert (ua["min_gap_s"], ua["max_gap_s"]) == (4, 15)
     assert ua["mean_gap_milli"] == 26 * 1000 // 3
     assert out["assistant->user"]["n_gaps"] == 1
+
+
+def test_bt_strength_invariants(spark):
+    from extractor.ops.convops import BT_SCALE, bt_strength
+
+    turns = spark.createDataFrame(
+        [
+            (c, t, "assistant", "x" * (10 + 7 * c % 40))
+            for c in range(20)
+            for t in range(1 + c % 3)
+        ],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    rows = bt_strength(turns, n_groups=4, per_group=4, rounds=2).collect()
+    assert rows, "comparisons must exist"
+    by_id = {r["conv_id"]: r for r in rows}
+    assert len(by_id) == len(rows)  # one row per item
+    # strengths normalized into [0, SCALE] with the max pinned AT scale
+    assert all(0 <= r["strength"] <= BT_SCALE for r in rows)
+    assert max(r["strength"] for r in rows) == BT_SCALE
+    # wins bounded by per_group-1 games each; winless floor to 0
+    assert all(0 <= r["wins"] <= 3 for r in rows)
+    for r in rows:
+        if r["wins"] == 0:
+            assert r["strength"] == 0
+    # strength must be monotone with wins within a family (same opponents)
+    from collections import defaultdict
+
+    fam = defaultdict(list)
+    for r in rows:
+        fam[r["conv_id"] % 4].append((r["wins"], r["strength"]))
+    for members in fam.values():
+        members.sort()
+        ws = [s for _, s in members]
+        assert ws == sorted(ws), members

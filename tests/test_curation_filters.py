@@ -243,3 +243,20 @@ def test_curation_report_funnel_consistency(spark):
         )
         for c in ("n_pass_c4", "n_pass_quality", "n_clean_encoding"):
             assert 0 <= r[c] <= r["n_docs"]
+
+
+def test_calibration_ece_bins(spark):
+    from extractor.ops.textops import calibration_ece
+
+    rows = calibration_ece(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    for r in rows:
+        assert 0 <= r["acc_micro"] <= 1_000_000
+        assert 0 <= r["conf_micro"] <= 1_000_000
+        assert r["gap_micro"] == abs(r["acc_micro"] - r["conf_micro"])
+        assert r["n"] > 0
+    # mid-rank confidences must be monotone with the bin index
+    by_bin = sorted((r["bin"], r["conf_micro"]) for r in rows)
+    confs = [c for _, c in by_bin]
+    assert confs == sorted(confs)
