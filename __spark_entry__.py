@@ -703,6 +703,14 @@ def _domain_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(chain.union(core).distinct(), k=3, rounds=4)
 
 
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extractor.ops.temporal import retention_cohorts
+
+    return retention_cohorts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def _bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS crawl depth over the SAME deterministic domain
     graph as ``domain_pagerank`` (src = doc_id%50, dst = (7·src +
@@ -1615,6 +1623,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bradley-Terry episode strengths: exact-integer MM rounds over
         # bounded within-family pairwise comparisons
         "bt_strength": convops.bt_strength_query,
+        # weekly retention cohort matrix (integer week indices; the
+        # distinct-user count pre-aggregates on (cell, user))
+        "retention_cohorts": _retention_cohorts,
+        # zone-map data-skipping audit: clustered vs scattered layouts
+        # of the same rows under one date predicate
+        "zonemap_prune_stats": maintenance.zonemap_prune_stats,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1780,7 +1794,7 @@ _LAST_GREEN_R2 = [
     "grounding_audit", "turn_latency_stats",
     "classifier_auc", "curation_report", "domain_hits",
     "fuzzy_match_parts", "domain_kcore", "calibration_ece",
-    "bt_strength",
+    "bt_strength", "retention_cohorts", "zonemap_prune_stats",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5468,6 +5482,58 @@ def oracle_sql() -> dict[str, str]:
         FROM wins w JOIN p3 ON p3.conv_id = w.conv_id
     """)
     oracles["bt_strength"] = "".join(_bt_cte)
+    # Retention cohorts: integer week indices from the fixed epoch,
+    # per-user first week, distinct users + events per (cohort, offset).
+    oracles["retention_cohorts"] = """
+        WITH e AS (
+          SELECT user_id,
+                 CAST(datediff('day', DATE '2024-01-01',
+                               CAST(ts AS DATE)) AS BIGINT) // 7 AS wk
+          FROM events
+        ), cohort AS (
+          SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id
+        ), cells AS (
+          SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset,
+                 e.user_id, count(*) AS n
+          FROM e JOIN cohort c USING (user_id)
+          GROUP BY 1, 2, 3
+        )
+        SELECT cohort_week, week_offset,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM cells GROUP BY 1, 2
+    """
+    # Zone maps: identical layout arithmetic + min/max zones + the
+    # prune verdict for the fixed date window, both layouts unioned.
+    oracles["zonemap_prune_stats"] = """
+        WITH o AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS k,
+                 CAST(datediff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+          FROM orders
+        ), bounds AS (
+          SELECT CAST(datediff('day', DATE '1992-01-01',
+                               DATE '1995-01-01') AS BIGINT) AS lo,
+                 CAST(datediff('day', DATE '1992-01-01',
+                               DATE '1995-06-30') AS BIGINT) AS hi
+        ), z AS (
+          SELECT 'clustered' AS layout, day // 45 AS file_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(min(day) AS BIGINT) AS min_day,
+                 CAST(max(day) AS BIGINT) AS max_day
+          FROM o GROUP BY 2
+          UNION ALL
+          SELECT 'scattered' AS layout, k % 64 AS file_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(min(day) AS BIGINT) AS min_day,
+                 CAST(max(day) AS BIGINT) AS max_day
+          FROM o GROUP BY 2
+        )
+        SELECT layout, CAST(file_id AS BIGINT) AS file_id, n_rows,
+               min_day, max_day,
+               (max_day < bounds.lo OR min_day > bounds.hi) AS pruned
+        FROM z, bounds
+    """
     # Blocked fuzzy entity resolution: identical blocking + levenshtein
     # threshold; the argmin tie-break (dist, then key) via row_number.
     oracles["fuzzy_match_parts"] = """

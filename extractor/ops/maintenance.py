@@ -485,3 +485,73 @@ def psi_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
     cur = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
     return psi_drift_profile(base, cur, "n_chars")
+
+
+ZM_DAYS_PER_FILE = 45          # ingest-clustered layout: days per file
+ZM_N_FILES = 64                # hash-scattered layout: file count
+ZM_PRED_LO = "1995-01-01"      # audited predicate: orderdate range
+ZM_PRED_HI = "1995-06-30"
+
+
+def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) effectiveness audit — the
+    planning signal behind parquet row-group pruning, Iceberg manifest
+    filtering, and Delta file skipping: per synthetic file, the
+    ``o_orderdate`` min/max zone plus whether a fixed date-range
+    predicate could PRUNE the whole file without reading it.  Two
+    layouts of the same rows are audited side-by-side:
+
+    - ``clustered``: files cut by ingest date (``day DIV 45``) — zones
+      are tight, almost every out-of-range file prunes;
+    - ``scattered``: files cut by ``o_orderkey % 64`` (hash layout) —
+      every zone spans the full date range, NOTHING prunes.
+
+    The contrast is the whole argument for Z-order/date clustering at
+    100 TB (see ``zorder_key``): identical data, identical predicate,
+    ~60× difference in files touched.  Dates are integer day indices
+    (``datediff`` from the TPC-H epoch) so the oracle is exact.
+
+    Output: ``(layout, file_id, n_rows, min_day, max_day, pruned)``;
+    one map-side-combinable aggregate per layout over one scan each —
+    the audit itself never shuffles more than 2×n_files tiny rows."""
+    day = F.expr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        " AS BIGINT)"
+    )
+    lo = F.expr(
+        f"CAST(datediff(DATE'{ZM_PRED_LO}', DATE'1992-01-01') AS BIGINT)"
+    )
+    hi = F.expr(
+        f"CAST(datediff(DATE'{ZM_PRED_HI}', DATE'1992-01-01') AS BIGINT)"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("k"), day.alias("day")
+    )
+    layouts = {
+        "clustered": F.expr(f"day DIV {ZM_DAYS_PER_FILE}"),
+        "scattered": F.pmod(F.col("k"), F.lit(ZM_N_FILES)).cast("long"),
+    }
+    outs = []
+    for name, file_id in layouts.items():
+        zones = (
+            orders.select(file_id.alias("file_id"), "day")
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("day").cast("long").alias("min_day"),
+                F.max("day").cast("long").alias("max_day"),
+            )
+        )
+        outs.append(
+            zones.select(
+                F.lit(name).alias("layout"),
+                "file_id",
+                "n_rows",
+                "min_day",
+                "max_day",
+                ((F.col("max_day") < lo) | (F.col("min_day") > hi)).alias(
+                    "pruned"
+                ),
+            )
+        )
+    return outs[0].unionAll(outs[1])

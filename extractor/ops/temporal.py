@@ -265,3 +265,49 @@ def zscore_outliers(events: DataFrame,
     return framed.where(
         (n == window) & (dev2 > F.lit(z2) * var_n2)
     ).select("event_id", "user_id", "value_milli", "win_sum", "win_sumsq")
+
+
+RETENTION_EPOCH = "2024-01-01"  # week-index origin (testdata starts here)
+
+
+def retention_cohorts(events: DataFrame,
+                      epoch: str = RETENTION_EPOCH) -> DataFrame:
+    """Weekly retention-cohort matrix — the standard activation/churn
+    rollup of any event-stream product analytics (and, for a training
+    pipeline, the user-activity weighting signal): users are cohorted
+    by their FIRST active week, then each (cohort, week-offset) cell
+    counts the distinct users active that many weeks later.
+
+    Weeks are pure integers (``datediff(day, epoch, ts) DIV 7``) —
+    never ``date_trunc('week', ...)``, whose week-start convention is
+    an engine-specific trap; integer week indices make the oracle exact
+    and the math timezone-free.
+
+    Output: ``(cohort_week, week_offset, n_users, n_events)``.
+
+    Scale shape (10^12 events): (1) per-user min-week — one map-side-
+    combinable agg keyed by user; (2) events⋈cohort hash equi-join on
+    user_id (both sides naturally partition by user; no broadcast
+    needed, no skew — user activity is the partition key); (3) the
+    distinct-user count per cell pre-aggregates on (cohort, offset,
+    user) before the final cell rollup, so reducer keys never exceed
+    user-cardinality.  Nothing driver-side."""
+    wk = F.expr(
+        f"CAST(datediff(CAST(ts AS DATE), DATE'{epoch}') AS BIGINT) DIV 7"
+    )
+    e = events.select("user_id", wk.alias("wk"))
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    cells = (
+        e.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return cells.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )

@@ -184,3 +184,29 @@ def test_length_curriculum_profile_shape(spark):
     for a, b in zip(srt, srt[1:]):
         assert a["max_chars"] <= b["min_chars"]
     assert total > 0
+
+
+def test_zonemap_clustered_prunes_scattered_does_not(spark):
+    from extractor.ops.maintenance import zonemap_prune_stats
+
+    rows = zonemap_prune_stats(spark, "/root/testdata/sf0.001").collect()
+    by_layout = {"clustered": [], "scattered": []}
+    for r in rows:
+        by_layout[r["layout"]].append(r)
+    # same rows audited under both layouts
+    assert sum(r["n_rows"] for r in by_layout["clustered"]) == sum(
+        r["n_rows"] for r in by_layout["scattered"]
+    )
+    # date-clustered files skip; hash-scattered zones mostly span the
+    # range (at sf0.001 a ~23-row file can miss the window by chance,
+    # so assert the ordering, not absolute zero)
+    def pruned_frac(rs):
+        return sum(r["pruned"] for r in rs) / len(rs)
+
+    assert pruned_frac(by_layout["clustered"]) > 0.5
+    assert (
+        pruned_frac(by_layout["clustered"])
+        > 2 * pruned_frac(by_layout["scattered"])
+    )
+    # zones are real bounds
+    assert all(r["min_day"] <= r["max_day"] for r in rows)
