@@ -703,6 +703,34 @@ def _domain_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(chain.union(core).distinct(), k=3, rounds=4)
 
 
+def _domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (3 rounds, smallest-
+    label tie-break) over the SAME layered graph as ``domain_kcore`` —
+    the dense 12-node ring coheres onto one label while the sparse
+    chains fragment.  HASH-CHECKED: the oracle unrolls the identical
+    mode-vote rounds (argmax via count desc, label asc row_number)."""
+    from extractor.ops.links import label_propagation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s150 = F.pmod(F.col("doc_id"), F.lit(150))
+    chain = docs.where(
+        F.pmod(s150 + F.lit(3) * F.expr("doc_id DIV 150"), F.lit(7)) == 0
+    ).select(
+        s150.alias("src"),
+        F.pmod(F.lit(7) * s150 + F.expr("doc_id DIV 150"), F.lit(150)).alias(
+            "dst"
+        ),
+    )
+    s12 = F.pmod(F.col("doc_id"), F.lit(12))
+    core = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        s12.alias("src"),
+        F.pmod(F.lit(5) * s12 + F.expr("doc_id DIV 12"), F.lit(12)).alias(
+            "dst"
+        ),
+    )
+    return label_propagation(chain.union(core).distinct(), rounds=3)
+
+
 def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from extractor.ops.temporal import retention_cohorts
 
@@ -1629,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zone-map data-skipping audit: clustered vs scattered layouts
         # of the same rows under one date predicate
         "zonemap_prune_stats": maintenance.zonemap_prune_stats,
+        # mode-vote label-propagation communities (3 unrolled rounds)
+        "domain_communities": _domain_communities,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1795,6 +1825,7 @@ _LAST_GREEN_R2 = [
     "classifier_auc", "curation_report", "domain_hits",
     "fuzzy_match_parts", "domain_kcore", "calibration_ece",
     "bt_strength", "retention_cohorts", "zonemap_prune_stats",
+    "domain_communities",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5534,6 +5565,29 @@ def oracle_sql() -> dict[str, str]:
                (max_day < bounds.lo OR min_day > bounds.hi) AS pruned
         FROM z, bounds
     """
+    # Label propagation: same layered graph as k-core; each round is a
+    # neighbor-label count + deterministic argmax (count desc, label asc).
+    _lpa_cte = [_kcore_cte[0] + """, l0 AS (
+          SELECT node, CAST(node AS BIGINT) AS label FROM a0
+        )"""]
+    for _k in (1, 2, 3):
+        _lpa_cte.append(f""", v{_k} AS (
+          SELECT e.dst AS node, l.label AS nb_label, count(*) AS cnt
+          FROM e JOIN l{_k - 1} l ON l.node = e.src
+          GROUP BY 1, 2
+        ), l{_k} AS (
+          SELECT node, label FROM (
+            SELECT node, nb_label AS label,
+                   row_number() OVER (PARTITION BY node
+                     ORDER BY cnt DESC, nb_label ASC) AS rn
+            FROM v{_k}
+          ) WHERE rn = 1
+        )""")
+    _lpa_cte.append("""
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        FROM l3
+    """)
+    oracles["domain_communities"] = "".join(_lpa_cte)
     # Blocked fuzzy entity resolution: identical blocking + levenshtein
     # threshold; the argmin tie-break (dist, then key) via row_number.
     oracles["fuzzy_match_parts"] = """

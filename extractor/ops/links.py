@@ -562,3 +562,64 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
     return _induced_degree(alive).select(
         F.col("src").cast("long").alias("node"), "deg"
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Fixed-round synchronous label-propagation community detection
+    (Raghavan et al. 2007) over an undirected (src, dst) edge table:
+    every node starts as its own label; each round it adopts the MODE
+    of its neighbors' labels, ties broken toward the smallest label so
+    the update is a pure deterministic function of the previous round
+    (exactly SQL-unrollable — no random tie-breaks, no async sweep).
+    Distinct from connected components (``dedup.duplicate_clusters``,
+    min-label to convergence): majority vote segments DENSE regions
+    apart even inside one component — community structure, not mere
+    reachability.
+
+    Scale posture (~10^11 edges): the symmetrized edge table persists
+    once and never re-shuffles; each round BROADCASTS the (node-sized)
+    label vector onto it, counts (node, neighbor-label) pairs with one
+    map-side-combined aggregate, and takes the per-node argmax as ONE
+    struct-max aggregate (no row_number window).  The label vector is
+    ``localCheckpoint``-ed per round to keep lineage flat.  Labels are
+    node ids (nonnegative), so ``max(struct(cnt, -label))`` encodes
+    "highest count, then smallest label" without a sort.
+
+    Output: ``(node, label)`` after ``rounds`` votes."""
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    e = (
+        e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").cast("long").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("src"),
+                        F.col("label").alias("nb_label"),
+                    )
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "nb_label")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct("cnt", (-F.col("nb_label")).alias("neg"))).alias("m"))
+            .select(
+                "node", (-F.col("m.neg")).cast("long").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(F.col("node").cast("long").alias("node"), "label")

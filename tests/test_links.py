@@ -284,3 +284,25 @@ def test_extract_headings_orphan_level_and_containment(spark):
     assert [(r["doc_id"], r["section_no"], r["text"]) for r in out] == [
         (1, "0.1", "orphan"), (1, "1", "late"),
     ]
+
+
+def test_label_propagation_stays_within_components(spark):
+    from extractor.ops.links import label_propagation
+
+    # two disjoint cliques + a pendant chain off the first
+    edges = [(0, 1), (0, 2), (1, 2), (2, 6), (6, 7),
+             (10, 11), (10, 12), (11, 12)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = label_propagation(df, rounds=3).collect()
+    got = {r["node"]: r["label"] for r in rows}
+    comp_a = {0, 1, 2, 6, 7}
+    comp_b = {10, 11, 12}
+    assert set(got) == comp_a | comp_b
+    for n, lab in got.items():
+        assert lab in (comp_a if n in comp_a else comp_b)
+    # deterministic: same input, same labels
+    again = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=3).collect()
+    }
+    assert again == got
