@@ -731,6 +731,12 @@ def _domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(chain.union(core).distinct(), rounds=3)
 
 
+def _cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extractor.ops.temporal import cogroup_merge_asof
+
+    return cogroup_merge_asof(spark, sf_dir)
+
+
 def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from extractor.ops.temporal import retention_cohorts
 
@@ -1659,6 +1665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_prune_stats": maintenance.zonemap_prune_stats,
         # mode-vote label-propagation communities (3 unrolled rounds)
         "domain_communities": _domain_communities,
+        # cogroup().applyInPandas click→view as-of attribution (the
+        # pandas merge_asof path; integer-us exact)
+        "cogroup_merge_asof": _cogroup_merge_asof,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1825,7 +1834,7 @@ _LAST_GREEN_R2 = [
     "classifier_auc", "curation_report", "domain_hits",
     "fuzzy_match_parts", "domain_kcore", "calibration_ece",
     "bt_strength", "retention_cohorts", "zonemap_prune_stats",
-    "domain_communities",
+    "domain_communities", "cogroup_merge_asof",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5533,6 +5542,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_users,
                CAST(sum(n) AS BIGINT) AS n_events
         FROM cells GROUP BY 1, 2
+    """
+    # cogroup merge_asof: correlated-subquery twin — latest preceding
+    # view per click, same-instant ties to the max view_event.
+    oracles["cogroup_merge_asof"] = """
+        WITH c AS (
+          SELECT user_id, CAST(event_id AS BIGINT) AS click_event,
+                 epoch_us(ts) AS click_us
+          FROM events WHERE event_type = 'click'
+        ), v AS (
+          SELECT user_id, CAST(event_id AS BIGINT) AS view_event,
+                 epoch_us(ts) AS view_us
+          FROM events WHERE event_type = 'view'
+        ), b AS (
+          SELECT c.user_id, c.click_event, c.click_us,
+                 (SELECT max(v.view_us) FROM v
+                  WHERE v.user_id = c.user_id
+                    AND v.view_us <= c.click_us) AS bus
+          FROM c
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id, click_event, click_us,
+               (SELECT max(v.view_event) FROM v
+                WHERE v.user_id = b.user_id AND v.view_us = b.bus)
+                 AS view_event,
+               bus AS view_us,
+               click_us - bus AS gap_us
+        FROM b
     """
     # Zone maps: identical layout arithmetic + min/max zones + the
     # prune verdict for the fixed date window, both layouts unioned.

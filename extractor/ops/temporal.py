@@ -311,3 +311,79 @@ def retention_cohorts(events: DataFrame,
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+COGROUP_ASOF_SCHEMA = (
+    "user_id long, click_event long, click_us long, "
+    "view_event long, view_us long, gap_us long"
+)
+
+
+def cogroup_merge_asof(spark, sf_dir: str) -> DataFrame:
+    """Backward as-of attribution of every click to the user's latest
+    preceding view, via the one Pandas-on-Spark operator family the
+    engine didn't yet exercise: ``groupBy().cogroup().applyInPandas``.
+    Both streams shuffle ONCE on the grouping key and arrive at the
+    same task as two aligned pandas frames — the natural home for
+    per-key sorted-merge logic (here ``pd.merge_asof``) that would
+    otherwise need the union+window trick of :func:`asof_join`.
+
+    Exactness: timestamps convert to integer epoch microseconds BEFORE
+    the merge; views are pre-sorted ``(view_us, view_event)`` so a
+    same-instant tie deterministically resolves to the max view_event
+    (merge_asof keeps the last matching row) — the oracle replicates
+    that with a max() over the tied instant.
+
+    Scale posture: cogroup is one hash co-partitioning of each side on
+    ``user_id`` (the same single shuffle a join would pay) and the
+    per-group merge is O(n_views + n_clicks) two-pointer work in Arrow
+    batches — no window sort over the union, no broadcast, no skew
+    beyond the key's own activity (salt hyperactive users upstream if
+    needed, as in ``salted_skew_join``).
+
+    Output: ``(user_id, click_event, click_us, view_event, view_us,
+    gap_us)``; view columns NULL when no view precedes the click."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = _epoch_us(F.col("ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("click_event"),
+        us.alias("click_us"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("view_event"),
+        us.alias("view_us"),
+    )
+
+    def merge(left, right):
+        import pandas as pd
+
+        left = left.sort_values(["click_us", "click_event"])
+        right = right.sort_values(["view_us", "view_event"])
+        out = pd.merge_asof(
+            left,
+            right.drop(columns=["user_id"]),
+            left_on="click_us",
+            right_on="view_us",
+            direction="backward",
+        )
+        out["view_event"] = out["view_event"].astype("Int64")
+        out["view_us"] = out["view_us"].astype("Int64")
+        out["gap_us"] = (out["click_us"] - out["view_us"]).astype("Int64")
+        return out[
+            [
+                "user_id",
+                "click_event",
+                "click_us",
+                "view_event",
+                "view_us",
+                "gap_us",
+            ]
+        ]
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(merge, COGROUP_ASOF_SCHEMA)
+    )

@@ -566,3 +566,13 @@ def test_domain_kcore_edges_never_reshuffle(spark):
     # per-round degree aggregations (node-cardinality keys)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cogroup_merge_asof_single_copartition(spark):
+    from extractor.ops.temporal import cogroup_merge_asof
+
+    plan = _plan(cogroup_merge_asof(spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan
+    # one hash co-partitioning per side, nothing else moves
+    assert _n_exchanges(plan) == 2, plan
+    assert "Join" not in plan
