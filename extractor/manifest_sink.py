@@ -76,10 +76,18 @@ class ManifestParquetWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         manifest = f"{self.path}/_manifest.json"
         entries = [] if self.overwrite else _load_manifest(self.path)
+        # each successful job is one snapshot (Iceberg semantics): tag
+        # its files with the next id so readers can time-travel
+        snap = 1 + max((e.get("snapshot", 0) for e in entries), default=0)
         for m in messages:
             if m is not None:
                 entries.append(
-                    {"file": m.file, "rows": m.rows, "bytes": m.n_bytes}
+                    {
+                        "file": m.file,
+                        "rows": m.rows,
+                        "bytes": m.n_bytes,
+                        "snapshot": snap,
+                    }
                 )
         tmp = f"{manifest}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -112,12 +120,42 @@ def _load_manifest(path: str) -> list[dict]:
         return []
 
 
-def read_manifest(spark: SparkSession, path: str) -> DataFrame:
-    """Read exactly the committed files (orphans invisible)."""
-    files = [f"{path}/{e['file']}" for e in _load_manifest(path)]
+def read_manifest(spark: SparkSession, path: str,
+                  as_of: int | None = None) -> DataFrame:
+    """Read exactly the committed files (orphans invisible).
+
+    ``as_of`` time-travels to a snapshot id (see :func:`snapshots`):
+    only files committed by snapshots ``<= as_of`` are read — the
+    Iceberg ``VERSION AS OF`` analogue, free because append-only
+    snapshots never rewrite earlier files.  Entries written before
+    snapshot tagging existed count as snapshot 0 (always visible)."""
+    entries = _load_manifest(path)
+    if as_of is not None:
+        entries = [e for e in entries if e.get("snapshot", 0) <= as_of]
+    files = [f"{path}/{e['file']}" for e in entries]
     if not files:
-        raise FileNotFoundError(f"no committed files under {path}")
+        raise FileNotFoundError(
+            f"no committed files under {path}"
+            + (f" as of snapshot {as_of}" if as_of is not None else "")
+        )
     return spark.read.parquet(*files)
+
+
+def snapshots(path: str) -> list[dict]:
+    """Snapshot history of a manifest table: one row per snapshot id
+    with its file count and cumulative row count — the
+    ``table.history()`` analogue, read straight from the manifest (no
+    data files touched)."""
+    per: dict[int, dict] = {}
+    for e in _load_manifest(path):
+        s = per.setdefault(
+            e.get("snapshot", 0), {"n_files": 0, "n_rows": 0}
+        )
+        s["n_files"] += 1
+        s["n_rows"] += e["rows"]
+    return [
+        {"snapshot": k, **v} for k, v in sorted(per.items())
+    ]
 
 
 def find_orphan_files(path: str) -> list[str]:

@@ -109,3 +109,39 @@ def test_orphan_detection_and_removal(registered, tmp_path):
     assert rep["orphans_removed"] == 2
     assert find_orphan_files(path) == []
     assert read_manifest(spark, path).count() == 2
+
+
+def test_time_travel_read(spark, tmp_path):
+    from extractor.manifest_sink import (
+        ManifestParquetDataSource,
+        read_manifest,
+        snapshots,
+    )
+
+    spark.dataSource.register(ManifestParquetDataSource)
+    out = str(tmp_path / "tt")
+    for batch in ([(1, "a")], [(2, "b"), (3, "c")], [(4, "d")]):
+        spark.createDataFrame(batch, "id long, v string").coalesce(
+            1
+        ).write.format("manifest_parquet").option("path", out).mode(
+            "append"
+        ).save()
+    hist = snapshots(out)
+    assert [h["snapshot"] for h in hist] == [1, 2, 3]
+    assert [h["n_rows"] for h in hist] == [1, 2, 1]
+    # VERSION AS OF semantics: each snapshot sees its prefix of commits
+    assert read_manifest(spark, out, as_of=1).count() == 1
+    got2 = sorted(
+        r["id"] for r in read_manifest(spark, out, as_of=2).collect()
+    )
+    assert got2 == [1, 2, 3]
+    assert read_manifest(spark, out).count() == 4
+    # overwrite starts a fresh history
+    spark.createDataFrame([(9, "z")], "id long, v string").write.format(
+        "manifest_parquet"
+    ).option("path", out).mode("overwrite").save()
+    assert [h["snapshot"] for h in snapshots(out)] == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_manifest(spark, out, as_of=0)
