@@ -1668,6 +1668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cogroup().applyInPandas click→view as-of attribution (the
         # pandas merge_asof path; integer-us exact)
         "cogroup_merge_asof": _cogroup_merge_asof,
+        # ADD COLUMN schema evolution: two-schema write + one
+        # mergeSchema read, rollup hash-certifies the roundtrip
+        "schema_evolution_read": maintenance.schema_evolution_read,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1834,7 +1837,7 @@ _LAST_GREEN_R2 = [
     "classifier_auc", "curation_report", "domain_hits",
     "fuzzy_match_parts", "domain_kcore", "calibration_ece",
     "bt_strength", "retention_cohorts", "zonemap_prune_stats",
-    "domain_communities", "cogroup_merge_asof",
+    "domain_communities", "cogroup_merge_asof", "schema_evolution_read",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5568,6 +5571,17 @@ def oracle_sql() -> dict[str, str]:
                bus AS view_us,
                click_us - bus AS gap_us
         FROM b
+    """
+    # Schema evolution: the oracle derives the same per-lang rollup
+    # straight from documents (lang exists only for odd post-evolution
+    # ids), certifying the write→mergeSchema-read roundtrip by hash.
+    oracles["schema_evolution_read"] = """
+        SELECT CASE WHEN doc_id % 2 = 1
+                    THEN 'l' || CAST(doc_id % 4 AS VARCHAR) END AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_len
+        FROM documents
+        GROUP BY 1
     """
     # Zone maps: identical layout arithmetic + min/max zones + the
     # prune verdict for the fixed date window, both layouts unioned.

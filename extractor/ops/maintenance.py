@@ -555,3 +555,52 @@ def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+SCHEMA_EVO_DIR = "/tmp/spark_graft_schema_evo"
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str,
+                          base_dir: str = SCHEMA_EVO_DIR) -> DataFrame:
+    """Schema-evolution roundtrip — the lakehouse ADD COLUMN story on
+    plain parquet: snapshot 1 is written with the ORIGINAL schema
+    ``(doc_id, text_len)``, snapshot 2 with the EVOLVED schema adding
+    ``lang``; a single ``mergeSchema`` read unifies them (old files
+    surface the new column as NULL — exactly Iceberg/Delta read-time
+    evolution).  The returned per-lang rollup aggregates the merged
+    table, so the oracle (which derives the same rollup straight from
+    ``documents``) hash-certifies the WHOLE write→evolve→merge→read
+    path, not just the final arithmetic.
+
+    Both snapshots are deterministic functions of ``documents`` (even
+    ids → v1, odd ids → v2 with ``lang = 'l' || doc_id % 4``), written
+    fresh each call (idempotent overwrite into distinct subdirs).
+
+    Scale: mergeSchema's cost is footer-only schema union across files
+    (driver-side, O(files)); the data read stays columnar with pushdown
+    intact.  On a catalog table the unified schema comes from metadata
+    instead — this op is the parquet-level proof of the same contract.
+
+    Output: ``(lang, n_docs, sum_len)`` with lang NULL for pre-evolution
+    rows."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.length("text").cast("long").alias("text_len"),
+        )
+    )
+    v1 = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    v2 = docs.where(F.pmod("doc_id", F.lit(2)) == 1).withColumn(
+        "lang",
+        F.concat(F.lit("l"), F.pmod("doc_id", F.lit(4)).cast("string")),
+    )
+    v1.write.mode("overwrite").parquet(f"{base_dir}/snap=1")
+    v2.write.mode("overwrite").parquet(f"{base_dir}/snap=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base_dir}/snap=1", f"{base_dir}/snap=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("text_len").cast("long").alias("sum_len"),
+    )
