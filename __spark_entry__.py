@@ -1671,6 +1671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ADD COLUMN schema evolution: two-schema write + one
         # mergeSchema read, rollup hash-certifies the roundtrip
         "schema_evolution_read": maintenance.schema_evolution_read,
+        # confusion matrix of the two lang classifiers (disagreement
+        # mining before trusting either as a corpus gate)
+        "lang_confusion": textops.lang_confusion,
+        # right-to-be-forgotten cascade audit across documents, derived
+        # chunks, and the vector store (one broadcast join per table)
+        "gdpr_delete_cascade": relational.gdpr_delete_cascade,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1838,6 +1844,7 @@ _LAST_GREEN_R2 = [
     "fuzzy_match_parts", "domain_kcore", "calibration_ece",
     "bt_strength", "retention_cohorts", "zonemap_prune_stats",
     "domain_communities", "cogroup_merge_asof", "schema_evolution_read",
+    "lang_confusion", "gdpr_delete_cascade",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5571,6 +5578,43 @@ def oracle_sql() -> dict[str, str]:
                bus AS view_us,
                click_us - bus AS gap_us
         FROM b
+    """
+    # GDPR cascade: same md5 delete sample; per-table before/deleted/
+    # after counts, chunks derived via the chunk_documents oracle.
+    oracles["gdpr_delete_cascade"] = f"""
+        WITH delset AS (
+          SELECT doc_id FROM documents
+          WHERE substr(md5('gdpr:' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+        ), ch AS ({oracles["chunk_documents"]})
+        SELECT 'documents' AS table_name,
+               CAST(count(*) AS BIGINT) AS rows_before,
+               CAST(count(d.doc_id) AS BIGINT) AS rows_deleted,
+               CAST(count(*) - count(d.doc_id) AS BIGINT) AS rows_after
+        FROM documents t LEFT JOIN delset d USING (doc_id)
+        UNION ALL
+        SELECT 'chunks',
+               CAST(count(*) AS BIGINT),
+               CAST(count(d.doc_id) AS BIGINT),
+               CAST(count(*) - count(d.doc_id) AS BIGINT)
+        FROM ch t LEFT JOIN delset d USING (doc_id)
+        UNION ALL
+        SELECT 'embeddings',
+               CAST(count(*) AS BIGINT),
+               CAST(count(d.doc_id) AS BIGINT),
+               CAST(count(*) - count(d.doc_id) AS BIGINT)
+        FROM (SELECT CAST(vec_id AS BIGINT) AS doc_id FROM embeddings) t
+        LEFT JOIN delset d USING (doc_id)
+    """
+    # Lang confusion: compose the two classifier oracles verbatim and
+    # cross-tabulate their predictions.
+    oracles["lang_confusion"] = f"""
+        WITH ma AS ({oracles["lang_id"]}),
+        cg AS ({oracles["lang_id_chargram"]})
+        SELECT ma.pred_lang AS marker_lang, cg.pred_lang AS chargram_lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(ma.doc_id) AS BIGINT) AS sample_doc
+        FROM ma JOIN cg ON ma.doc_id = cg.doc_id
+        GROUP BY 1, 2
     """
     # Schema evolution: the oracle derives the same per-lang rollup
     # straight from documents (lang exists only for odd post-evolution

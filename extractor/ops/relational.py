@@ -608,3 +608,62 @@ def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("max_by(value, ord_key)"), 2).alias("last_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+GDPR_COND = "substr(md5(CAST(concat('gdpr:', CAST(doc_id AS STRING)) AS BINARY)), 1, 1) < '4'"
+
+
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a deletion request set
+    (here a deterministic md5 sample of doc_ids), report — per table in
+    the lineage fan-out (documents, derived chunks, embeddings) — how
+    many rows the cascade removes and how many survive.  This is the
+    governance companion to ``s8_delete_rewrite``: S8 proves one
+    table's copy-on-write rewrite; this op proves the REQUEST PROPAGATES
+    to every derived artifact (the compliance question auditors actually
+    ask: "is the user gone from the chunk store and the vector index
+    too?").
+
+    Scale shape: the deletion set is broadcast (GDPR batches are small
+    relative to any corpus — swap for a left-semi shuffle join if not);
+    each table is audited in ONE scan via a broadcast left join +
+    conditional count (no second anti-join pass: rows_after =
+    rows_before − rows_deleted certified by the same join).  The three
+    1-row audit frames union into one plan; nothing is collected.
+
+    Output: ``(table_name, rows_before, rows_deleted, rows_after)``."""
+    from extractor.ops.dedup import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    delset = (
+        docs.where(F.expr(GDPR_COND))
+        .select("doc_id", F.lit(1).alias("_del"))
+    )
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("doc_id")
+    )
+    audited = {
+        "documents": docs.select("doc_id"),
+        "chunks": chunk_documents(spark, sf_dir).select("doc_id"),
+        "embeddings": emb,
+    }
+    outs = []
+    for name, df in audited.items():
+        j = df.join(F.broadcast(delset), "doc_id", "left")
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("rows_before"),
+                F.count("_del").cast("long").alias("rows_deleted"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_deleted",
+                (F.col("rows_before") - F.col("rows_deleted"))
+                .cast("long")
+                .alias("rows_after"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -1622,3 +1622,35 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_micro"),
     )
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-agreement confusion matrix between the engine's two
+    language classifiers (word-marker vs character-bigram) — the
+    disagreement-mining audit run before trusting either as a corpus
+    gate: cells off the diagonal are exactly the documents to sample
+    for relabeling, and a diagonal-heavy matrix licenses the cheaper
+    model.  Each cell carries its count and the smallest doc_id as a
+    deterministic audit sample.
+
+    Scale shape: both classifiers are independent model sweeps whose
+    prediction tables would be persisted anyway; the matrix is ONE
+    equi-join of the two prediction tables on doc_id (co-partitioned,
+    AQE-planned) followed by a |langs|²-key aggregate.  Nothing here
+    is quadratic in the corpus.
+
+    Output: ``(marker_lang, chargram_lang, n_docs, sample_doc)``."""
+    a = lang_id(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("marker_lang")
+    )
+    b = lang_id_chargram(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("chargram_lang")
+    )
+    return (
+        a.join(b, "doc_id")
+        .groupBy("marker_lang", "chargram_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("sample_doc"),
+        )
+    )

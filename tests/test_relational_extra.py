@@ -78,3 +78,19 @@ def test_snapshot_diff_classes(spark):
     # the three classes are disjoint
     classes = list(by_class.values())
     assert sum(len(c) for c in classes) == len({x for c in classes for x in c})
+
+
+def test_gdpr_cascade_consistency(spark):
+    from extractor.ops.relational import gdpr_delete_cascade
+
+    rows = {
+        r["table_name"]: r
+        for r in gdpr_delete_cascade(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"documents", "chunks", "embeddings"}
+    for r in rows.values():
+        assert r["rows_after"] == r["rows_before"] - r["rows_deleted"]
+        assert 0 < r["rows_deleted"] < r["rows_before"]
+    # every embedding keys to a document, so the same ~25% sample applies
+    docs, emb = rows["documents"], rows["embeddings"]
+    assert emb["rows_deleted"] <= docs["rows_deleted"]
