@@ -1677,6 +1677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # right-to-be-forgotten cascade audit across documents, derived
         # chunks, and the vector store (one broadcast join per table)
         "gdpr_delete_cascade": relational.gdpr_delete_cascade,
+        # train/val/test contamination: LSH near-dup pairs spanning
+        # different md5 splits (bucket-local, never all-pairs)
+        "split_leakage_audit": dedup.split_leakage_audit,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1844,7 +1847,7 @@ _LAST_GREEN_R2 = [
     "fuzzy_match_parts", "domain_kcore", "calibration_ece",
     "bt_strength", "retention_cohorts", "zonemap_prune_stats",
     "domain_communities", "cogroup_merge_asof", "schema_evolution_read",
-    "lang_confusion", "gdpr_delete_cascade",
+    "lang_confusion", "gdpr_delete_cascade", "split_leakage_audit",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5578,6 +5581,24 @@ def oracle_sql() -> dict[str, str]:
                bus AS view_us,
                click_us - bus AS gap_us
         FROM b
+    """
+    # Split leakage: candidate pairs from the estimator oracle (same
+    # banding + hot-bucket exclusion) × the split-assignment oracle,
+    # order-normalized split labels.
+    oracles["split_leakage_audit"] = f"""
+        WITH est AS ({oracles["dedup_minhash_estimate"]}),
+        sp AS ({oracles["train_split_assign"]}),
+        lab AS (
+          SELECT least(sa.split, sb.split) AS split_a,
+                 greatest(sa.split, sb.split) AS split_b,
+                 p.doc_a * 1000000 + p.doc_b AS pair_key
+          FROM (SELECT DISTINCT doc_a, doc_b FROM est) p
+          JOIN sp sa ON sa.doc_id = p.doc_a
+          JOIN sp sb ON sb.doc_id = p.doc_b
+        )
+        SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(min(pair_key) AS BIGINT) AS sample_pair
+        FROM lab GROUP BY 1, 2
     """
     # GDPR cascade: same md5 delete sample; per-table before/deleted/
     # after counts, chunks derived via the chunk_documents oracle.

@@ -100,6 +100,31 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_pairs(exploded: DataFrame, max_bucket: int) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from exploded
+    (doc_id, band, bucket) rows, hot buckets (> max_bucket docs)
+    excluded — the shared bucket-local pairing step of the estimator
+    and the split-leakage audit (the m² trap stays handled in ONE
+    place).  The self-join keys on (band, bucket), so pair cost tracks
+    Σ bucket_size², never corpus²."""
+    from pyspark.sql.window import Window
+
+    small = exploded.withColumn(
+        "bsize",
+        F.count("*").over(Window.partitionBy("band", "bucket")),
+    ).where(F.col("bsize") <= max_bucket)
+    return (
+        small.alias("x")
+        .join(small.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_jaccard_estimate(
     spark: SparkSession, sf_dir: str, max_bucket: int = 20
 ) -> DataFrame:
@@ -152,22 +177,7 @@ def minhash_jaccard_estimate(
     exploded = sig.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", F.col("bb.band"), F.col("bb.bucket"))
-    from pyspark.sql.window import Window
-
-    small = exploded.withColumn(
-        "bsize",
-        F.count("*").over(Window.partitionBy("band", "bucket")),
-    ).where(F.col("bsize") <= max_bucket)
-    pairs = (
-        small.alias("x")
-        .join(small.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    pairs = _bucket_pairs(exploded, max_bucket)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(N_HASHES)],
@@ -1565,4 +1575,78 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str,
         F.col("k").alias("p_partkey"),
         F.col("m.k2").cast("long").alias("match_key"),
         F.col("m.d").cast("long").alias("dist"),
+    )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str,
+                        max_bucket: int = 20) -> DataFrame:
+    """Train/val/test contamination audit: LSH near-duplicate candidate
+    pairs whose two documents landed in DIFFERENT splits — the leakage
+    every eval-integrity review hunts for (a test doc with a train-side
+    near-dup inflates benchmarks exactly like n-gram contamination, but
+    survives exact decontamination).  Composes the two primitives this
+    engine already certifies: banded MinHash candidates
+    (:func:`minhash_jaccard_estimate`'s pair stage, hot buckets
+    excluded) × the stable md5 split assignment
+    (:func:`train_split_assign`).
+
+    Split labels are order-normalized (least/greatest) so (train,test)
+    and (test,train) fold into one cell; ``sample_pair`` packs the
+    lexicographically-smallest pair as ``doc_a * 10^6 + doc_b`` for a
+    deterministic audit handle.
+
+    Scale shape: candidate pairs are bucket-local (never all-pairs);
+    the split table is a pure map-side md5 expression JOINED once per
+    pair side (hash equi-join on doc id, the ids are md5-uniform so no
+    skew); final agg has ≤ 6 cells.  Pairs within one split appear too
+    — the diagonal is the near-dup base rate that makes the off-
+    diagonal interpretable.
+
+    Output: ``(split_a, split_b, n_pairs, sample_pair)``."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    sig = minhash_signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * BAND_SIZE + j}")
+                            for j in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    exploded = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band"), F.col("bb.bucket"))
+    pairs = _bucket_pairs(exploded, max_bucket)
+    sp = train_split_assign(spark, sf_dir).select("doc_id", "split")
+    labeled = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            (F.col("doc_a") * F.lit(1000000) + F.col("doc_b"))
+            .cast("long")
+            .alias("pair_key"),
+        )
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("pair_key").alias("sample_pair"),
     )
