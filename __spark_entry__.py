@@ -1680,6 +1680,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # train/val/test contamination: LSH near-dup pairs spanning
         # different md5 splits (bucket-local, never all-pairs)
         "split_leakage_audit": dedup.split_leakage_audit,
+        # FK orphan audit over the five schema edges (dedup'd parent
+        # keys broadcast; conditional count, ppm exact)
+        "referential_integrity_audit": relational.referential_integrity_audit,
+        # dynamic partition-overwrite backfill: one partition replaced,
+        # read-back rollup certifies the rest untouched
+        "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
         # per-source curation funnel: C4 ∧ quality ∧ encoding verdicts
         # in ONE fused scan (the ops share column helpers — no joins)
         "curation_report": textops.curation_report,
@@ -1848,6 +1854,7 @@ _LAST_GREEN_R2 = [
     "bt_strength", "retention_cohorts", "zonemap_prune_stats",
     "domain_communities", "cogroup_merge_asof", "schema_evolution_read",
     "lang_confusion", "gdpr_delete_cascade", "split_leakage_audit",
+    "referential_integrity_audit", "backfill_partition_overwrite",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5625,6 +5632,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) - count(d.doc_id) AS BIGINT)
         FROM (SELECT CAST(vec_id AS BIGINT) AS doc_id FROM embeddings) t
         LEFT JOIN delset d USING (doc_id)
+    """
+    # FK integrity: per-edge dangling-child counts, ppm floor division.
+    oracles["referential_integrity_audit"] = """
+        SELECT 'orders->customer' AS fk_edge,
+               CAST(count(*) AS BIGINT) AS n_child_rows,
+               CAST(count(*) - count(p.k) AS BIGINT) AS n_orphans,
+               CAST((count(*) - count(p.k)) * 1000000 // count(*)
+                    AS BIGINT) AS orphan_ppm
+        FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k
+                                 FROM customer) p ON c.o_custkey = p.k
+        UNION ALL
+        SELECT 'lineitem->orders', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(p.k) AS BIGINT),
+               CAST((count(*) - count(p.k)) * 1000000 // count(*) AS BIGINT)
+        FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k
+                                   FROM orders) p ON c.l_orderkey = p.k
+        UNION ALL
+        SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(p.k) AS BIGINT),
+               CAST((count(*) - count(p.k)) * 1000000 // count(*) AS BIGINT)
+        FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k
+                                   FROM nation) p ON c.c_nationkey = p.k
+        UNION ALL
+        SELECT 'supplier->nation', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(p.k) AS BIGINT),
+               CAST((count(*) - count(p.k)) * 1000000 // count(*) AS BIGINT)
+        FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey AS k
+                                   FROM nation) p ON c.s_nationkey = p.k
+        UNION ALL
+        SELECT 'nation->region', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(p.k) AS BIGINT),
+               CAST((count(*) - count(p.k)) * 1000000 // count(*) AS BIGINT)
+        FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey AS k
+                                 FROM region) p ON c.n_regionkey = p.k
+    """
+    # Backfill: clicks corrected by +1 cent, everything else original —
+    # derived straight from events, certifying the dynamic-overwrite
+    # write→read roundtrip by hash.
+    oracles["backfill_partition_overwrite"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        + CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY event_type
     """
     # Lang confusion: compose the two classifier oracles verbatim and
     # cross-tabulate their predictions.

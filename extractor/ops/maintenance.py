@@ -604,3 +604,54 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("text_len").cast("long").alias("sum_len"),
     )
+
+
+BACKFILL_DIR = "/tmp/spark_graft_backfill"
+
+
+def backfill_partition_overwrite(spark: SparkSession, sf_dir: str,
+                                 base_dir: str = BACKFILL_DIR) -> DataFrame:
+    """Idempotent partition backfill — the everyday lakehouse repair
+    job: a table partitioned by ``event_type`` is fully written once,
+    then ONE partition ('click') is reprocessed and rewritten with
+    ``partitionOverwriteMode=dynamic``, which replaces exactly the
+    partitions present in the incoming frame and leaves every other
+    partition's files untouched (static overwrite mode would wipe the
+    whole table — the classic backfill footgun this op certifies
+    against).  The backfill recomputes ``value_cents`` with a +1 cent
+    correction so the read-back rollup PROVES which partition was
+    replaced.
+
+    The returned per-partition rollup aggregates the final on-disk
+    table; the oracle derives the same numbers straight from ``events``
+    (clicks corrected, everything else original), hash-certifying the
+    write→backfill→read path like ``schema_evolution_read`` does.
+
+    Scale: dynamic overwrite is a metadata swap per touched partition —
+    backfill cost tracks the reprocessed partitions, never the table.
+
+    Output: ``(event_type, n_rows, sum_value_cents)``."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+    (
+        ev.write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(base_dir)
+    )
+    clicks_fixed = ev.where(F.col("event_type") == "click").withColumn(
+        "value_cents", F.col("value_cents") + F.lit(1)
+    )
+    (
+        clicks_fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(base_dir)
+    )
+    final = spark.read.parquet(base_dir)
+    return final.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+    )

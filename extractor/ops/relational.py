@@ -667,3 +667,58 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def referential_integrity_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Warehouse foreign-key health check: for each FK edge of the
+    schema, how many child rows dangle (no parent) — the audit every
+    ingest pipeline runs before trusting joins, because a broken FK
+    silently DROPS rows from inner-join analytics (revenue vanishes
+    rather than erroring).  Checked edges: orders→customer,
+    lineitem→orders, customer→nation, supplier→nation, nation→region.
+
+    Scale shape: one broadcast-or-shuffle left join per edge (parent
+    side deduplicated to its key column first, so the build side is
+    key-cardinality, not row-cardinality) + a conditional count — the
+    same single-scan audit shape as ``gdpr_delete_cascade``; five tiny
+    1-row frames union into one plan.
+
+    Output: ``(fk_edge, n_child_rows, n_orphans, orphan_ppm)`` —
+    parts-per-million in BIGINT so the oracle is division-exact."""
+    edges = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    outs = []
+    for name, child, ck, parent, pk in edges:
+        c = _read(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            _read(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        j = c.join(F.broadcast(p), "k", "left")
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+                (F.count(F.lit(1)) - F.count("_hit"))
+                .cast("long")
+                .alias("n_orphans"),
+            ).select(
+                F.lit(name).alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+                F.expr("n_orphans * 1000000 DIV n_child_rows")
+                .cast("long")
+                .alias("orphan_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

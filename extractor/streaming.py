@@ -304,3 +304,57 @@ def stream_conversation_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Event-time SESSION windows over the transcript stream — Spark's
+    native dynamic-gap windowing (``F.session_window``), the streaming
+    twin of the batch ``o3_sessionize`` operator: a conversation's
+    session extends while turns keep arriving within *gap* of each
+    other and finalizes once the watermark passes gap-beyond its last
+    event.  Unlike the fixed grid of :func:`stream_windowed_metrics`,
+    session bounds are DATA-DRIVEN, so state merges adjacent windows as
+    late-but-in-watermark rows arrive — exactly the semantics a manual
+    ``applyInPandasWithState`` sessionizer must hand-roll
+    (:func:`stream_conversation_state`); this one gets merge logic,
+    state eviction, and append-mode finalization from the engine.
+
+    State bound: (open sessions × keys), independent of stream length.
+    Output: one row per finalized (conv_id, session): start, end,
+    n_turns, total_chars."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("sw"),
+            "conv_id",
+        )
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .select(
+            "conv_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_turns",
+            "total_chars",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

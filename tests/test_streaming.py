@@ -279,3 +279,58 @@ def test_windowed_metrics_watermark_finalizes_and_drops_late(spark, tmp_path):
     }
     for key, vals in got.items():
         assert got2[key] == vals
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    """Native session windows: data-driven bounds finalize behind the
+    watermark and equal the batch session_window aggregation."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from extractor.streaming import stream_session_windows
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    full = transcripts_df(spark, n_convs=24, mean_turns=8, seed=11)
+    full.write.mode("append").parquet(input_dir)
+    q = stream_session_windows(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_turns"],
+            r["total_chars"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got, "watermark must have finalized at least one session"
+
+    truth = {
+        (r["conv_id"], r["sw"]["start"]): (
+            r["sw"]["end"],
+            r["n_turns"],
+            r["total_chars"],
+        )
+        for r in (
+            full.groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"), "conv_id"
+            )
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.sum(F.length("text")).alias("total_chars"),
+            )
+            .collect()
+        )
+    }
+    for key, vals in got.items():
+        assert truth[key] == vals
+    # sessions ending well behind the watermark (2h) must have emitted
+    max_ts = full.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=4)
+    for (conv, start), (end, _, _) in truth.items():
+        if end < cutoff:
+            assert (conv, start) in got, (conv, start)
