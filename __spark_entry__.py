@@ -1823,10 +1823,13 @@ _DRIVER_WINDOW = [
     "weighted_bottomk_sample", "table_profile",
 ]
 
-# Entries whose last green driver row is round 2 — the tail's front, so
-# round 5's window picks them up next.  expire_checkpoints (landed after
-# the round-4 window filled) and extract_mode_mathjax_toc (hash oracle
-# newer than its rows-only r3 row) lead them.
+# The tail's front: every entry that has NEVER had a driver
+# CORRECTNESS row (the round-4 window was already full when these
+# landed) leads this list, in landing order — positions 50..109 at end
+# of round 4, 60 entries.  Round 5's window takes the first 50 of them;
+# the remainder plus any new landings lead round 6.  After them come
+# the oldest-green entries (last green row r2), so staleness cycles out
+# on the same rotation.
 _LAST_GREEN_R2 = [
     # never-driver-checked round-4 latecomers (landed after the window
     # was frozen) lead the round-5 rotation candidates:
