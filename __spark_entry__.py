@@ -1883,8 +1883,25 @@ def _dd_md5_bucket(salt: str, mod: int, key: str = "doc_id") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Kirsch–Mitzenmacher lanes: one md5 per token, hex digits 1-8/9-16
+    # as 32-bit ints (h2 forced odd), i-th hash = (h1 + i*h2) mod 2^32 —
+    # mirrors dedup.minhash_signatures exactly.
+    def _dd_hex32(start: int) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(8), i -> "
+            "CAST(strpos('0123456789abcdef', substr(md5(tok), "
+            f"CAST(i + {start} AS INTEGER), 1)) - 1 AS BIGINT) "
+            "* (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INTEGER)))) "
+            "AS BIGINT)"
+        )
+
+    mh_th = (
+        f"SELECT doc_id, {_dd_hex32(1)} AS h1, "
+        f"({_dd_hex32(9)} | 1) AS h2 FROM toks"
+    )
     mh_mins = ",\n            ".join(
-        f"min(md5('seed{i}:' || tok)) AS mh_{i}" for i in range(dedup.N_HASHES)
+        f"CAST(min((h1 + {i} * h2) % 4294967296) AS BIGINT) AS mh_{i}"
+        for i in range(dedup.N_HASHES)
     )
     mh_match = " + ".join(
         f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
@@ -3108,10 +3125,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(list_distinct(
                        regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
               FROM documents WHERE text IS NOT NULL
+            ), th AS (
+              {mh_th}
             ), sig AS (
               SELECT doc_id,
             {mh_mins}
-              FROM toks GROUP BY doc_id
+              FROM th GROUP BY doc_id
             ), bands AS (
         {band_selects}
             )
@@ -3123,10 +3142,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(list_distinct(
                        regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
               FROM documents WHERE text IS NOT NULL
+            ), th AS (
+              {mh_th}
             ), sig AS (
               SELECT doc_id,
             {mh_mins}
-              FROM toks GROUP BY doc_id
+              FROM th GROUP BY doc_id
             ), bands AS (
         {band_selects}
             ), small AS (

@@ -46,21 +46,51 @@ def _tokens(col):
     return F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
 
 
-def _seed_hash(i: int):
-    # factory: F.transform treats a 2-arg lambda as (element, index)
-    return lambda t: F.md5(F.concat(F.lit(f"seed{i}:"), t))
+MH_MOD = 1 << 32  # Kirsch–Mitzenmacher hash lane width
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + minhash_0..N-1 columns: ``array_min(transform(tokens, md5))``
-    — entirely JVM-side per row, NO explode and NO shuffle (the naive
-    explode→groupBy formulation shuffles |tokens|×N_HASHES rows; this one
-    shuffles nothing and measured ~20x faster at sf0.1)."""
+    """doc_id + minhash_0..N-1 (BIGINT) columns, entirely JVM-side per
+    row: NO explode and NO shuffle (the naive explode→groupBy
+    formulation shuffles |tokens|×N_HASHES rows; this one shuffles
+    nothing and measured ~20x faster at sf0.1).
+
+    Hash family: Kirsch–Mitzenmacher double hashing — ONE md5 per token
+    yields two 32-bit lanes ``(h1, h2)`` (hex digits 1-8 / 9-16, h2
+    forced odd for a full-period stride), and the i-th hash is
+    ``(h1 + i·h2) mod 2^32``; k simulated hash functions for the price
+    of one (Kirsch & Mitzenmacher 2006, the standard Bloom/MinHash
+    trick).  The previous family spent N_HASHES=8 md5 calls per token
+    (``md5('seed{i}:'||tok)``) and dominated the operator's scan cost;
+    this computes the (h1, h2) pair array in its OWN projection so the
+    md5 pass runs once, and the 8 mins are cheap integer transforms
+    over it (CollapseProject keeps the expensive multi-referenced alias
+    in a separate project, so the md5 array is not re-inlined 8×)."""
     toks = _tokens(F.col("text"))
-    return docs.select(
+    pair = F.transform(
+        F.transform(toks, lambda t: F.md5(t)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10)
+            .cast("long")
+            .alias("a"),
+            F.conv(F.substring(h, 9, 8), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1))
+            .alias("b"),
+        ),
+    )
+    def _lane(i: int):
+        # factory: a 2-arg lambda would be read as (element, index) by
+        # the HOF machinery, clobbering the lane number
+        return lambda s: (s["a"] + F.lit(i) * s["b"]) % F.lit(MH_MOD)
+
+    staged = docs.select("doc_id", pair.alias("_hp"))
+    return staged.select(
         "doc_id",
         *[
-            F.array_min(F.transform(toks, _seed_hash(i))).alias(f"mh_{i}")
+            F.array_min(F.transform(F.col("_hp"), _lane(i)))
+            .cast("long")
+            .alias(f"mh_{i}")
             for i in range(N_HASHES)
         ],
     )
