@@ -22,6 +22,11 @@ bucket checkpoint assumes of its sink).
 
 Scale: commit cost is O(files) driver-side JSON, data never moves twice;
 the manifest doubles as file-level lineage (rows/bytes per part).
+
+Lifecycle verbs on top of the same manifest: snapshot ids + 
+``read_manifest(as_of=)`` time travel, write-audit-publish branches
+(``.option("branch", "audit")`` stages invisibly; :func:`publish_branch`
+promotes atomically, :func:`drop_branch` rejects), and orphan-file GC.
 """
 
 from __future__ import annotations
@@ -52,6 +57,9 @@ class ManifestParquetWriter(DataSourceWriter):
             raise ValueError("manifest_parquet requires .option('path', ...)")
         self.schema = schema
         self.overwrite = overwrite
+        # write-audit-publish: a non-main branch stages its snapshot
+        # invisibly; publish_branch() promotes it atomically
+        self.branch = options.get("branch", "main")
 
     def write(self, iterator) -> WriterCommitMessage:
         import pyarrow as pa
@@ -75,10 +83,29 @@ class ManifestParquetWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         manifest = f"{self.path}/_manifest.json"
-        entries = [] if self.overwrite else _load_manifest(self.path)
+        # overwrite resets THIS branch's history; other branches keep
+        # their staged snapshots (branch isolation)
+        entries = (
+            [
+                e
+                for e in _load_manifest(self.path)
+                if e.get("branch", "main") != self.branch
+            ]
+            if self.overwrite
+            else _load_manifest(self.path)
+        )
         # each successful job is one snapshot (Iceberg semantics): tag
-        # its files with the next id so readers can time-travel
-        snap = 1 + max((e.get("snapshot", 0) for e in entries), default=0)
+        # its files with the next id so readers can time-travel; branch
+        # snapshots number within their branch and stay invisible to
+        # main readers until published
+        snap = 1 + max(
+            (
+                e.get("snapshot", 0)
+                for e in entries
+                if e.get("branch", "main") == self.branch
+            ),
+            default=0,
+        )
         for m in messages:
             if m is not None:
                 entries.append(
@@ -87,6 +114,7 @@ class ManifestParquetWriter(DataSourceWriter):
                         "rows": m.rows,
                         "bytes": m.n_bytes,
                         "snapshot": snap,
+                        "branch": self.branch,
                     }
                 )
         tmp = f"{manifest}.tmp-{uuid.uuid4().hex}"
@@ -121,33 +149,42 @@ def _load_manifest(path: str) -> list[dict]:
 
 
 def read_manifest(spark: SparkSession, path: str,
-                  as_of: int | None = None) -> DataFrame:
+                  as_of: int | None = None,
+                  branch: str = "main") -> DataFrame:
     """Read exactly the committed files (orphans invisible).
 
     ``as_of`` time-travels to a snapshot id (see :func:`snapshots`):
     only files committed by snapshots ``<= as_of`` are read — the
     Iceberg ``VERSION AS OF`` analogue, free because append-only
     snapshots never rewrite earlier files.  Entries written before
-    snapshot tagging existed count as snapshot 0 (always visible)."""
-    entries = _load_manifest(path)
+    snapshot tagging existed count as snapshot 0 (always visible).
+    ``branch`` selects a write-audit-publish staging branch; the
+    default reads only published (main) data."""
+    entries = [
+        e
+        for e in _load_manifest(path)
+        if e.get("branch", "main") == branch
+    ]
     if as_of is not None:
         entries = [e for e in entries if e.get("snapshot", 0) <= as_of]
     files = [f"{path}/{e['file']}" for e in entries]
     if not files:
         raise FileNotFoundError(
-            f"no committed files under {path}"
+            f"no committed files under {path} (branch {branch})"
             + (f" as of snapshot {as_of}" if as_of is not None else "")
         )
     return spark.read.parquet(*files)
 
 
-def snapshots(path: str) -> list[dict]:
-    """Snapshot history of a manifest table: one row per snapshot id
-    with its file count and cumulative row count — the
+def snapshots(path: str, branch: str = "main") -> list[dict]:
+    """Snapshot history of a manifest table branch: one row per
+    snapshot id with its file count and cumulative row count — the
     ``table.history()`` analogue, read straight from the manifest (no
     data files touched)."""
     per: dict[int, dict] = {}
     for e in _load_manifest(path):
+        if e.get("branch", "main") != branch:
+            continue
         s = per.setdefault(
             e.get("snapshot", 0), {"n_files": 0, "n_rows": 0}
         )
@@ -156,6 +193,63 @@ def snapshots(path: str) -> list[dict]:
     return [
         {"snapshot": k, **v} for k, v in sorted(per.items())
     ]
+
+
+def _rewrite_manifest(path: str, entries: list[dict]) -> None:
+    manifest = f"{path}/_manifest.json"
+    tmp = f"{manifest}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"files": entries}, f)
+    os.rename(tmp, manifest)  # atomic
+
+
+def publish_branch(path: str, branch: str) -> dict:
+    """Write-audit-publish PROMOTE: atomically move every snapshot of
+    *branch* onto main as one new main snapshot.  The data files do not
+    move — publication is a single manifest rewrite (rename-atomic), so
+    a reader sees either none or all of the branch, never part of it;
+    this is Iceberg's WAP ``cherry-pick`` on plain files.  Returns
+    ``{published_files, published_rows, main_snapshot}``."""
+    entries = _load_manifest(path)
+    staged = [e for e in entries if e.get("branch", "main") == branch]
+    if branch == "main" or not staged:
+        raise ValueError(f"nothing staged on branch {branch!r}")
+    snap = 1 + max(
+        (
+            e.get("snapshot", 0)
+            for e in entries
+            if e.get("branch", "main") == "main"
+        ),
+        default=0,
+    )
+    for e in staged:
+        e["branch"] = "main"
+        e["snapshot"] = snap
+    _rewrite_manifest(path, entries)
+    return {
+        "published_files": len(staged),
+        "published_rows": sum(e["rows"] for e in staged),
+        "main_snapshot": snap,
+    }
+
+
+def drop_branch(path: str, branch: str) -> dict:
+    """Write-audit-publish REJECT: atomically remove *branch*'s entries
+    from the manifest.  Its data files become orphans (invisible to all
+    readers immediately) and are reclaimed by
+    :func:`remove_orphan_files` — deletion is deferred exactly so a
+    concurrent reader holding the old manifest never loses a file mid-
+    read.  Returns ``{dropped_files, dropped_rows}``."""
+    if branch == "main":
+        raise ValueError("refusing to drop main")
+    entries = _load_manifest(path)
+    dropped = [e for e in entries if e.get("branch", "main") == branch]
+    kept = [e for e in entries if e.get("branch", "main") != branch]
+    _rewrite_manifest(path, kept)
+    return {
+        "dropped_files": len(dropped),
+        "dropped_rows": sum(e["rows"] for e in dropped),
+    }
 
 
 def find_orphan_files(path: str) -> list[str]:

@@ -145,3 +145,60 @@ def test_time_travel_read(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_manifest(spark, out, as_of=0)
+
+
+def test_write_audit_publish_branch(spark, tmp_path):
+    import pytest as _pytest
+
+    from extractor.manifest_sink import (
+        ManifestParquetDataSource,
+        drop_branch,
+        find_orphan_files,
+        publish_branch,
+        read_manifest,
+        remove_orphan_files,
+        snapshots,
+    )
+
+    spark.dataSource.register(ManifestParquetDataSource)
+    out = str(tmp_path / "wap")
+
+    def write(rows, **opts):
+        w = spark.createDataFrame(rows, "id long, v string").coalesce(
+            1
+        ).write.format("manifest_parquet").option("path", out)
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode("append").save()
+
+    write([(1, "a")])
+    write([(2, "b"), (3, "c")], branch="audit")
+    # staged data invisible to main readers, visible on its branch
+    assert read_manifest(spark, out).count() == 1
+    assert read_manifest(spark, out, branch="audit").count() == 2
+    assert [s["snapshot"] for s in snapshots(out)] == [1]
+    assert [s["snapshot"] for s in snapshots(out, "audit")] == [1]
+
+    # publish: atomically one new main snapshot, branch emptied
+    res = publish_branch(out, "audit")
+    assert (res["published_rows"], res["main_snapshot"]) == (2, 2)
+    assert sorted(r["id"] for r in read_manifest(spark, out).collect()) == [
+        1,
+        2,
+        3,
+    ]
+    assert read_manifest(spark, out, as_of=1).count() == 1  # history intact
+    with _pytest.raises(FileNotFoundError):
+        read_manifest(spark, out, branch="audit")
+    with _pytest.raises(ValueError):
+        publish_branch(out, "audit")  # nothing staged anymore
+
+    # reject: dropped branch files become collectable orphans
+    write([(9, "z")], branch="bad")
+    assert drop_branch(out, "bad")["dropped_rows"] == 1
+    assert read_manifest(spark, out).count() == 3
+    orphans = find_orphan_files(out)
+    assert len(orphans) == 1
+    removed = remove_orphan_files(out, dry_run=False)
+    assert removed["orphans_removed"] == 1
+    assert find_orphan_files(out) == []
