@@ -576,3 +576,48 @@ def test_cogroup_merge_asof_single_copartition(spark):
     # one hash co-partitioning per side, nothing else moves
     assert _n_exchanges(plan) == 2, plan
     assert "Join" not in plan
+
+
+def test_zonemap_two_scans_map_side_aggs(spark):
+    from extractor.ops.maintenance import zonemap_prune_stats
+
+    plan = _plan(zonemap_prune_stats(spark, SF))
+    # one partial+final aggregate pair per layout, no joins
+    assert "Join" not in plan
+    assert _n_exchanges(plan) == 2, plan
+
+
+def test_retention_preaggregates_distinct_users(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e._retention_cohorts(spark, SF))
+    # the distinct-user count must come from the (cell, user) pre-agg,
+    # never an Expand-based count(distinct) over raw event rows
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gdpr_cascade_broadcasts_delete_set(spark):
+    from extractor.ops.relational import gdpr_delete_cascade
+
+    plan = _plan(gdpr_delete_cascade(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_referential_audit_broadcasts_parents(spark):
+    from extractor.ops.relational import referential_integrity_audit
+
+    plan = _plan(referential_integrity_audit(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_no_cartesian(spark):
+    from extractor.ops.dedup import split_leakage_audit
+
+    plan = _plan(split_leakage_audit(spark, SF))
+    # bucket-local pairing + two key joins; never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
