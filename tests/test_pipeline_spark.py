@@ -354,3 +354,46 @@ def test_neardup_clusters_raises_on_iteration_cap(spark):
         dedup.neardup_clusters(spark, sf, max_iters=0)
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.neardup_clusters(spark, sf, max_iters=0, algorithm="two_phase")
+
+
+def test_km_minhash_matches_python_reference(spark):
+    """The Kirsch-Mitzenmacher signature lanes must equal a pure-Python
+    md5 reference bit-for-bit (one digest per token; lane i =
+    (h1 + i*h2odd) mod 2^32, min over distinct tokens)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from extractor.ops import dedup
+
+    texts = [
+        (0, "alpha beta gamma"),
+        (1, "alpha  alpha\tbeta"),   # duplicate + mixed whitespace
+        (2, "Unicode töken mixé case"),
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(dedup.N_HASHES)]
+        for r in dedup.minhash_signatures(df).collect()
+    }
+
+    def ref(text):
+        toks = []
+        for t in text.lower().strip().split():
+            if t and t not in toks:
+                toks.append(t)
+        lanes = []
+        for i in range(dedup.N_HASHES):
+            best = None
+            for t in toks:
+                h = hashlib.md5(t.encode()).hexdigest()
+                h1 = int(h[:8], 16)
+                h2 = int(h[8:16], 16) | 1
+                v = (h1 + i * h2) % dedup.MH_MOD
+                best = v if best is None or v < best else best
+            lanes.append(best)
+        return lanes
+
+    for doc_id, text in texts:
+        assert got[doc_id] == ref(text), (doc_id, got[doc_id], ref(text))
