@@ -1680,6 +1680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # train/val/test contamination: LSH near-dup pairs spanning
         # different md5 splits (bucket-local, never all-pairs)
         "split_leakage_audit": dedup.split_leakage_audit,
+        # length-grouped dynamic micro-batching for inference sweeps
+        # (padding-waste-bounded batches; recursive-CTE oracle)
+        "inference_batch_pack": dedup.inference_batch_pack,
         # FK orphan audit over the five schema edges (dedup'd parent
         # keys broadcast; conditional count, ppm exact)
         "referential_integrity_audit": relational.referential_integrity_audit,
@@ -1858,6 +1861,7 @@ _LAST_GREEN_R2 = [
     "domain_communities", "cogroup_merge_asof", "schema_evolution_read",
     "lang_confusion", "gdpr_delete_cascade", "split_leakage_audit",
     "referential_integrity_audit", "backfill_partition_overwrite",
+    "inference_batch_pack",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5380,6 +5384,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, shard,
                CAST(bin_local AS BIGINT) AS bin_local,
                CAST(fill AS BIGINT) AS bin_fill_after
+        FROM state
+    """
+    # Inference batching: same per-shard descending walk, state =
+    # (batch, n_in_batch, batch_max); close when max*(n+1) > budget.
+    oracles["inference_batch_pack"] = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 CAST(doc_id % {dedup.IBATCH_SHARDS} AS BIGINT) AS shard,
+                 CAST(length(text) AS BIGINT) AS n,
+                 row_number() OVER (
+                   PARTITION BY doc_id % {dedup.IBATCH_SHARDS}
+                   ORDER BY length(text) DESC, doc_id) AS r
+          FROM documents WHERE text IS NOT NULL
+        ), state AS (
+          SELECT shard, r, doc_id, n,
+                 CAST(0 AS BIGINT) AS batch_local,
+                 CAST(1 AS BIGINT) AS n_in, n AS mx
+          FROM d WHERE r = 1
+          UNION ALL
+          SELECT d.shard, d.r, d.doc_id, d.n,
+                 CASE WHEN s.mx * (s.n_in + 1) > {dedup.IBATCH_BUDGET}
+                      THEN s.batch_local + 1 ELSE s.batch_local END,
+                 CASE WHEN s.mx * (s.n_in + 1) > {dedup.IBATCH_BUDGET}
+                      THEN 1 ELSE s.n_in + 1 END,
+                 CASE WHEN s.mx * (s.n_in + 1) > {dedup.IBATCH_BUDGET}
+                      THEN d.n ELSE s.mx END
+          FROM state s JOIN d ON d.shard = s.shard AND d.r = s.r + 1
+        )
+        SELECT doc_id, shard, batch_local,
+               n_in AS batch_fill_n,
+               CAST(mx * n_in AS BIGINT) AS padded_cells_after
         FROM state
     """
     # HITS: unroll the 3 max-normalized rounds as chained CTEs over the

@@ -1680,3 +1680,86 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.min("pair_key").alias("sample_pair"),
     )
+
+
+IBATCH_BUDGET = 4000    # per-batch cost budget: max_len * n_seqs (pad cells)
+IBATCH_SHARDS = 16
+
+
+def infer_batch_chain(lengths, budget: int):
+    """Sequential length-sorted dynamic-batching state chain: lengths
+    arrive DESCENDING; a batch closes when admitting the next sequence
+    would push ``batch_max_len * (n+1)`` over *budget* (batch_max_len is
+    the FIRST member's length — descending order makes it the max, which
+    is what bounds the padded tensor).  An over-budget single sequence
+    still occupies a batch alone.  Returns (batch idx, n_after,
+    padded_cells_after) per item.  Pure function shared by the Arrow
+    walk and the property tests (same pattern as :func:`nextfit_chain`)."""
+    batches, ns, cells = [], [], []
+    b, n, mx = 0, 0, 0
+    for ln in lengths:
+        ln = int(ln)
+        if n > 0 and mx * (n + 1) > budget:
+            b += 1
+            n, mx = 0, 0
+        if n == 0:
+            mx = ln
+        n += 1
+        batches.append(b)
+        ns.append(n)
+        cells.append(mx * n)
+    return batches, ns, cells
+
+
+def inference_batch_pack(spark: SparkSession, sf_dir: str,
+                         budget: int = IBATCH_BUDGET,
+                         shards: int = IBATCH_SHARDS) -> DataFrame:
+    """Dynamic micro-batching for inference/scoring sweeps — the
+    serving-side twin of :func:`bin_pack_nextfit`: sequences are padded
+    to their batch's max length, so naive arrival-order batching wastes
+    compute as pad cells; sorting by length first makes batches
+    length-homogeneous and caps the padded tensor at ``budget`` cells
+    (vLLM/TGI-style length-grouped batching, the standard trick for
+    classifier sweeps over a corpus).
+
+    Per doc: ``(doc_id, shard, batch_local, batch_fill_n,
+    padded_cells_after)`` — the last column is the running padded-tensor
+    size, so Σ waste is auditable downstream.
+
+    Scale shape: identical to the packer — md5-uniform shards, ONE
+    shuffle into ``applyInPandas``, each shard's chain is a linear walk
+    over its pre-sorted frame; batch ids are shard-local (globalize with
+    ``shard * K + batch_local`` downstream).  The oracle replays the
+    chain as a recursive CTE per shard."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.pmod("doc_id", F.lit(shards)).cast("long").alias("shard"),
+            F.length("text").cast("long").alias("n"),
+        )
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        batches, ns, cells = infer_batch_chain(pdf["n"], budget)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "batch_local": batches,
+                "batch_fill_n": ns,
+                "padded_cells_after": cells,
+            }
+        ).astype("int64")
+
+    return docs.groupBy("shard").applyInPandas(
+        pack,
+        "doc_id long, shard long, batch_local long, batch_fill_n long,"
+        " padded_cells_after long",
+    )

@@ -177,3 +177,41 @@ def test_nextfit_chain_invariants(lengths, cap):
     for n, b, fill in zip(lengths, bins, fills):
         if fill > cap:
             assert per_bin[b] == 1 and n > cap
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=3000), max_size=150),
+    st.integers(min_value=1, max_value=5000),
+)
+def test_infer_batch_chain_invariants(raw, budget):
+    from extractor.ops.dedup import infer_batch_chain
+
+    lengths = sorted(raw, reverse=True)  # contract: descending arrival
+    batches, ns, cells = infer_batch_chain(lengths, budget)
+    assert len(batches) == len(ns) == len(cells) == len(lengths)
+    prev_b, prev_n = 0, 0
+    mx = None
+    for ln, b, n, c in zip(lengths, batches, ns, cells):
+        assert b in (prev_b, prev_b + 1)
+        if b != prev_b or prev_n == 0:
+            mx = ln  # batch opener sets the padded width
+            assert n == 1
+        else:
+            assert n == prev_n + 1
+            assert ln <= mx  # descending: opener is the max
+        assert c == mx * n
+        # admission rule: a multi-member batch never exceeds budget
+        if n > 1:
+            assert c <= budget
+        prev_b, prev_n = b, n
+    # every batch is maximal: the first item of batch k+1 would not
+    # have fit at the end of batch k
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for ln, b in zip(lengths, batches):
+        per[b].append(ln)
+    for k in range(1, len(per)):
+        prev = per[k - 1]
+        assert prev[0] * (len(prev) + 1) > budget
