@@ -671,18 +671,14 @@ def _domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=3)
 
 
-def _domain_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core peeling (k=3, 4 fixed rounds) over a deterministic domain
-    graph built to exhibit the real cascade: a sparse chain layer
-    (doc_id%150 generator, mod-7 keep) that peels away round by round
-    PLUS a dense 12-node ring layer that survives as the core — at
-    sf0.01 the alive set contracts 108 → 22 → 12 → 12 → 12, i.e. the
-    peel CONVERGES inside the round budget and the output is the true
-    3-core (the link-ring/spam-farm detection signal of web curation).
-    HASH-CHECKED: the oracle unrolls the identical rounds as chained
-    CTEs over the identical generated graph."""
-    from extractor.ops.links import kcore
-
+def _layered_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layered test graph shared by ``domain_kcore`` and
+    ``domain_communities`` (and, CTE-side, by their oracles via
+    ``_kcore_cte[0]``): a sparse chain layer (doc_id%150 generator,
+    mod-7 keep) that peels/fragments, PLUS a dense 12-node ring layer
+    that survives as the core / coheres as one community.  ONE
+    generator so the two Spark ops can never desynchronize from each
+    other or from the shared oracle CTE."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     s150 = F.pmod(F.col("doc_id"), F.lit(150))
     chain = docs.where(
@@ -700,7 +696,21 @@ def _domain_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst"
         ),
     )
-    return kcore(chain.union(core).distinct(), k=3, rounds=4)
+    return chain.union(core).distinct()
+
+
+def _domain_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, 4 fixed rounds) over the layered domain
+    graph: the sparse chains peel away round by round while the dense
+    12-node ring survives as the core — at sf0.01 the alive set
+    contracts 108 → 22 → 12 → 12 → 12, i.e. the peel CONVERGES inside
+    the round budget and the output is the true 3-core (the
+    link-ring/spam-farm detection signal of web curation).
+    HASH-CHECKED: the oracle unrolls the identical rounds as chained
+    CTEs over the identical generated graph."""
+    from extractor.ops.links import kcore
+
+    return kcore(_layered_domain_graph(spark, sf_dir), k=3, rounds=4)
 
 
 def _domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,24 +721,7 @@ def _domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode-vote rounds (argmax via count desc, label asc row_number)."""
     from extractor.ops.links import label_propagation
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    s150 = F.pmod(F.col("doc_id"), F.lit(150))
-    chain = docs.where(
-        F.pmod(s150 + F.lit(3) * F.expr("doc_id DIV 150"), F.lit(7)) == 0
-    ).select(
-        s150.alias("src"),
-        F.pmod(F.lit(7) * s150 + F.expr("doc_id DIV 150"), F.lit(150)).alias(
-            "dst"
-        ),
-    )
-    s12 = F.pmod(F.col("doc_id"), F.lit(12))
-    core = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
-        s12.alias("src"),
-        F.pmod(F.lit(5) * s12 + F.expr("doc_id DIV 12"), F.lit(12)).alias(
-            "dst"
-        ),
-    )
-    return label_propagation(chain.union(core).distinct(), rounds=3)
+    return label_propagation(_layered_domain_graph(spark, sf_dir), rounds=3)
 
 
 def _cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,7 +82,6 @@ class ManifestParquetWriter(DataSourceWriter):
         return _FileCommit(fname, len(rows), os.path.getsize(full))
 
     def commit(self, messages) -> None:
-        manifest = f"{self.path}/_manifest.json"
         # overwrite resets THIS branch's history; other branches keep
         # their staged snapshots (branch isolation)
         entries = (
@@ -117,10 +116,7 @@ class ManifestParquetWriter(DataSourceWriter):
                         "branch": self.branch,
                     }
                 )
-        tmp = f"{manifest}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"files": entries}, f)
-        os.rename(tmp, manifest)  # the atomic visibility step
+        _rewrite_manifest(self.path, entries)  # atomic visibility step
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -96,13 +96,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded LSH over minhash signatures: near-dup candidate buckets.
-    Returns (band, bucket, n_docs, min_doc_id) for buckets with >= 2 docs.
-    One pass: band structs are exploded from an array (no self-union), so
-    the only shuffle is the final (band, bucket) aggregation."""
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    sig = minhash_signatures(docs)
+def _banded_explode(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows from a signature frame: each band's
+    bucket is the md5 of its BAND_SIZE signature components.  Band
+    structs explode from one array (no self-union), so banding is
+    shuffle-free — the ONE definition shared by the bucket rollup, the
+    Jaccard estimator, and the split-leakage audit (a band/bucket-hash
+    change can't silently desynchronize them)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -120,9 +120,20 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_HASHES // BAND_SIZE)
         ]
     )
-    exploded = sig.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH over minhash signatures: near-dup candidate buckets.
+    Returns (band, bucket, n_docs, min_doc_id) for buckets with >= 2 docs.
+    One pass: band structs are exploded from an array (no self-union), so
+    the only shuffle is the final (band, bucket) aggregation."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    exploded = _banded_explode(minhash_signatures(docs))
     return (
         exploded.groupBy("band", "bucket")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
@@ -187,27 +198,7 @@ def minhash_jaccard_estimate(
     inside them is pure waste)."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     sig = minhash_signatures(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * BAND_SIZE + j}")
-                            for j in range(BAND_SIZE)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    exploded = sig.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", F.col("bb.band"), F.col("bb.bucket"))
-    pairs = _bucket_pairs(exploded, max_bucket)
+    pairs = _bucket_pairs(_banded_explode(sig), max_bucket)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(N_HASHES)],
@@ -1635,27 +1626,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str,
     Output: ``(split_a, split_b, n_pairs, sample_pair)``."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     sig = minhash_signatures(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * BAND_SIZE + j}")
-                            for j in range(BAND_SIZE)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    exploded = sig.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", F.col("bb.band"), F.col("bb.bucket"))
-    pairs = _bucket_pairs(exploded, max_bucket)
+    pairs = _bucket_pairs(_banded_explode(sig), max_bucket)
     sp = train_split_assign(spark, sf_dir).select("doc_id", "split")
     labeled = (
         pairs.join(

@@ -505,6 +505,8 @@ def hits(edges: DataFrame, iterations: int = 3,
             "node",
             F.expr(f"raw * {scale} DIV m").cast("long").alias("hub"),
         ).localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
     return auth.join(hub, "node").select("node", "auth", "hub")
 
 
@@ -559,9 +561,11 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
             .select(F.col("src").alias("node"))
             .localCheckpoint()
         )
-    return _induced_degree(alive).select(
+    out = _induced_degree(alive).select(
         F.col("src").cast("long").alias("node"), "deg"
-    )
+    ).localCheckpoint()  # materialize before releasing the edge cache
+    e.unpersist()
+    return out
 
 
 def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
@@ -622,4 +626,5 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             )
             .localCheckpoint()
         )
+    e.unpersist()
     return labels.select(F.col("node").cast("long").alias("node"), "label")

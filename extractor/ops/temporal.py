@@ -278,10 +278,12 @@ def retention_cohorts(events: DataFrame,
     by their FIRST active week, then each (cohort, week-offset) cell
     counts the distinct users active that many weeks later.
 
-    Weeks are pure integers (``datediff(day, epoch, ts) DIV 7``) —
+    Weeks are pure integers (``floor(datediff(day, epoch, ts) / 7)``) —
     never ``date_trunc('week', ...)``, whose week-start convention is
     an engine-specific trap; integer week indices make the oracle exact
-    and the math timezone-free.
+    and the math timezone-free.  FLOOR (not truncate-toward-zero)
+    division, so pre-epoch events land in negative weeks identically in
+    both engines.
 
     Output: ``(cohort_week, week_offset, n_users, n_events)``.
 
@@ -293,7 +295,8 @@ def retention_cohorts(events: DataFrame,
     user) before the final cell rollup, so reducer keys never exceed
     user-cardinality.  Nothing driver-side."""
     wk = F.expr(
-        f"CAST(datediff(CAST(ts AS DATE), DATE'{epoch}') AS BIGINT) DIV 7"
+        f"CAST(floor(datediff(CAST(ts AS DATE), DATE'{epoch}') / 7)"
+        " AS BIGINT)"
     )
     e = events.select("user_id", wk.alias("wk"))
     cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
