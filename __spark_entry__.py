@@ -1676,6 +1676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # length-grouped dynamic micro-batching for inference sweeps
         # (padding-waste-bounded batches; recursive-CTE oracle)
         "inference_batch_pack": dedup.inference_batch_pack,
+        # per-source OOV rate vs the corpus top-k vocabulary (broadcast
+        # vocab, no token shuffle; tokenizer-eval surface)
+        "oov_rate_report": textops.oov_rate_report,
         # FK orphan audit over the five schema edges (dedup'd parent
         # keys broadcast; conditional count, ppm exact)
         "referential_integrity_audit": relational.referential_integrity_audit,
@@ -1854,7 +1857,7 @@ _LAST_GREEN_R2 = [
     "domain_communities", "cogroup_merge_asof", "schema_evolution_read",
     "lang_confusion", "gdpr_delete_cascade", "split_leakage_audit",
     "referential_integrity_audit", "backfill_partition_overwrite",
-    "inference_batch_pack",
+    "inference_batch_pack", "oov_rate_report",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5684,6 +5687,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) - count(d.doc_id) AS BIGINT)
         FROM (SELECT CAST(vec_id AS BIGINT) AS doc_id FROM embeddings) t
         LEFT JOIN delset d USING (doc_id)
+    """
+    # OOV rate: identical top-k vocab (count desc, token asc), per-
+    # source occurrence coverage, ppm floor division.
+    oracles["oov_rate_report"] = r"""
+        WITH toks AS (
+          SELECT source, unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '[ \t\r\n\f\v]+'),
+            x -> x <> '')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ), vocab AS (
+          SELECT tok FROM (
+            SELECT tok, count(*) AS n FROM toks GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 50
+          )
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) - count(v.tok) AS BIGINT) AS n_oov,
+               CAST((count(*) - count(v.tok)) * 1000000 // count(*)
+                    AS BIGINT) AS oov_ppm
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        GROUP BY source
     """
     # FK integrity: per-edge dangling-child counts, ppm floor division.
     oracles["referential_integrity_audit"] = """

@@ -1654,3 +1654,38 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("sample_doc"),
         )
     )
+
+
+OOV_VOCAB_K = 50
+
+
+def oov_rate_report(spark: SparkSession, sf_dir: str,
+                    k: int = OOV_VOCAB_K) -> DataFrame:
+    """Vocabulary-coverage audit — the tokenizer-eval step between
+    vocabulary training and committing to it: against the corpus's own
+    top-``k`` token vocabulary, what fraction of each source's token
+    OCCURRENCES falls out of vocabulary?  High-OOV sources either need
+    vocab budget or signal noise (mojibake, code, another language) —
+    the per-source number is what decides.
+
+    Scale shape: the vocabulary is k rows → BROADCAST onto the exploded
+    token stream (map-side left join, no token shuffle); the rollup is
+    one per-source aggregate.  ppm in BIGINT floor division, oracle-
+    exact.
+
+    Output: ``(source, n_tokens, n_oov, oov_ppm)``."""
+    vocab = vocab_topk(spark, sf_dir, k).select(
+        "tok", F.lit(1).alias("_in")
+    )
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select("source", F.explode(_tok_arr()).alias("tok"))
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.count("_in")).cast("long").alias("n_oov"),
+    ).select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        F.expr("n_oov * 1000000 DIV n_tokens").cast("long").alias("oov_ppm"),
+    )
