@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Run the driver-contract correctness gate locally: every (or a chosen
+slice of) ``__spark_entry__.queries()`` entry vs its DuckDB oracle on
+the same parquet tables, using the same canonicalization the grading
+driver applies (tests/driver_sim.py).
+
+    python scripts/oracle_sweep.py                 # whole contract
+    python scripts/oracle_sweep.py --start 100     # resume a slice
+    python scripts/oracle_sweep.py --names dedup_exact q1_pricing_summary
+    python scripts/oracle_sweep.py --sf-dir /root/testdata/sf0.001
+
+Exit code 0 iff every checked entry passes (rows-only entries count as
+pass when they execute and return a row count).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    parser.add_argument("--master", default="local[8]")
+    parser.add_argument("--start", type=int, default=0)
+    parser.add_argument("--stop", type=int, default=None)
+    parser.add_argument("--names", nargs="*", default=None)
+    args = parser.parse_args()
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import driver_sim  # noqa: E402
+    import __spark_entry__ as entry  # noqa: E402
+    from pyspark.sql import SparkSession  # noqa: E402
+
+    shuffle = args.master[args.master.find("[") + 1 : args.master.find("]")]
+    spark = (
+        SparkSession.builder.master(args.master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle if shuffle.isdigit() else "8",
+        )
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .appName("oracle-sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = driver_sim.duckdb_conn(args.sf_dir)
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    items = list(queries.items())
+    if args.names:
+        items = [(n, queries[n]) for n in args.names]
+    else:
+        items = items[args.start : args.stop]
+
+    t0 = time.time()
+    fails = []
+    for i, (name, fn) in enumerate(items):
+        t = time.time()
+        try:
+            if name in oracles:
+                ok, msg = driver_sim.compare_query(
+                    spark, con, fn, oracles[name], args.sf_dir
+                )
+            else:
+                n = fn(spark, args.sf_dir).count()
+                ok, msg = True, f"rows-only n={n}"
+        except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
+            ok, msg = False, f"EXC {type(ex).__name__}: {ex}"
+        tag = "OK " if ok else "FAIL"
+        print(
+            f"{args.start + i:3d} {tag} {name:32s} {time.time() - t:6.1f}s"
+            f" {'' if ok else msg[:300]}",
+            flush=True,
+        )
+        if not ok:
+            fails.append((name, msg))
+    print(f"TOTAL {time.time() - t0:.0f}s fails={len(fails)}")
+    for name, msg in fails:
+        print(f"FAIL {name}: {msg[:500]}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
