@@ -724,6 +724,38 @@ def _domain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_layered_domain_graph(spark, sf_dir), rounds=3)
 
 
+def _linkpred_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction (Liben-Nowell & Kleinberg) over the shared
+    layered domain graph: top missing edges by exact-integer Jaccard of
+    hub-capped neighborhoods.  HASH-CHECKED — the oracle replays the
+    wedge join, the degree cap (8, which BINDS here: the 12 ring nodes
+    have degree 12 and are excluded as wedge centers), and the ppm
+    integer division over the identical generated graph."""
+    from extractor.ops.links import jaccard_linkpred
+
+    return jaccard_linkpred(_layered_domain_graph(spark, sf_dir))
+
+
+def _dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path (critical-path) depth per node of the DAG obtained by
+    orienting the layered domain graph small-id → big-id.  Iterates
+    max-relaxation to a VERIFIED fixpoint (converges in 14 rounds at
+    sf0.01, max depth 13); the oracle computes the same depths with a
+    recursive CTE enumerating all (node, depth) path lengths."""
+    from extractor.ops.links import dag_longest_path
+
+    return dag_longest_path(_layered_domain_graph(spark, sf_dir))
+
+
+def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame-sampling plan for every synthetic video row —
+    stream params derive from the typed metadata, so DuckDB rebuilds the
+    exact (frame_no, frame_idx, ts_ms) rows from the md5 generator."""
+    from extractor.ops import multimodal as mm
+
+    return mm.frame_sample_plan(mm.synth_media_df(spark))
+
+
 def _cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from extractor.ops.temporal import cogroup_merge_asof
 
@@ -1416,12 +1448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-4 window (``_DRIVER_WINDOW``, applied below) = 50 entries with
     zero driver CORRECTNESS history in r1–r3 (13 from VERDICT r3's weak
     list + 37 added during round 4).  Entries that landed AFTER the
-    window froze sit at the head of ``_LAST_GREEN_R2`` — 37 of them are
+    window froze sit at the head of ``_LAST_GREEN_R2`` — 67 of them are
     never-driver-checked (from ``sft_pair_assembly`` through
-    ``media_neardup_groups``, including ``extract_mode_mathjax_toc``'s new
-    hash oracle) and must LEAD the round-5 window, followed by the
-    oldest-green entries.  All 50-window-external entries pass the
-    local driver_sim sweep at sf0.01 (latest full sweep: 0 fails).
+    ``media_frame_sample``, positions 50–117) and must LEAD the round-5
+    window, followed by the oldest-green entries.  All 50-window-external
+    entries pass the local driver_sim sweep at sf0.01
+    (``scripts/oracle_sweep.py``; latest full sweep: 0 fails).
     """
     q = {
         # --- never driver-checked before round 4 (VERDICT r3 weak list) ---
@@ -1679,6 +1711,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source OOV rate vs the corpus top-k vocabulary (broadcast
         # vocab, no token shuffle; tokenizer-eval surface)
         "oov_rate_report": textops.oov_rate_report,
+        # Jaccard link prediction over the layered domain graph —
+        # hub-capped wedge join, all-integer ppm scores
+        "linkpred_jaccard": _linkpred_jaccard,
+        # DAG critical-path depth (longest path to fixpoint, recursive-
+        # CTE-checked) — the dependency-scheduling primitive
+        "dag_critical_path": _dag_critical_path,
+        # chi-square term selection vs the lang label (classifier
+        # feature mining; exact integer micro-units)
+        "term_chi2": textops.term_chi2_topk,
+        # skyline / Pareto frontier (two-level bucket decomposition —
+        # no O(n²) self-join, no global window over data rows)
+        "pareto_frontier": relational.pareto_frontier,
+        # video frame-sampling plan (map-only sequence explode; the
+        # Spark half of video ingest, codec decode stubbed elsewhere)
+        "media_frame_sample": _media_frame_sample,
         # FK orphan audit over the five schema edges (dedup'd parent
         # keys broadcast; conditional count, ppm exact)
         "referential_integrity_audit": relational.referential_integrity_audit,
@@ -1824,8 +1871,8 @@ _DRIVER_WINDOW = [
 
 # The tail's front: every entry that has NEVER had a driver
 # CORRECTNESS row (the round-4 window was already full when these
-# landed) leads this list, in landing order — positions 50..109 at end
-# of round 4, 60 entries.  Round 5's window takes the first 50 of them;
+# landed) leads this list, in landing order — positions 50..117 at end
+# of round 4, 67 entries.  Round 5's window takes the first 50 of them;
 # the remainder plus any new landings lead round 6.  After them come
 # the oldest-green entries (last green row r2), so staleness cycles out
 # on the same rotation.
@@ -1858,6 +1905,8 @@ _LAST_GREEN_R2 = [
     "lang_confusion", "gdpr_delete_cascade", "split_leakage_audit",
     "referential_integrity_audit", "backfill_partition_overwrite",
     "inference_batch_pack", "oov_rate_report",
+    "linkpred_jaccard", "dag_critical_path", "term_chi2",
+    "pareto_frontier", "media_frame_sample",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -5494,6 +5543,136 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.src
     """)
     oracles["domain_kcore"] = "".join(_kcore_cte)
+    # Jaccard link prediction: same generated graph (prefix reuses the
+    # kcore CTE — its a0 CTE is simply unused), hub cap 8 replayed, ppm
+    # scores by integer division (non-negative, so // == Spark DIV).
+    oracles["linkpred_jaccard"] = f"""{_kcore_cte[0]},
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        centers AS (SELECT src AS z FROM deg WHERE deg <= 8),
+        adj AS (SELECT e.src AS z, e.dst AS nb
+                FROM e JOIN centers c ON c.z = e.src),
+        degf AS (SELECT nb, count(*) AS degf FROM adj GROUP BY nb),
+        pairs AS (
+          SELECT l.nb AS a, r.nb AS b, CAST(count(*) AS BIGINT) AS common
+          FROM adj l JOIN adj r ON l.z = r.z AND l.nb < r.nb
+          GROUP BY l.nb, r.nb
+        ),
+        cand AS (
+          SELECT p.* FROM pairs p
+          WHERE NOT EXISTS (SELECT 1 FROM e
+                            WHERE e.src = p.a AND e.dst = p.b)
+        )
+        SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+               c.common,
+               CAST(c.common * 1000000
+                    // (da.degf + db.degf - c.common) AS BIGINT)
+                 AS score_ppm
+        FROM cand c JOIN degf da ON da.nb = c.a
+                    JOIN degf db ON db.nb = c.b
+        ORDER BY score_ppm DESC, a, b LIMIT 30
+    """
+    # DAG critical path: orient edges small→big (ids are a topological
+    # order), then longest path per node via a recursive CTE over
+    # (node, depth) pairs — UNION dedupes, so the enumeration is
+    # bounded by V × max_depth.
+    oracles["dag_critical_path"] = f"""{
+        _kcore_cte[0].replace("WITH e0", "WITH RECURSIVE e0", 1)},
+        dag AS (
+          SELECT least(src, dst) AS s, greatest(src, dst) AS d
+          FROM e WHERE src <> dst GROUP BY 1, 2
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM dag
+                  UNION SELECT DISTINCT d FROM dag),
+        paths(node, depth) AS (
+          SELECT node, 0 FROM nodes
+          UNION
+          SELECT dag.d, p.depth + 1 FROM paths p JOIN dag ON dag.s = p.node
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(max(depth) AS BIGINT) AS depth
+        FROM paths GROUP BY node
+    """
+    # chi-square term selection: document-frequency contingency over the
+    # shared tokenizer, margins from the corpus totals, exact integer
+    # micro-unit scoring (numerator non-negative → // == DIV).
+    oracles["term_chi2"] = r"""
+        WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL),
+        tot AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+          FROM docs
+        ),
+        toks AS (
+          SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                 unnest(list_distinct(list_filter(
+                   regexp_split_to_array(lower(trim(text)),
+                                         '[ \t\r\n\f\v]+'),
+                   x -> x <> ''))) AS tok
+          FROM docs
+        ),
+        per AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(pos) AS BIGINT) AS pos_df
+          FROM toks GROUP BY tok HAVING count(*) >= 5
+        )
+        SELECT tok, df, pos_df,
+          CAST(t.n
+               * (per.pos_df * (t.n - t.p) - (per.df - per.pos_df) * t.p)
+               * (per.pos_df * (t.n - t.p) - (per.df - per.pos_df) * t.p)
+               * 1000000
+               // (per.df * (t.n - per.df) * t.p * (t.n - t.p))
+            AS BIGINT) AS chi2_micro
+        FROM per, tot t
+        ORDER BY chi2_micro DESC, tok LIMIT 25
+    """
+    # Pareto frontier: NOT-EXISTS dominance over the distinct points —
+    # the declarative spec the two-level Spark decomposition must match.
+    oracles["pareto_frontier"] = f"""
+        WITH pts AS (
+          SELECT CAST(n_chars AS BIGINT) AS x,
+                 {_dd_md5_bucket('pareto:', 1000000)} AS y,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1, 2
+        )
+        SELECT x, y, n_docs FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y)
+        )
+        ORDER BY x DESC
+    """
+    # frame-sampling plan: replay the md5 media generator (video rows),
+    # duration/fps from the same bytes, uniform index arithmetic in //.
+    oracles["media_frame_sample"] = """
+        WITH m AS (
+          SELECT i AS media_id, md5('42:' || CAST(i AS VARCHAR)) AS hx
+          FROM range(200) t(i)
+        ), b AS (
+          SELECT media_id,
+            (strpos('0123456789abcdef', substr(hx,1,1))-1)*16
+              + strpos('0123456789abcdef', substr(hx,2,1))-1 AS b0,
+            (strpos('0123456789abcdef', substr(hx,5,1))-1)*16
+              + strpos('0123456789abcdef', substr(hx,6,1))-1 AS b2,
+            (strpos('0123456789abcdef', substr(hx,7,1))-1)*16
+              + strpos('0123456789abcdef', substr(hx,8,1))-1 AS b3
+          FROM m
+        ), v AS (
+          SELECT media_id, CAST(5 + b0 % 64 AS BIGINT) AS duration_s,
+                 CAST(CASE b2 % 3 WHEN 0 THEN 24 WHEN 1 THEN 30
+                      ELSE 60 END AS BIGINT) AS fps
+          FROM b WHERE b3 % 3 = 2
+        ), vv AS (
+          SELECT media_id, duration_s * fps AS total_frames, fps,
+                 least(8, duration_s * fps) AS n
+          FROM v
+        )
+        SELECT media_id, CAST(i AS BIGINT) AS frame_no,
+               CAST(i * total_frames // n AS BIGINT) AS frame_idx,
+               CAST((i * total_frames // n) * 1000 // fps AS BIGINT)
+                 AS ts_ms,
+               total_frames
+        FROM vv, range(8) t(i) WHERE i < n
+    """
     # Calibration ECE: mid-rank confidence per distinct score, decile
     # bins, exact integer accuracy/confidence gap — all on the
     # distinct-score histogram of the shared classifier oracle.

@@ -628,3 +628,172 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         )
     e.unpersist()
     return labels.select(F.col("node").cast("long").alias("node"), "label")
+
+
+def jaccard_linkpred(
+    edges: DataFrame,
+    max_degree: int = 8,
+    top_n: int = 30,
+) -> DataFrame:
+    """Jaccard link prediction (Liben-Nowell & Kleinberg 2003) over an
+    undirected (src, dst) edge table: for every NON-adjacent pair (a, b)
+    sharing at least one common neighbor, score the missing edge by the
+    Jaccard similarity of their neighborhoods.  All-integer formulation:
+    ``score_ppm = |N'(a) ∩ N'(b)| * 10^6 DIV |N'(a) ∪ N'(b)|`` so the
+    oracle can reproduce it bit-for-bit (no float sums).
+
+    Hub exclusion: common neighbors are only counted through *wedge
+    centers* of degree ≤ ``max_degree``, and the neighborhoods N'(v)
+    are restricted to those centers too — so the score stays an exact
+    Jaccard of the FILTERED neighbor sets.  This is the standard guard
+    against the quadratic wedge blow-up (a degree-d hub emits d² pairs;
+    a celebrity node at web scale emits 10^12) — the same hot-key cap
+    as ``dedup.minhash_jaccard_estimate``'s max_bucket.
+
+    Scale posture (~10^11 edges): degrees are one map-side-combined
+    count; the wedge self-join is keyed on the center z (shuffle on z,
+    bounded by the cap: ≤ max_degree² pairs per center); the result agg
+    is one shuffle on (a, b); the final top-n is TakeOrderedAndProject
+    (no global sort materialized).  The degree table is node-sized —
+    broadcast here, a shuffle join at 10^9+ nodes.
+
+    Output: ``(a, b, common, score_ppm)``, the top_n candidate edges by
+    (score_ppm desc, a, b)."""
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    e = (
+        e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.where(F.col("deg") <= max_degree).select(
+        F.col("src").alias("z")
+    )
+    # adjacency through allowed centers only: (z, nb); |N'(v)| is then
+    # just the per-nb row count of this table
+    adj = e.join(
+        F.broadcast(centers), e["src"] == centers["z"]
+    ).select("z", F.col("dst").alias("nb"))
+    degf = adj.groupBy("nb").agg(F.count(F.lit(1)).alias("degf"))
+    pairs = (
+        adj.alias("l")
+        .join(adj.alias("r"), "z")
+        .where(F.col("l.nb") < F.col("r.nb"))
+        .groupBy(F.col("l.nb").alias("a"), F.col("r.nb").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    # drop already-adjacent pairs (canonical a < b orientation)
+    existing = e.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    cand = pairs.join(existing, ["a", "b"], "left_anti")
+    da = degf.select(F.col("nb").alias("a"), F.col("degf").alias("da"))
+    db = degf.select(F.col("nb").alias("b"), F.col("degf").alias("db"))
+    out = (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            "common",
+            F.expr("common * 1000000 DIV (da + db - common)")
+            .cast("long")
+            .alias("score_ppm"),
+        )
+        .orderBy(F.col("score_ppm").desc(), "a", "b")
+        .limit(top_n)
+    )
+    out = out.localCheckpoint()  # materialize before releasing the cache
+    e.unpersist()
+    return out
+
+
+def dag_longest_path(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Critical-path depth of every node in a DAG: ``depth(v)`` = length
+    of the LONGEST path ending at v (sources are 0).  The DAG is derived
+    from the input edge table by orienting every edge small-id → big-id
+    (node ids are a topological order by construction, so acyclicity is
+    guaranteed — the standard trick for dependency DAGs keyed by
+    monotonically-assigned ids).  This is the scheduling primitive of a
+    pipeline/dataset-dependency graph: depth = the earliest wave a task
+    can run in, max(depth) = the critical-path lower bound on makespan.
+
+    Distinct from ``bfs_hop_distance`` (SHORTEST path from seeds): the
+    longest-path recurrence needs max-propagation to a fixpoint, not a
+    frontier expansion — a different dataflow (no frontier shrinkage;
+    every round re-relaxes all edges Bellman-Ford-style).
+
+    Iterates ``depth(v) ← max(depth(v), max over in-edges (depth(u)+1))``
+    to a FIXPOINT, verified by a 1-row changed-count aggregate per round
+    (same convergence contract as ``dedup._cc_two_phase``); raises if
+    ``max_rounds`` is exhausted first rather than return wrong depths.
+    Rounds needed = longest path length, O(diameter) like every
+    label-relaxation algorithm here.
+
+    Scale posture: the edge table never re-shuffles; each round joins it
+    against a BROADCAST of the (node-sized) depth vector, one map-side
+    combined max per dst, and the convergence check is a 1-row count —
+    the driver never sees per-node data.
+
+    Output: ``(node, depth)``."""
+    dag = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    depth = (
+        dag.select(F.col("src").alias("node"))
+        .union(dag.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("depth"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_rounds):
+        relaxed = (
+            dag.join(
+                F.broadcast(
+                    depth.select(
+                        F.col("node").alias("src"),
+                        F.col("depth").alias("d_src"),
+                    )
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.max("d_src") + F.lit(1)).alias("d_in"))
+        )
+        new_depth = (
+            depth.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.greatest(
+                    F.col("depth"), F.coalesce(F.col("d_in"), F.lit(0))
+                ).cast("long").alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_depth.alias("n")
+            .join(depth.alias("o"), "node")
+            .where(F.col("n.depth") != F.col("o.depth"))
+            .count()
+        )
+        depth = new_depth
+        if changed == 0:
+            converged = True
+            break
+    dag.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dag_longest_path did not reach a fixpoint within "
+            f"max_rounds={max_rounds} — critical path exceeds the round "
+            "budget; raise max_rounds"
+        )
+    return depth.select(F.col("node").cast("long").alias("node"), "depth")

@@ -208,3 +208,61 @@ def dhash_groups(features: DataFrame, bits: int = 8) -> DataFrame:
         )
         .where(F.col("n_media") >= 2)
     )
+
+
+def frame_sample_plan(media: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Deterministic video frame-sampling PLAN: for every ``video`` row,
+    the evenly-spaced frame indices a decode stage would extract — the
+    Spark-side half of video ingestion (the actual frame decode needs a
+    codec library absent here, exactly like ``decode_payload``; the
+    plumbing — schema, per-frame rows, timestamps — is real and
+    oracle-checked).
+
+    Stream parameters derive deterministically from the typed metadata
+    (no codec probe): ``duration_s = 5 + (width - 16)`` and fps by
+    container format (png→24, jpg→30, bmp→60 — stand-ins for real
+    containers).  ``n = min(max_frames, total_frames)`` indices, the
+    i-th at ``frame_idx = i * total_frames DIV n`` (the uniform sampler
+    every video pipeline uses), with its millisecond timestamp
+    ``ts_ms = frame_idx * 1000 DIV fps``.
+
+    Scale shape: map-only — one ``sequence``/``posexplode`` per video
+    row (≤ max_frames rows out per video, never total_frames), all
+    JVM-side; no shuffle, no Python.  Partition count follows the
+    input, so a downstream decode kernel (Arrow-batched, like
+    ``extract_features``) inherits sane batch sizes.
+
+    Output: ``(media_id, frame_no, frame_idx, ts_ms, total_frames)``."""
+    vids = media.where(F.col("kind") == "video").select(
+        "media_id",
+        (F.lit(5) + F.col("meta.width") - F.lit(16))
+        .cast("long")
+        .alias("duration_s"),
+        F.when(F.col("meta.format") == "png", F.lit(24))
+        .when(F.col("meta.format") == "jpg", F.lit(30))
+        .otherwise(F.lit(60))
+        .cast("long")
+        .alias("fps"),
+    )
+    vids = vids.withColumn(
+        "total_frames", F.col("duration_s") * F.col("fps")
+    ).withColumn(
+        "n", F.least(F.lit(max_frames).cast("long"), F.col("total_frames"))
+    )
+    return vids.select(
+        "media_id",
+        "total_frames",
+        "fps",
+        "n",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1)).alias(
+            "frame_no", "_i"
+        ),
+    ).select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.expr("frame_no * total_frames DIV n").alias("frame_idx"),
+        F.expr("(frame_no * total_frames DIV n) * 1000 DIV fps").alias(
+            "ts_ms"
+        ),
+        "total_frames",
+    )

@@ -722,3 +722,79 @@ def referential_integrity_audit(spark: SparkSession,
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def pareto_frontier(
+    spark: SparkSession, sf_dir: str, bucket_width: int = 256
+) -> DataFrame:
+    """Skyline / Pareto-frontier query over the document corpus: the set
+    of (x, y) points not DOMINATED by any other point (q dominates p iff
+    q.x >= p.x, q.y >= p.y and q is strictly better on at least one
+    axis).  Axes here: x = n_chars (length), y = an md5-derived utility
+    score in ppm (the repo's keyed-uniform primitive, so the frontier is
+    deterministic and engine-exact) — the classic multi-objective
+    curation question "longest documents at every utility level".
+
+    Scale shape — the naive skyline is an O(n²) self-join; this is the
+    two-level decomposition (same pattern as ``pack_sequences``'s
+    distributed prefix sum):
+
+    1. collapse to DISTINCT points with multiplicity (one shuffle);
+    2. bucket by ``x DIV bucket_width``; per-bucket max-y (map-side
+       combined) → a suffix-max over the ≤ max_x/bucket_width bucket
+       rows via a single-partition window over that TINY relation only
+       (never the data);
+    3. broadcast the per-bucket "best y in any strictly-higher bucket"
+       back; in-bucket dominance is a bucket-partitioned running max
+       over (x desc, y desc) — every window is bucket-scoped.
+
+    A point survives iff its y strictly exceeds both the cross-bucket
+    suffix max and its in-bucket predecessor max (with distinct points,
+    "some predecessor has y >= mine" is exactly "I am dominated").
+
+    Output: frontier ``(x, y, n_docs)`` ordered by x desc."""
+    docs = _read(spark, sf_dir, "documents")
+    y = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("pareto:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    pts = (
+        docs.select(F.col("n_chars").cast("long").alias("x"), y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn("bx", F.expr(f"x DIV {bucket_width}"))
+    )
+    bmax = pts.groupBy("bx").agg(F.max("y").alias("by"))
+    w_suffix = Window.orderBy(F.desc("bx")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # single-partition window: ONLY over the <= max_x/bucket_width
+    # bucket-summary rows, never the point data (two-level contract)
+    suffix = bmax.coalesce(1).select(
+        "bx", F.max("by").over(w_suffix).alias("hi")
+    )
+    w_bucket = (
+        Window.partitionBy("bx")
+        .orderBy(F.desc("x"), F.desc("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.join(F.broadcast(suffix), "bx", "left")
+        .withColumn("prev", F.max("y").over(w_bucket))
+        .where(
+            (F.col("y") > F.coalesce(F.col("hi"), F.lit(-1)))
+            & (F.col("y") > F.coalesce(F.col("prev"), F.lit(-1)))
+        )
+        .select("x", "y", "n_docs")
+        .orderBy(F.desc("x"))
+    )

@@ -1689,3 +1689,84 @@ def oov_rate_report(spark: SparkSession, sf_dir: str,
         "n_oov",
         F.expr("n_oov * 1000000 DIV n_tokens").cast("long").alias("oov_ppm"),
     )
+
+
+def term_chi2_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    pos_lang: str = "en",
+    k: int = 25,
+    min_df: int = 5,
+) -> DataFrame:
+    """Chi-square feature selection of vocabulary terms against a binary
+    document label (here ``lang == pos_lang``) — the term-selection step
+    of a fastText-style quality/domain classifier (pick the terms whose
+    presence is most dependent on the label, then hash only those).
+
+    Document-frequency contingency per term: a = labeled docs containing
+    the term, b = unlabeled docs containing it, with the 2×2 completed
+    from the corpus totals.  All-integer scoring in micro-units::
+
+        chi2_micro = N * (a*Neg - b*P)^2 * 10^6  DIV  df*(N-df)*P*Neg
+
+    (the standard N(ad-bc)²/((a+b)(c+d)(a+c)(b+d)) with the margins
+    substituted) — engine-exact, no float sums.  |a*Neg - b*P| ≤ N²/4,
+    so the numerator stays under 2^63 up to N ≈ 10^? per the bound
+    N^5/16·10^6 < 2^63 (N ≤ ~6e3 corpus docs at micro precision; at
+    larger N drop to basis points or DECIMAL — documented tradeoff).
+
+    Plan shape: one corpus scan → per-doc distinct terms exploded (the
+    label rides along as a 0/1 column, no join) → ONE map-side-combined
+    (term) aggregate carrying both counts → scalar totals via a 1-row
+    aggregate (bounded driver read, same contract as the centroid /
+    bucket-list collects) → map-only scoring → TakeOrderedAndProject
+    top-k.  The ``min_df`` gate prunes the hapax tail before scoring.
+
+    Output: ``(tok, df, pos_df, chi2_micro)`` top-k by score."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    totals = docs.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lang") == pos_lang).cast("long")).alias("p"),
+    ).first()
+    n_docs, n_pos = int(totals["n"]), int(totals["p"])
+    n_neg = n_docs - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"term_chi2_topk needs both classes present: lang={pos_lang!r} "
+            f"labels {n_pos} of {n_docs} docs"
+        )
+    per_term = (
+        docs.select(
+            (F.col("lang") == pos_lang).cast("long").alias("pos"),
+            F.explode(F.array_distinct(_tok_arr())).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("pos").cast("long").alias("pos_df"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+    num = F.col("pos_df") * F.lit(n_neg) - (
+        F.col("df") - F.col("pos_df")
+    ) * F.lit(n_pos)
+    den = (
+        F.col("df")
+        * (F.lit(n_docs) - F.col("df"))
+        * F.lit(n_pos)
+        * F.lit(n_neg)
+    )
+    return (
+        per_term.withColumn("num", num)
+        .withColumn("den", den)
+        .select(
+            "tok",
+            "df",
+            "pos_df",
+            F.expr(f"{n_docs} * num * num * 1000000 DIV den")
+            .cast("long")
+            .alias("chi2_micro"),
+        )
+        .orderBy(F.desc("chi2_micro"), F.asc("tok"))
+        .limit(k)
+    )
