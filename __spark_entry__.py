@@ -1729,6 +1729,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FK orphan audit over the five schema edges (dedup'd parent
         # keys broadcast; conditional count, ppm exact)
         "referential_integrity_audit": relational.referential_integrity_audit,
+        # Unicode-confusable skeleton dedup: homoglyph evasion twins
+        # (planted) collapse under a translate-fold + md5 group
+        "homoglyph_dedup": dedup.homoglyph_dedup,
+        # fractional-epoch corpus mixing (DoReMi-style recipes):
+        # floor(e) full copies + md5-gated extra copy, map-only
+        "mixture_epochs": sampling.mixture_epochs,
+        # SentencePiece unigram-LM tokenizer training (EM rounds over a
+        # broadcast piece model; rows-only — iterative EM isn't SQL,
+        # reconstruction/mass/determinism invariants pytest-pinned)
+        "unigram_lm_em": tokenize.unigram_lm_em,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -1907,6 +1917,7 @@ _LAST_GREEN_R2 = [
     "inference_batch_pack", "oov_rate_report",
     "linkpred_jaccard", "dag_critical_path", "term_chi2",
     "pareto_frontier", "media_frame_sample",
+    "homoglyph_dedup", "mixture_epochs", "unigram_lm_em",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6147,5 +6158,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(s + n AS BIGINT) AS span_end,
                role <> 'assistant' AS mask
         FROM spans
+    """
+    # Homoglyph skeleton dedup: plant the same evasion twins, fold the
+    # same confusable map, group on the same md5 skeleton.
+    oracles["homoglyph_dedup"] = """
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ), corpus AS (
+          SELECT doc_id, text FROM docs
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id,
+                 translate(text, 'aeo', 'аеο') AS text
+          FROM docs WHERE doc_id % 37 = 0
+        )
+        SELECT md5(translate(text, 'аеο', 'aeo')) AS skel_hash,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM corpus GROUP BY skel_hash HAVING count(*) > 1
+    """
+    # Fractional-epoch mixing: floor(e) copies via correlated range
+    # unnest + the shared md5-keyed uniform gate for the extra copy.
+    oracles["mixture_epochs"] = f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 500000 + 250000 *
+                   (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+                    % 8) AS eppm,
+                 {_dd_md5_bucket("epoch:", 1000000)} AS draw
+          FROM documents
+        ), exp AS (
+          SELECT doc_id, source, eppm, draw,
+                 unnest(range(0, eppm // 1000000 + 1)) AS e
+          FROM d
+        )
+        SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        FROM exp
+        WHERE e < eppm // 1000000
+           OR (e = eppm // 1000000 AND draw < eppm % 1000000)
     """
     return oracles

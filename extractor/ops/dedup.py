@@ -1734,3 +1734,111 @@ def inference_batch_pack(spark: SparkSession, sf_dir: str,
         "doc_id long, shard long, batch_local long, batch_fill_n long,"
         " padded_cells_after long",
     )
+
+
+def homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable-skeleton duplicate detection: documents that differ
+    ONLY by Unicode homoglyph substitution (Cyrillic а/е for Latin a/e,
+    Greek ο for o — the classic dedup-evasion / spam trick) collapse to
+    the same skeleton once confusables are folded to their Latin
+    targets, so exact-hash grouping catches what byte-level exact dedup
+    misses.  The fold is a tiny ``translate`` map (a real deployment
+    broadcasts the full UTS #39 confusables table; the mechanism —
+    codepoint map, md5 skeleton, hash group — is identical).
+
+    The test corpus is clean ASCII, so evasion twins are PLANTED
+    deterministically (same device as ``incremental_ingest_dedup``'s
+    dup branches): every ``doc_id % 37 == 0`` document gets a
+    ``doc_id + 10_000_000`` twin with a→а, e→е, o→ο applied.  Both
+    engines build the identical planted corpus, so the whole pipeline —
+    planting, folding, grouping — is hash-checked.
+
+    Scale shape: map-only fold (codegen'd ``translate``) + ONE md5-keyed
+    aggregate; the union's twin branch is a filtered re-scan of the same
+    parquet (no shuffle before the group-by).
+
+    Output: ``(skel_hash, n_docs, min_doc_id, max_doc_id)`` for groups
+    of size > 1."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    twins = docs.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.translate("text", "aeo", "аеο").alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    return (
+        corpus.select(
+            "doc_id",
+            F.md5(F.translate("text", "аеο", "aeo")).alias("skel_hash"),
+        )
+        .groupBy("skel_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty of the TEST split against the TRAIN
+    split — the memorization audit run before trusting eval numbers:
+    a test document whose 8-grams mostly occur somewhere in training
+    data measures recall, not generalization.  Complements
+    :func:`decontaminate` (which flags train docs against a benchmark);
+    this reports, per test doc, ``novelty_ppm = 1 − |grams ∩ train| /
+    |grams|`` in exact ppm over DISTINCT grams.
+
+    Splits come from the same salted-md5 buckets as
+    :func:`train_split_assign` (no join — the bucket is a map-only
+    column function of doc_id), grams from the shared
+    ``_decon_frames`` stream (md5 over the space-joined token window).
+
+    Scale shape (100 TB): the train-gram DISTINCT is the one big
+    shuffle, inherent to gram-level containment (the decontamination
+    job pays the same; a bloom prefilter built from the same hashes
+    drops the exact join to candidates-only at extreme scale, same
+    topology as :func:`decontaminate_bloom`).  The test side is ~1% of
+    the corpus, the join is gram-keyed (never all-pairs), and the
+    per-doc rollup is map-side combinable.
+
+    Output: ``(doc_id, n_grams, n_seen, novelty_ppm)`` — test docs with
+    at least one 8-gram."""
+    _t, _bench, doc_grams = _decon_frames(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    train_grams = (
+        doc_grams.where(bucket < 980).select("g").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test_grams = doc_grams.where(bucket >= 990).select("doc_id", "g").distinct()
+    return (
+        test_grams.join(train_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("seen", F.lit(0))).cast("long").alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen",
+            F.expr(
+                "(n_grams - n_seen) * 1000000 DIV n_grams"
+            ).cast("long").alias("novelty_ppm"),
+        )
+    )

@@ -306,3 +306,53 @@ def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "samp_ppm"
         ),
     )
+
+
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch corpus mixing (DoReMi / Llama-style data
+    recipes): each source gets a repeat factor in exact ppm —
+    ``epochs_ppm = 500000 + 250000 * (source_num % 8)`` here, spanning
+    sub-sampling (0.5 epochs), exactly-once (1.0), and 2.25 epochs — and
+    the op MATERIALIZES the epoched corpus: ``floor(epochs)`` full
+    copies of every document plus one extra copy gated by the md5-keyed
+    uniform draw (``< frac_ppm``), the same stable-under-growth decision
+    primitive as the rest of the sampling family (a new snapshot never
+    flips an existing document's extra-copy decision).
+
+    Scale shape: map-only — the repeat factor is a pure column function
+    of ``source`` (a real recipe table would be a broadcast join), the
+    copies come from one ``sequence``/``posexplode`` bounded by
+    ``ceil(max epochs)``, and the fractional gate is a filter; NO
+    shuffle anywhere (plan-gated in pytest).  Downstream packing /
+    shuffling consumes this with its own keyed order (``training_order``).
+
+    Output: ``(doc_id, source, epoch)`` — epoch 0..floor(e) per doc."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    num = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long")
+    d = (
+        docs.withColumn(
+            "eppm", F.lit(500000) + F.lit(250000) * (num % 8)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("eppm DIV 1000000").alias("full"),
+            (F.col("eppm") % 1000000).alias("frac"),
+            _hash_bucket("epoch:", 1000000).alias("draw"),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "full",
+            "frac",
+            "draw",
+            F.explode(F.sequence(F.lit(0), F.col("full"))).alias("epoch"),
+        )
+        .where(
+            (F.col("epoch") < F.col("full"))
+            | ((F.col("epoch") == F.col("full")) & (F.col("draw") < F.col("frac")))
+        )
+        .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+    )

@@ -175,3 +175,172 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str,
           for r in word_counts(docs, max_vocab=max_vocab).collect()]
     merges = learn_merges(wf, n_merges)
     return bpe_encode(docs.where(F.col("text").isNotNull()), merges)
+
+
+# ------------------------------------------------------- unigram LM (EM)
+
+def substring_counts(
+    words: DataFrame, max_piece_len: int = 4
+) -> DataFrame:
+    """Candidate-piece seeding for the unigram LM: every contiguous
+    substring of length 1..max_piece_len of every distinct word, scored
+    by the total corpus count of the words it appears in (per position).
+    All JVM-side: nested ``transform``/``sequence`` arrays + one explode
+    + one map-side-combined aggregate — the only shuffle is the piece
+    count.  Input: (word, n) distinct-word table."""
+    # dynamic (pos, len) substr over two nested lambda vars is cleanest
+    # as a SQL expression:
+    subs = F.expr(
+        f"""flatten(transform(sequence(1, length(word)), s ->
+              transform(sequence(1, least({max_piece_len},
+                                          length(word) - s + 1)),
+                        ln -> substr(word, s, ln))))"""
+    )
+    return (
+        words.select(F.col("n"), F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("count"))
+    )
+
+
+def _viterbi_segment(word, logp, max_piece_len):
+    """Best segmentation of *word* under piece log-probs: returns the
+    piece list.  Ties break toward the LONGER piece (smaller start), so
+    the result is a pure function of the model."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            p = logp.get(word[j:i])
+            if p is None or best[j] == NEG:
+                continue
+            s = best[j] + p
+            if s > best[i]:
+                best[i] = s
+                back[i] = j
+    pieces = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return pieces
+
+
+def unigram_lm_em(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 2,
+    max_piece_len: int = 4,
+    max_vocab: int = 300,
+    max_words: int = 2000,
+    top_k: int = 50,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018) —
+    the probabilistic counterpart of :func:`bpe_encode_corpus`: seed a
+    substring vocabulary, then EM rounds of (Viterbi-segment every word
+    under current piece probs) → (re-estimate probs from piece usage).
+
+    Same scale posture as BPE learning: ONE corpus pass builds the
+    distinct (word, count) table (the only data shuffle), capped to the
+    top ``max_words`` (Zipf: the head carries the mass).  Seeding is a
+    JVM-side substring explode + one aggregate over that capped table;
+    the vocab is ALL single characters (guaranteeing segmentability)
+    plus the top ``max_vocab`` longer pieces.  Each E-step runs
+    distributed — the piece log-prob dict (vocab-sized) broadcasts into
+    an Arrow ``mapInPandas`` Viterbi kernel over the word table, usage
+    aggregates with map-side combine — and the M-step collects only the
+    vocab-sized count table (bounded, same contract as the k-means
+    centroid collect).  Probabilities are add-one smoothed so every
+    word stays segmentable in every round.
+
+    Iterative EM is not SQL-expressible → rows-only contract entry;
+    invariants (exact reconstruction, mass conservation, multi-char
+    concentration, determinism) are pytest-pinned.
+
+    Output: top ``top_k`` pieces by final usage, ``(piece, n_uses,
+    prob_ppm)`` with ppm from exact integer division."""
+    import math
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"[ \t\r\n\f\v]+"),
+                    lambda x: x != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(max_words)
+        .persist()
+    )
+    seed = substring_counts(words, max_piece_len)
+    chars = seed.where(F.length("piece") == 1)
+    longer = (
+        seed.where(F.length("piece") > 1)
+        .orderBy(F.desc("count"), F.asc("piece"))
+        .limit(max_vocab)
+    )
+    vocab_rows = chars.unionByName(longer).collect()  # bounded:
+    # ≤ alphabet + max_vocab rows — the M-step working set, never data
+    counts = {r["piece"]: r["count"] for r in vocab_rows}
+
+    out_schema = "piece string, n_uses long"
+    for _ in range(rounds):
+        total = sum(counts.values())
+        v = len(counts)
+        logp = {
+            p: math.log(c + 1) - math.log(total + v)
+            for p, c in counts.items()
+        }
+        blogp = spark.sparkContext.broadcast(logp)
+
+        def estep(batches, _mpl=max_piece_len):
+            import pandas as pd
+
+            for pdf in batches:
+                acc = {}
+                model = blogp.value
+                for word, n in zip(pdf["word"], pdf["n"]):
+                    for piece in _viterbi_segment(word, model, _mpl):
+                        acc[piece] = acc.get(piece, 0) + int(n)
+                yield pd.DataFrame(
+                    {"piece": list(acc), "n_uses": list(acc.values())}
+                )
+
+        usage = (
+            words.mapInPandas(estep, out_schema)
+            .groupBy("piece")
+            .agg(F.sum("n_uses").cast("long").alias("n_uses"))
+            .collect()
+        )  # bounded: ≤ vocab rows
+        counts = {r["piece"]: r["n_uses"] for r in usage}
+        # pieces that lost all mass drop out (single chars persist via
+        # smoothing only while still in `counts`; keep them alive)
+        for r in vocab_rows:
+            if len(r["piece"]) == 1:
+                counts.setdefault(r["piece"], 0)
+    words.unpersist()
+
+    total = sum(counts.values())
+    v = len(counts)
+    final = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:top_k]
+    rows = [
+        (p, int(c), (int(c) + 1) * 1_000_000 // (total + v))
+        for p, c in final
+    ]
+    return spark.createDataFrame(
+        rows, "piece string, n_uses long, prob_ppm long"
+    )
