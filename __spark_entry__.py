@@ -1739,6 +1739,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast piece model; rows-only — iterative EM isn't SQL,
         # reconstruction/mass/determinism invariants pytest-pinned)
         "unigram_lm_em": tokenize.unigram_lm_em,
+        # late-interaction retrieval (ColBERT MaxSim) over int8 codes —
+        # query token bag broadcast, doc×|Q|-bounded agg shuffles
+        "colbert_maxsim": similarity.colbert_maxsim_topk,
+        # Wilson-lower-bound source trust ranking (z=2: one IEEE
+        # division + one correctly-rounded sqrt — engine-exact)
+        "wilson_source_ranking": textops.wilson_source_ranking,
+        # Kendall-tau agreement of two quality signals per source
+        # (capped pairwise stage — the m² guard)
+        "signal_agreement_tau": textops.signal_agreement_tau,
+        # per-conversation OLS quality-trend slope in exact integers
+        "conv_quality_trend": convops.conv_quality_trend,
+        # test-vs-train n-gram novelty (memorization audit; shares the
+        # decontamination gram stream + split buckets)
+        "ngram_novelty": dedup.ngram_novelty,
+        # Great-Expectations-style DQ rule suite (one fused scan/table)
+        "dq_expectations": maintenance.dq_expectations,
+        # dynamic partition pruning end-to-end (scan-level pruning
+        # subquery plan-gated in pytest; result oracle-certified)
+        "dpp_partition_prune": maintenance.dpp_partition_prune,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -1918,6 +1937,9 @@ _LAST_GREEN_R2 = [
     "linkpred_jaccard", "dag_critical_path", "term_chi2",
     "pareto_frontier", "media_frame_sample",
     "homoglyph_dedup", "mixture_epochs", "unigram_lm_em",
+    "colbert_maxsim", "wilson_source_ranking", "signal_agreement_tau",
+    "conv_quality_trend", "ngram_novelty", "dq_expectations",
+    "dpp_partition_prune",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6196,5 +6218,216 @@ def oracle_sql() -> dict[str, str]:
         FROM exp
         WHERE e < eppm // 1000000
            OR (e = eppm // 1000000 AND draw < eppm % 1000000)
+    """
+    # ColBERT MaxSim: int8-quantized token bags, per-query-token best
+    # document token, summed — all-bigint dot products.
+    oracles["colbert_maxsim"] = """
+        WITH qv AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN list_max(list_transform(embedding,
+                                                   x -> abs(x))) > 0
+                      THEN CAST(127.0 AS DOUBLE)
+                           / list_max(list_transform(embedding,
+                                                     x -> abs(x)))
+                      ELSE CAST(0.0 AS DOUBLE) END AS scale
+          FROM embeddings
+        ), qc AS (
+          SELECT vec_id, list_transform(embedding,
+                   x -> CAST(round(x * scale) AS INTEGER)) AS qcodes
+          FROM qv
+        ), toks AS (
+          SELECT vec_id // 10 AS doc_id, vec_id AS tok_id, qcodes FROM qc
+        ), qt AS (
+          SELECT tok_id AS q_tok, qcodes AS pcodes
+          FROM toks WHERE doc_id = 0
+        ), dots AS (
+          SELECT t.doc_id, t.tok_id, qt.q_tok,
+                 CAST(sum(CAST(t.qcodes[CAST(u.i AS INTEGER)] AS BIGINT)
+                          * qt.pcodes[CAST(u.i AS INTEGER)]) AS BIGINT)
+                   AS dot_q
+          FROM toks t, qt, unnest(range(1, len(t.qcodes) + 1)) AS u(i)
+          GROUP BY t.doc_id, t.tok_id, qt.q_tok
+        ), best AS (
+          SELECT doc_id, q_tok, max(dot_q) AS best
+          FROM dots GROUP BY doc_id, q_tok
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_qtok,
+               CAST(sum(best) AS BIGINT) AS maxsim
+        FROM best GROUP BY doc_id
+        ORDER BY maxsim DESC, doc_id LIMIT 10
+    """
+    # Wilson lower bound, z = 2: one IEEE division + one correctly-
+    # rounded sqrt + micro-round — the lang_temperature exactness recipe.
+    oracles["wilson_source_ranking"] = r"""
+        WITH q AS (
+          SELECT source,
+                 CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 10
+                       AND length(regexp_replace(text, '\s+', '', 'g'))
+                           / len(regexp_split_to_array(trim(text), '\s+')) < 15
+                      THEN 1 ELSE 0 END AS p
+          FROM documents WHERE text IS NOT NULL
+        ), a AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(p) AS BIGINT) AS n_pass
+          FROM q GROUP BY source
+        )
+        SELECT source, n_docs, n_pass,
+               CAST(n_pass * 1000000 // n_docs AS BIGINT) AS pass_ppm,
+               CAST(round(
+                 (n_pass + 2 - 2 * sqrt(
+                    n_pass * (n_docs - n_pass) / CAST(n_docs AS DOUBLE) + 1))
+                 / (n_docs + 4) * 1000000) AS BIGINT) AS wilson_lb_micro
+        FROM a
+    """
+    # Kendall tau over the capped per-source pair set (cap mirrors the
+    # Spark-side TAU_GROUP_CAP WindowGroupLimit).
+    oracles["signal_agreement_tau"] = rf"""
+        WITH sig AS (
+          SELECT source, doc_id,
+                 CAST(length(text) AS BIGINT) AS x,
+                 CAST(len(list_filter(
+                   regexp_split_to_array(trim(text), '[ \t\r\n\f\v]+'),
+                   t -> t <> '')) AS BIGINT) AS y
+          FROM documents WHERE text IS NOT NULL
+        ), capped AS (
+          SELECT source, doc_id, x, y FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY source ORDER BY doc_id) AS rn
+            FROM sig
+          ) WHERE rn <= {textops.TAU_GROUP_CAP}
+        ), pairs AS (
+          SELECT a.source, (a.x - b.x) * (a.y - b.y) AS sgn
+          FROM capped a JOIN capped b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+        ), t AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_concordant,
+                 CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_discordant,
+                 CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tied
+          FROM pairs GROUP BY source
+        ), nd AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM capped GROUP BY source
+        )
+        SELECT nd.source, n_docs, n_pairs, n_concordant, n_discordant,
+               n_tied,
+               CAST((n_concordant - n_discordant) * 10000 // n_pairs
+                    AS BIGINT) AS tau_bp
+        FROM nd JOIN t USING (source)
+    """
+    # Per-conversation OLS slope from exact sufficient statistics.
+    oracles["conv_quality_trend"] = f"""
+        {convops.DTR_CTE}, s AS (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(turn_idx) AS BIGINT) AS sx,
+                 CAST(sum(length(text)) AS BIGINT) AS sy,
+                 CAST(sum(turn_idx * length(text)) AS BIGINT) AS sxy,
+                 CAST(sum(turn_idx * turn_idx) AS BIGINT) AS sxx
+          FROM dtr GROUP BY conv_id
+        )
+        SELECT CAST(conv_id AS BIGINT) AS conv_id, n AS n_turns,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+                    AS BIGINT) AS slope_milli
+        FROM s WHERE n >= 2
+    """
+    # Test-split n-gram novelty vs the train split — shares the
+    # decontamination gram construction + the split:-salted buckets.
+    oracles["ngram_novelty"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(toks) - {dedup.DECON_N - 1}, 0) + 1),
+                   i -> md5(array_to_string(toks[i:i+{dedup.DECON_N - 1}], ' '))))
+                   AS g
+          FROM t WHERE len(toks) >= {dedup.DECON_N}
+        ), b AS (
+          SELECT doc_id, g, {_dd_md5_bucket("split:", 1000)} AS bucket
+          FROM grams
+        ), train AS (
+          SELECT DISTINCT g FROM b WHERE bucket < 980
+        ), test AS (
+          SELECT DISTINCT doc_id, g FROM b WHERE bucket >= 990
+        ), agg AS (
+          SELECT test.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN train.g IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_seen
+          FROM test LEFT JOIN train ON test.g = train.g
+          GROUP BY test.doc_id
+        )
+        SELECT doc_id, n_grams, n_seen,
+               CAST((n_grams - n_seen) * 1000000 // n_grams AS BIGINT)
+                 AS novelty_ppm
+        FROM agg
+    """
+    # DQ expectation suite: fused conditional counts per table,
+    # unpivoted to rule rows.
+    oracles["dq_expectations"] = """
+        WITH d AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f_id_null,
+                 CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                   AS f_id_dup,
+                 CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f_text_null,
+                 CAST(sum(CASE WHEN text IS NOT NULL
+                               AND n_chars <> length(text)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS f_nchars,
+                 CAST(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f_neg
+          FROM documents
+        ), e AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f_id_null,
+                 CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+                   AS f_id_dup,
+                 CAST(sum(CASE WHEN event_type NOT IN
+                        ('click','view','purchase','signup','error')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS f_domain,
+                 CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f_neg,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2020-01-01'
+                               OR ts >= TIMESTAMP '2030-01-01'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS f_ts
+          FROM events
+        ), rules AS (
+          SELECT 'documents' AS tbl, 'doc_id_not_null' AS rule,
+                 n, f_id_null AS f FROM d
+          UNION ALL SELECT 'documents', 'doc_id_unique', n, f_id_dup FROM d
+          UNION ALL SELECT 'documents', 'text_not_null', n, f_text_null FROM d
+          UNION ALL SELECT 'documents', 'n_chars_matches_text', n, f_nchars FROM d
+          UNION ALL SELECT 'documents', 'n_chars_non_negative', n, f_neg FROM d
+          UNION ALL SELECT 'events', 'event_id_not_null', n, f_id_null FROM e
+          UNION ALL SELECT 'events', 'event_id_unique', n, f_id_dup FROM e
+          UNION ALL SELECT 'events', 'event_type_in_domain', n, f_domain FROM e
+          UNION ALL SELECT 'events', 'value_non_negative', n, f_neg FROM e
+          UNION ALL SELECT 'events', 'ts_in_range', n, f_ts FROM e
+        )
+        SELECT tbl AS table_name, rule, n AS n_checked, f AS n_failed,
+               CAST(f * 1000000 // n AS BIGINT) AS fail_ppm,
+               f = 0 AS pass
+        FROM rules
+    """
+    # DPP rollup: the unpartitioned restatement of the pruned join.
+    oracles["dpp_partition_prune"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM events
+        WHERE day(ts) % 7 = 1
+        GROUP BY event_type
     """
     return oracles

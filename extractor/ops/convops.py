@@ -1188,3 +1188,55 @@ def bt_strength(turns: DataFrame, n_groups: int = BT_GROUPS,
 
 def bt_strength_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_strength(derived_transcripts_shared(spark, sf_dir))
+
+
+def conv_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation quality TREND: the exact-integer OLS slope of
+    turn length over turn index — the transcript-curation signal for
+    episodes that degrade as they run (answers shrinking toward the
+    step limit) vs ones that stay substantive.  Pure sufficient
+    statistics: ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` with
+    x = turn_idx, y = len(text); numerator and denominator are exact
+    bigints, the reported milli-slope is integer division, so the op
+    hash-matches an independent engine with no float regression fit.
+
+    Scale shape: ONE map-side-combined aggregate per conversation on
+    the extraction partitioning (conv_id) — the five sufficient sums
+    are O(1) state per key; nothing else moves.  Conversations with a
+    single turn (degenerate denominator) are excluded.
+
+    Output: ``(conv_id, n_turns, slope_num, slope_den, slope_milli)``."""
+    t = derived_transcripts(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    )
+    agg = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return (
+        agg.where(F.col("n") >= 2)
+        .select(
+            "conv_id",
+            F.col("n").alias("n_turns"),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "slope_num"
+            ),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+                "slope_den"
+            ),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "slope_num",
+            "slope_den",
+            F.expr("slope_num * 1000 DIV slope_den").cast("long").alias(
+                "slope_milli"
+            ),
+        )
+    )

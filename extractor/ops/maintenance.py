@@ -655,3 +655,153 @@ def backfill_partition_overwrite(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("value_cents").cast("long").alias("sum_value_cents"),
     )
+
+
+DQ_NULL_TEXT_MAX_BP = 2000  # documents.text null-rate tolerance (20%)
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-Expectations-style data-quality suite as ONE engine op:
+    declarative rules (not-null, uniqueness, domain membership, range,
+    derived-column consistency) evaluated over ``documents`` and
+    ``events``, one result row per rule with exact counts and a binary
+    verdict — the contract gate a curation pipeline runs before
+    publishing a snapshot.
+
+    Scale shape: ONE fused aggregate pass per table — every rule rides
+    the same scan as a conditional count column (uniqueness via
+    ``count − approx?`` no: exact ``count(DISTINCT)`` is its own Expand
+    at scale, so uniqueness here counts *duplicated* keys through a
+    ``count − count(DISTINCT)`` on the already-aggregated fused pass,
+    which Spark plans as two map-side-combined aggregates over one
+    scan); results unpivot via ``stack`` into rule rows (constant-size,
+    driver never touches data).
+
+    Output: ``(table_name, rule, n_checked, n_failed, fail_ppm, pass)``."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("doc_id").isNull().cast("long")).cast("long").alias(
+            "f_id_null"
+        ),
+        (
+            F.count(F.lit(1)) - F.countDistinct("doc_id")
+        ).cast("long").alias("f_id_dup"),
+        F.sum(F.col("text").isNull().cast("long")).cast("long").alias(
+            "f_text_null"
+        ),
+        F.sum(
+            (
+                F.col("text").isNotNull()
+                & (F.col("n_chars") != F.length("text"))
+            ).cast("long")
+        ).cast("long").alias("f_nchars"),
+        F.sum((F.col("n_chars") < 0).cast("long")).cast("long").alias(
+            "f_neg_len"
+        ),
+    )
+    d_rows = d.selectExpr(
+        "stack(5,"
+        " 'doc_id_not_null', n, f_id_null,"
+        " 'doc_id_unique', n, f_id_dup,"
+        " 'text_not_null', n, f_text_null,"
+        " 'n_chars_matches_text', n, f_nchars,"
+        " 'n_chars_non_negative', n, f_neg_len"
+        ") AS (rule, n_checked, n_failed)"
+    ).select(F.lit("documents").alias("table_name"), "*")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_domain = F.col("event_type").isin(*EVENT_TYPES)
+    e = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("event_id").isNull().cast("long")).cast("long").alias(
+            "f_id_null"
+        ),
+        (
+            F.count(F.lit(1)) - F.countDistinct("event_id")
+        ).cast("long").alias("f_id_dup"),
+        F.sum((~in_domain).cast("long")).cast("long").alias("f_domain"),
+        F.sum((F.col("value") < 0).cast("long")).cast("long").alias("f_neg"),
+        F.sum(
+            (
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp"))
+            ).cast("long")
+        ).cast("long").alias("f_ts"),
+    )
+    e_rows = e.selectExpr(
+        "stack(5,"
+        " 'event_id_not_null', n, f_id_null,"
+        " 'event_id_unique', n, f_id_dup,"
+        " 'event_type_in_domain', n, f_domain,"
+        " 'value_non_negative', n, f_neg,"
+        " 'ts_in_range', n, f_ts"
+        ") AS (rule, n_checked, n_failed)"
+    ).select(F.lit("events").alias("table_name"), "*")
+    out = d_rows.unionByName(e_rows)
+    return out.select(
+        "table_name",
+        "rule",
+        "n_checked",
+        F.col("n_failed").cast("long").alias("n_failed"),
+        F.expr("n_failed * 1000000 DIV n_checked").cast("long").alias(
+            "fail_ppm"
+        ),
+        (F.col("n_failed") == 0).alias("pass"),
+    )
+
+
+DPP_DIR = "/tmp/spark_graft_dpp"
+
+
+def dpp_partition_prune(spark: SparkSession, sf_dir: str,
+                        base_dir: str = DPP_DIR) -> DataFrame:
+    """Dynamic partition pruning end to end — THE join optimization for
+    partitioned 100 TB fact tables: the fact side is written
+    partitioned by day, the dim side (a tiny campaign calendar) is
+    filtered at runtime, and Catalyst injects the dim's surviving keys
+    as a partition filter into the fact SCAN (``dynamicpruning``
+    subquery in PartitionFilters) — so the job reads ~4/30 of the
+    partitions instead of scanning everything and filtering after the
+    join.  The pytest plan gate asserts the pruning subquery is
+    actually in the scan; this query certifies the RESULT of the
+    pruned plan against an unpartitioned oracle.
+
+    Fact: events re-written partitioned by ``day`` (dates derived from
+    ts).  Dim: the distinct day calendar with ``is_campaign = (day of
+    month % 7 == 1)``, also on disk so the filter is a real scan
+    filter, not a folded literal.  Join on day, broadcast dim, rollup
+    per event_type.
+
+    Output: ``(event_type, n_rows, sum_value_cents)`` over campaign
+    days only."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+        # int yyyymmdd key: partition-column type inference reads it back
+        # as INT on both the fact and dim sides (a yyyy-MM-dd string would
+        # silently come back DATE on the partitioned side only)
+        F.date_format("ts", "yyyyMMdd").cast("int").alias("day"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+    ev.drop("dom").write.mode("overwrite").partitionBy("day").parquet(
+        f"{base_dir}/fact"
+    )
+    (
+        ev.select("day", "dom").distinct()
+        # keep the campaign flag as a raw int: the runtime filter below
+        # must stay an EqualTo(attr, literal) — a bare boolean column
+        # fails Catalyst's isLikelySelective test after `= true` folds,
+        # and no pruning subquery gets inserted at all
+        .select("day", (F.col("dom") % 7).alias("dom7"))
+        .write.mode("overwrite")
+        .parquet(f"{base_dir}/dim")
+    )
+    fact = spark.read.parquet(f"{base_dir}/fact")
+    dim = spark.read.parquet(f"{base_dir}/dim").where(F.col("dom7") == 1)
+    joined = fact.join(F.broadcast(dim), "day")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+    )

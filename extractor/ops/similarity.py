@@ -1072,3 +1072,80 @@ def matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------- ColBERT-style MaxSim
+
+CB_TOKS_PER_DOC = 10   # contiguous vec_id blocks form a pseudo-document
+CB_QUERY_DOC = 0       # whose token vectors are the query
+CB_TOP = 10
+
+
+def colbert_maxsim_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    toks_per_doc: int = CB_TOKS_PER_DOC,
+    query_doc: int = CB_QUERY_DOC,
+    top: int = CB_TOP,
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT, Khattab & Zaharia 2020):
+    documents and queries are BAGS of token vectors, and the relevance
+    score is MaxSim — for every query token take the best-matching
+    document token, then sum: ``score(q,d) = Σ_i max_j  q_i · d_j``.
+    This is the retrieval operator single-vector cosine top-k can't
+    express (it preserves token-level matching), and the one multi-
+    vector stores (PLAID, Vespa, Lucene 9 joins) implement natively.
+
+    Token vectors are modeled on the embeddings table: contiguous
+    ``toks_per_doc`` blocks of ``vec_id`` form a pseudo-document (the
+    same deterministic grouping device as ``conv_embedding_pool``'s
+    conversation axis).  Scoring runs over
+    :func:`embedding_quantize_int8` codes, so every dot product is
+    pure int8×int8 → BIGINT — exact, hash-checkable cross-engine, and
+    exactly how production multi-vector stores score (SIMD int8).
+
+    Scale shape (100 TB): quantization is a map-only HOF projection of
+    the UNSHUFFLED corpus token table; the query's ≤``toks_per_doc``
+    token rows broadcast onto it (nested-loop of corpus × |Q|, the
+    irreducible MaxSim work); the per-(doc, query-token) max and the
+    per-doc sum are both map-side-combinable aggregates whose shuffle
+    carries ≤ docs × |Q| partial rows — never token-pair rows; top-k is
+    TakeOrderedAndProject.  A real deployment prepends an ANN candidate
+    stage (``ann_topk``) so the broadcast hits candidates, not the full
+    corpus — the scoring plan is identical.
+
+    Output: ``(doc_id, n_qtok, maxsim)`` — top-*top* by (maxsim desc,
+    doc_id)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    toks = emb.select(
+        F.expr(f"vec_id DIV {toks_per_doc}").alias("doc_id"),
+        F.col("vec_id").alias("tok_id"),
+        F.transform(
+            "embedding", lambda x: F.round(x * scale).cast("int")
+        ).alias("q_codes"),
+    )
+    qtoks = toks.where(F.col("doc_id") == query_doc).select(
+        F.col("tok_id").alias("q_tok"), F.col("q_codes").alias("p_codes")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_codes", "p_codes", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        toks.crossJoin(F.broadcast(qtoks))
+        .select("doc_id", "q_tok", dot.alias("dot_q"))
+        .groupBy("doc_id", "q_tok")
+        .agg(F.max("dot_q").alias("best"))
+    )
+    return (
+        best.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_qtok"),
+            F.sum("best").cast("long").alias("maxsim"),
+        )
+        .orderBy(F.desc("maxsim"), "doc_id")
+        .limit(top)
+    )

@@ -1770,3 +1770,120 @@ def term_chi2_topk(
         .orderBy(F.desc("chi2_micro"), F.asc("tok"))
         .limit(k)
     )
+
+
+def wilson_source_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank corpus sources by quality pass-rate with the Wilson lower
+    confidence bound (z = 2) instead of the raw proportion — the
+    standard fix for "3/3 passed" beating "970/1000 passed" when
+    deciding which crawl sources to trust / up-sample.
+
+    Engine-exactness follows the ``lang_temperature_weights`` recipe:
+    with z = 2 the bound is ``(s + 2 − 2·√(s·(n−s)/n + 1)) / (n + 4)``
+    — one IEEE division, one correctly-rounded sqrt, and a final
+    micro-unit round, every step bit-identical across engines (no
+    libm pow anywhere).  Counts are exact bigints.
+
+    Scale shape: ONE map-side-combined aggregate to source cardinality
+    (the ``passes_quality`` verdict rides the scan as a codegen'd
+    column); everything after operates on ≤ |sources| rows.
+
+    Output: ``(source, n_docs, n_pass, pass_ppm, wilson_lb_micro)``."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    agg = docs.select(
+        "source", _quality_pass().cast("long").alias("p")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("p").cast("long").alias("n_pass"),
+    )
+    lb = (
+        (F.col("n_pass") + 2)
+        - 2 * F.sqrt(
+            F.col("n_pass") * (F.col("n_docs") - F.col("n_pass"))
+            / F.col("n_docs")
+            + 1
+        )
+    ) / (F.col("n_docs") + 4)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.expr("n_pass * 1000000 DIV n_docs").cast("long").alias("pass_ppm"),
+        F.round(lb * F.lit(1_000_000)).cast("long").alias("wilson_lb_micro"),
+    )
+
+
+TAU_GROUP_CAP = 30  # docs per source entering the pairwise stage
+
+
+def signal_agreement_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall-τ agreement between two quality signals (char length vs
+    whitespace token count) per source — the ranking-eval primitive
+    used to decide whether a cheap signal can replace an expensive one
+    (or whether a reward model agrees with human ranks).  Exact
+    integers end to end: concordant/discordant/tie pair counts and
+    τ-b's squared numerator/denominator comparison avoided entirely by
+    reporting ``tau_bp`` from the simple τ-a over untied-pair counts
+    plus the raw pair tallies (auditable downstream).
+
+    Pairwise τ is inherently O(m²) per group, so the group is CAPPED
+    first: the ``TAU_GROUP_CAP`` lowest doc_ids per source enter the
+    pair join (WindowGroupLimit — no global sort), bounding the blow-up
+    to cap²/2 per source at ANY corpus size — the same m² guard as the
+    LSH hot-bucket cap.  The pair join is source-keyed (never a
+    cartesian across sources).
+
+    Output: ``(source, n_docs, n_pairs, n_concordant, n_discordant,
+    n_tied, tau_bp)`` — τ·10⁴ by exact integer floor division."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    sig = docs.select(
+        "source",
+        "doc_id",
+        F.length("text").cast("long").alias("x"),
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), r"[ \t\r\n\f\v]+"),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    capped = (
+        sig.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TAU_GROUP_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
+        "source",
+        F.col("doc_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = capped.select(
+        "source",
+        F.col("doc_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(b, "source").where(F.col("id_a") < F.col("id_b"))
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    tallies = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((sgn > 0).cast("long")).cast("long").alias("n_concordant"),
+        F.sum((sgn < 0).cast("long")).cast("long").alias("n_discordant"),
+        F.sum((sgn == 0).cast("long")).cast("long").alias("n_tied"),
+    )
+    n_docs = capped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return n_docs.join(tallies, "source").select(
+        "source",
+        "n_docs",
+        "n_pairs",
+        "n_concordant",
+        "n_discordant",
+        "n_tied",
+        F.expr(
+            "(n_concordant - n_discordant) * 10000 DIV n_pairs"
+        ).cast("long").alias("tau_bp"),
+    )

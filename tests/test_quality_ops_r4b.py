@@ -1,0 +1,189 @@
+"""Semantic + plan contracts for the second round-4 latecomer batch:
+ColBERT MaxSim, Wilson source ranking, Kendall-tau signal agreement,
+conversation quality trend, n-gram novelty, the DQ expectation suite,
+and dynamic partition pruning."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from extractor.ops import convops, dedup, maintenance, similarity, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ------------------------------------------------------ ColBERT MaxSim
+
+def test_colbert_query_doc_ranks_first(spark):
+    """Every query token's best match against the query doc itself is
+    the token's own vector (Cauchy-Schwarz on the int8 codes), so the
+    query pseudo-doc must be the top result."""
+    rows = similarity.colbert_maxsim_topk(spark, SF).collect()
+    assert rows, "empty MaxSim result"
+    assert rows[0]["doc_id"] == similarity.CB_QUERY_DOC
+    assert all(r["n_qtok"] == similarity.CB_TOKS_PER_DOC for r in rows)
+    # ranking is by (maxsim desc, doc_id) — verify monotone
+    key = [(-r["maxsim"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+
+
+def test_colbert_maxsim_dominates_single_vector(spark):
+    """MaxSim per query token is >= the dot against any FIXED document
+    token — pin the max semantics on the self-doc: maxsim(self) equals
+    the sum of squared code norms."""
+    emb = similarity._emb(spark, SF).select("vec_id", "embedding")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    codes = emb.where(
+        F.col("vec_id") < similarity.CB_TOKS_PER_DOC
+    ).select(
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.pow(F.round(x * scale), 2).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sq")
+    )
+    want = sum(r["sq"] for r in codes.collect())
+    rows = similarity.colbert_maxsim_topk(spark, SF).collect()
+    self_row = [r for r in rows if r["doc_id"] == similarity.CB_QUERY_DOC]
+    assert self_row and self_row[0]["maxsim"] >= want
+    # >= because another doc token may beat a query token's self-match;
+    # but each term is at least the self dot, so the sum is bounded below
+
+
+# --------------------------------------------------- Wilson ranking
+
+def test_wilson_lb_below_pass_rate_and_exact(spark):
+    rows = textops.wilson_source_ranking(spark, SF).collect()
+    assert rows
+    for r in rows:
+        n, s = r["n_docs"], r["n_pass"]
+        assert 0 <= s <= n
+        lb = (s + 2 - 2 * math.sqrt(s * (n - s) / n + 1)) / (n + 4)
+        assert r["wilson_lb_micro"] == round(lb * 1_000_000)
+        # the bound is strictly below the point estimate (z>0 shrinks)
+        assert r["wilson_lb_micro"] * n <= r["pass_ppm"] * n
+
+
+def test_wilson_small_sample_shrinks_harder():
+    """3/3 must NOT outrank 970/1000 under the bound — the whole point."""
+    lb = lambda s, n: (s + 2 - 2 * math.sqrt(s * (n - s) / n + 1)) / (n + 4)
+    assert lb(3, 3) < lb(970, 1000)
+
+
+# ------------------------------------------------- Kendall-tau accord
+
+def test_tau_tallies_partition_pairs(spark):
+    rows = textops.signal_agreement_tau(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] == r["n_docs"] * (r["n_docs"] - 1) // 2
+        assert (
+            r["n_concordant"] + r["n_discordant"] + r["n_tied"]
+            == r["n_pairs"]
+        )
+        assert -10000 <= r["tau_bp"] <= 10000
+        assert r["n_docs"] <= textops.TAU_GROUP_CAP
+    # char length and token count are strongly concordant signals
+    assert sum(r["n_concordant"] for r in rows) > sum(
+        r["n_discordant"] for r in rows
+    )
+
+
+# --------------------------------------------- conversation trend
+
+def test_conv_trend_matches_polyfit_sign(spark):
+    rows = convops.conv_quality_trend(spark, SF).collect()
+    turns = convops.derived_transcripts(spark, SF).select(
+        "conv_id", "turn_idx", F.length("text").alias("y")
+    ).collect()
+    by_conv = {}
+    for t in turns:
+        by_conv.setdefault(t["conv_id"], []).append((t["turn_idx"], t["y"]))
+    assert rows
+    for r in rows:
+        pts = by_conv[r["conv_id"]]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        assert r["n_turns"] == n
+        assert r["slope_num"] == n * sxy - sx * sy
+        assert r["slope_den"] == n * sxx - sx * sx
+        assert r["slope_den"] > 0
+
+
+# --------------------------------------------------- n-gram novelty
+
+def test_ngram_novelty_bounds_and_split(spark):
+    rows = dedup.ngram_novelty(spark, SF).collect()
+    for r in rows:
+        assert 0 <= r["n_seen"] <= r["n_grams"]
+        want = (r["n_grams"] - r["n_seen"]) * 1_000_000 // r["n_grams"]
+        assert r["novelty_ppm"] == want
+    # every reported doc really is in the test split
+    import hashlib
+
+    for r in rows:
+        b = int(
+            hashlib.md5(f"split:{r['doc_id']}".encode()).hexdigest()[:8], 16
+        ) % 1000
+        assert b >= 990
+
+
+# ----------------------------------------------------- DQ suite
+
+def test_dq_expectations_rules_and_verdicts(spark):
+    rows = maintenance.dq_expectations(spark, SF).collect()
+    assert len(rows) == 10
+    assert {r["table_name"] for r in rows} == {"documents", "events"}
+    for r in rows:
+        assert r["n_checked"] > 0
+        assert r["pass"] == (r["n_failed"] == 0)
+        assert r["fail_ppm"] == r["n_failed"] * 1_000_000 // r["n_checked"]
+    by_rule = {(r["table_name"], r["rule"]): r for r in rows}
+    # the synthetic tables are clean on the hard invariants
+    assert by_rule[("documents", "doc_id_unique")]["pass"]
+    assert by_rule[("events", "event_type_in_domain")]["pass"]
+
+
+# -------------------------------------------- dynamic partition pruning
+
+def test_dpp_pruning_subquery_reaches_fact_scan(spark):
+    df = maintenance.dpp_partition_prune(spark, SF)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), (
+        f"fact scan must carry a runtime pruning subquery:\n{plan}"
+    )
+    # and the join didn't degrade to a shuffle of the fact side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dpp_result_matches_unpartitioned_restatement(spark):
+    got = {
+        r["event_type"]: (r["n_rows"], r["sum_value_cents"])
+        for r in maintenance.dpp_partition_prune(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(
+        F.dayofmonth("ts") % 7 == 1
+    )
+    want = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
