@@ -747,6 +747,16 @@ def _dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dag_longest_path(_layered_domain_graph(spark, sf_dir))
 
 
+def _deepwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk random-walk corpus over the layered domain graph —
+    graph→sequence training data via the keyed-uniform next-hop rule
+    (md5(node, step) mod degree on the dst-sorted ranked adjacency);
+    the oracle unrolls the identical four hops as chained CTEs."""
+    from extractor.ops.links import deepwalk_corpus
+
+    return deepwalk_corpus(_layered_domain_graph(spark, sf_dir))
+
+
 def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evenly-spaced frame-sampling plan for every synthetic video row —
     stream params derive from the typed metadata, so DuckDB rebuilds the
@@ -1758,6 +1768,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dynamic partition pruning end-to-end (scan-level pruning
         # subquery plan-gated in pytest; result oracle-certified)
         "dpp_partition_prune": maintenance.dpp_partition_prune,
+        # DeepWalk graph→sequence corpus (keyed-uniform next hop over
+        # a ranked adjacency; one node-keyed join per step)
+        "deepwalk_corpus": _deepwalk_corpus,
+        # contrastive hard-negative mining: top-k cross-label int8
+        # dots, anchors broadcast, corpus unshuffled
+        "hard_negative_mining": similarity.hard_negative_mining,
+        # T5 span-corruption masking plan (exact 15% rate, one span
+        # per 20-token block, map-only — plan-gated)
+        "span_corruption_plan": tokenize.span_corruption_plan,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -1939,7 +1958,8 @@ _LAST_GREEN_R2 = [
     "homoglyph_dedup", "mixture_epochs", "unigram_lm_em",
     "colbert_maxsim", "wilson_source_ranking", "signal_agreement_tau",
     "conv_quality_trend", "ngram_novelty", "dq_expectations",
-    "dpp_partition_prune",
+    "dpp_partition_prune", "deepwalk_corpus", "hard_negative_mining",
+    "span_corruption_plan",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6419,6 +6439,115 @@ def oracle_sql() -> dict[str, str]:
                CAST(f * 1000000 // n AS BIGINT) AS fail_ppm,
                f = 0 AS pass
         FROM rules
+    """
+    # DeepWalk: identical layered graph, ranked adjacency, and
+    # md5(node, step) mod degree hop rule, four hops unrolled.
+    def _dw_hash(key: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(8), i -> "
+            f"CAST(strpos('0123456789abcdef', substr(md5({key}), "
+            "CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT) "
+            "* (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INTEGER)))) "
+            "AS BIGINT)"
+        )
+
+    _dw = [
+        """
+        WITH e0 AS (
+          SELECT DISTINCT doc_id % 150 AS src,
+                 (7 * (doc_id % 150) + doc_id // 150) % 150 AS dst
+          FROM documents
+          WHERE ((doc_id % 150) + 3 * (doc_id // 150)) % 7 = 0
+          UNION
+          SELECT DISTINCT doc_id % 12 AS src,
+                 (5 * (doc_id % 12) + doc_id // 12) % 12 AS dst
+          FROM documents
+          WHERE doc_id % 5 = 0
+        ), e AS (
+          SELECT src, dst FROM e0 WHERE src <> dst
+          UNION SELECT dst, src FROM e0 WHERE src <> dst
+        ), deg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+        ), adj AS (
+          SELECT e.src, e.dst, deg.deg,
+                 row_number() OVER (PARTITION BY e.src ORDER BY e.dst)
+                   AS rk
+          FROM e JOIN deg ON deg.src = e.src
+        ), w0 AS (
+          SELECT DISTINCT src AS start, src AS node FROM e
+        )"""
+    ]
+    for _s in (1, 2, 3, 4):
+        _key = f"'walk:' || CAST(w{_s - 1}.node AS VARCHAR) || ':{_s}'"
+        _dw.append(f""", w{_s} AS (
+          SELECT w{_s - 1}.start, adj.dst AS node
+          FROM w{_s - 1} JOIN adj ON adj.src = w{_s - 1}.node
+          WHERE adj.rk = ({_dw_hash(_key)} % adj.deg) + 1
+        )""")
+    _dw.append(
+        """
+        SELECT CAST(start AS BIGINT) AS start, CAST(0 AS BIGINT) AS step,
+               CAST(node AS BIGINT) AS node FROM w0"""
+        + "".join(
+            f"""
+        UNION ALL SELECT CAST(start AS BIGINT), CAST({_s} AS BIGINT),
+               CAST(node AS BIGINT) FROM w{_s}"""
+            for _s in (1, 2, 3, 4)
+        )
+    )
+    oracles["deepwalk_corpus"] = "".join(_dw)
+    # Hard negatives: cross-label int8 dots, top-5 per anchor.
+    oracles["hard_negative_mining"] = """
+        WITH qv AS (
+          SELECT vec_id, label, embedding,
+                 CASE WHEN list_max(list_transform(embedding,
+                                                   x -> abs(x))) > 0
+                      THEN CAST(127.0 AS DOUBLE)
+                           / list_max(list_transform(embedding,
+                                                     x -> abs(x)))
+                      ELSE CAST(0.0 AS DOUBLE) END AS scale
+          FROM embeddings
+        ), qc AS (
+          SELECT vec_id, label, list_transform(embedding,
+                   x -> CAST(round(x * scale) AS INTEGER)) AS qcodes
+          FROM qv
+        ), a AS (
+          SELECT vec_id AS query_id, label AS q_label, qcodes AS pcodes
+          FROM qc WHERE vec_id < 5
+        ), dots AS (
+          SELECT a.query_id, c.vec_id,
+                 CAST(sum(CAST(c.qcodes[CAST(u.i AS INTEGER)] AS BIGINT)
+                          * a.pcodes[CAST(u.i AS INTEGER)]) AS BIGINT)
+                   AS dot_q
+          FROM qc c, a, unnest(range(1, len(c.qcodes) + 1)) AS u(i)
+          WHERE c.label <> a.q_label
+          GROUP BY a.query_id, c.vec_id
+        )
+        SELECT query_id, vec_id, dot_q, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dot_q DESC, vec_id) AS rank
+          FROM dots
+        ) WHERE rank <= 5
+    """
+    # T5 span plan: one keyed-uniform offset per 20-token block.
+    _span_key = "CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)"
+    oracles["span_corruption_plan"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS n
+          FROM documents WHERE text IS NOT NULL
+        ), b AS (
+          SELECT doc_id, unnest(range(0, n // 20)) AS blk
+          FROM t WHERE n >= 20
+        )
+        SELECT doc_id, CAST(blk AS BIGINT) AS sentinel_id,
+               CAST(blk * 20 + {_dd_md5_bucket("span:", 18, _span_key)}
+                    AS BIGINT) AS span_start,
+               CAST(3 AS BIGINT) AS span_len
+        FROM b
     """
     # DPP rollup: the unpartitioned restatement of the pruned join.
     oracles["dpp_partition_prune"] = """

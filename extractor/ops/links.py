@@ -797,3 +797,79 @@ def dag_longest_path(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             "budget; raise max_rounds"
         )
     return depth.select(F.col("node").cast("long").alias("node"), "depth")
+
+
+def deepwalk_corpus(edges: DataFrame, walk_len: int = 4) -> DataFrame:
+    """DeepWalk-style random-walk corpus over an undirected graph —
+    the graph→sequence step that turns a web/domain graph into
+    skip-gram training data (Perozzi et al. 2014).  One walk starts at
+    every node; the next hop from node *v* at step *s* is the
+    ``rk``-th neighbor in ``v``'s dst-sorted adjacency where
+    ``rk = md5("walk:" v ":" s) mod deg(v) + 1`` — a keyed-uniform
+    choice, so the corpus is a pure function of the graph (fully
+    oracle-checkable) while remaining uniform over neighbors, exactly
+    the determinism-for-reproducibility trade production walk
+    generators make (seeded per node+step).
+
+    Scale shape (~10^11 edges): the symmetrized ranked adjacency is
+    built once (one row_number window on the src partitioning + a
+    degree join) and persisted; each of the ``walk_len`` steps is ONE
+    node-keyed equi-join of the (node-cardinality) frontier against
+    it — no edge re-shuffle, no per-walk Python.  Walk length is the
+    unrolled-iteration budget, like :func:`pagerank` / :func:`hits`.
+
+    Output: ``(start, step, node)`` — step 0 is the start node."""
+    from pyspark.sql.window import Window
+
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    e = (
+        e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = e.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    ).join(deg, "src")
+    cur = e.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("node")
+    )
+    frames = [cur.select("start", F.lit(0).alias("step"), "node")]
+    for s in range(1, walk_len + 1):
+        pick = (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("walk:"),
+                                F.col("node").cast("string"),
+                                F.lit(f":{s}"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("deg"),
+            )
+            + 1
+        )
+        cur = (
+            cur.join(adj, cur["node"] == adj["src"])
+            .where(F.col("rk") == pick)
+            .select("start", F.col("dst").alias("node"))
+        )
+        frames.append(cur.select("start", F.lit(s).alias("step"), "node"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        F.col("start").cast("long").alias("start"),
+        F.col("step").cast("long").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    )

@@ -1149,3 +1149,71 @@ def colbert_maxsim_topk(
         .orderBy(F.desc("maxsim"), "doc_id")
         .limit(top)
     )
+
+
+HN_QUERIES = 5  # vec_ids whose embeddings act as anchors
+HN_K = 5        # hard negatives returned per anchor
+
+
+def hard_negative_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = HN_QUERIES,
+    k: int = HN_K,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor vector, the top-k most-similar vectors with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; the hard ones sit
+    just across the decision boundary).  The standard prep step for
+    dual-encoder / dense-retriever fine-tuning (DPR, SimCSE).
+
+    Scoring is the exact int8×int8 dot over
+    :func:`embedding_quantize_int8` codes — pure bigint, hash-checkable
+    cross-engine, and the production scoring path.
+
+    Scale shape: the anchor set (≤ ``n_queries`` rows) broadcasts onto
+    the UNSHUFFLED quantized corpus; the label-mismatch predicate rides
+    the join; per-anchor top-k is a WindowGroupLimit on the
+    (anchor-keyed) ranked stream — the corpus never shuffles.  At
+    10^9+ vectors, prepend the ANN candidate stage (``ann_topk``) so
+    the broadcast hits candidates only; the mining plan is unchanged.
+
+    Output: ``(query_id, vec_id, dot_q, rank)`` — k rows per anchor."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    codes = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x * scale).cast("int")
+        ).alias("q_codes"),
+    )
+    anchors = codes.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("q_codes").alias("p_codes"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_codes", "p_codes", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(
+            F.broadcast(anchors), F.col("label") != F.col("q_label")
+        )
+        .select("query_id", "vec_id", dot.alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "dot_q",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -344,3 +344,79 @@ def unigram_lm_em(
     return spark.createDataFrame(
         rows, "piece string, n_uses long, prob_ppm long"
     )
+
+
+# --------------------------------------------------- T5 span corruption
+
+SPAN_BLOCK = 20   # tokens per corruption block
+SPAN_LEN = 3      # masked span length (3/20 = the T5 15% rate)
+
+
+def span_corruption_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    block: int = SPAN_BLOCK,
+    span_len: int = SPAN_LEN,
+) -> DataFrame:
+    """T5-style span-corruption PLAN: for every document, the spans to
+    mask and the sentinel each span maps to — the deterministic spec a
+    denoising-pretraining data pipeline materializes before tensorizing
+    (Raffel et al. 2020 §3.1.4: 15% corruption, mean span 3).
+
+    Randomness is replaced by the engine's keyed-uniform primitive so
+    the plan is a pure function of the corpus: each ``block``-token
+    window masks exactly one ``span_len``-token span whose offset is
+    ``md5("span:" doc ":" blk) mod (block − span_len + 1)`` — the
+    corruption rate is exactly ``span_len/block`` and spans can never
+    overlap (one per block), the property sequential samplers get from
+    rejection loops.  Sentinel ids are the block index.
+
+    Scale shape: map-only — token count, block sequence, and the hash
+    offset are all codegen'd expressions; ONE ``posexplode``-style
+    Generate bounded by n_tokens/block rows per doc; no shuffle, no
+    Python (plan-gated in pytest).
+
+    Output: ``(doc_id, sentinel_id, span_start, span_len)`` — token
+    offsets, docs with ≥ ``block`` tokens."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    n = F.size(
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+        )
+    )
+    d = docs.select("doc_id", n.alias("n_tokens")).where(
+        F.col("n_tokens") >= block
+    )
+    b = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"n_tokens DIV {block}") - 1)
+        ).alias("blk"),
+    )
+    off = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("span:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("blk").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(block - span_len + 1),
+    )
+    return b.select(
+        "doc_id",
+        F.col("blk").cast("long").alias("sentinel_id"),
+        (F.col("blk") * block + off).cast("long").alias("span_start"),
+        F.lit(span_len).cast("long").alias("span_len"),
+    )

@@ -187,3 +187,105 @@ def test_dpp_result_matches_unpartitioned_restatement(spark):
         .collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- DeepWalk
+
+def test_deepwalk_walks_follow_edges(spark):
+    import __spark_entry__ as e
+
+    edges = e._layered_domain_graph(spark, SF)
+    und = {
+        (r["src"], r["dst"])
+        for r in edges.collect()
+        if r["src"] != r["dst"]
+    }
+    und |= {(d, s) for s, d in und}
+    rows = e._deepwalk_corpus(spark, SF).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    assert walks
+    for start, path in walks.items():
+        assert path[0] == start
+        assert set(path) == {0, 1, 2, 3, 4}, "every walk runs 4 hops"
+        for s in range(1, 5):
+            assert (path[s - 1], path[s]) in und, (
+                f"hop {s} of walk {start} is not an edge"
+            )
+
+
+def test_deepwalk_deterministic(spark):
+    import __spark_entry__ as e
+
+    a = sorted(map(tuple, e._deepwalk_corpus(spark, SF).collect()))
+    b = sorted(map(tuple, e._deepwalk_corpus(spark, SF).collect()))
+    assert a == b
+
+
+# -------------------------------------------------- hard negatives
+
+def test_hard_negatives_cross_label_topk(spark):
+    emb = {
+        r["vec_id"]: r["label"]
+        for r in similarity._emb(spark, SF).select("vec_id", "label").collect()
+    }
+    rows = similarity.hard_negative_mining(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(similarity.HN_QUERIES))
+    for q, rs in by_q.items():
+        assert len(rs) == similarity.HN_K
+        assert sorted(r["rank"] for r in rs) == list(
+            range(1, similarity.HN_K + 1)
+        )
+        for r in rs:
+            assert emb[r["vec_id"]] != emb[q], "negative shares the label"
+        dots = [r["dot_q"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert dots == sorted(dots, reverse=True)
+
+
+# ------------------------------------------------ span corruption
+
+def test_span_plan_rate_and_bounds(spark):
+    from extractor.ops import tokenize as tk
+
+    rows = tk.span_corruption_plan(spark, SF).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    per_doc = {}
+    for r in rows:
+        n = n_tok[r["doc_id"]]
+        blk = r["sentinel_id"]
+        assert r["span_len"] == tk.SPAN_LEN
+        # span inside its own block, block inside the doc
+        assert blk * tk.SPAN_BLOCK <= r["span_start"]
+        assert r["span_start"] + tk.SPAN_LEN <= (blk + 1) * tk.SPAN_BLOCK
+        assert (blk + 1) * tk.SPAN_BLOCK <= n
+        per_doc.setdefault(r["doc_id"], set()).add(blk)
+    for doc, blks in per_doc.items():
+        # exactly one span per full block => exact 15% corruption rate
+        assert blks == set(range(n_tok[doc] // tk.SPAN_BLOCK))
+
+
+def test_span_plan_map_only(spark):
+    from extractor.ops import tokenize as tk
+
+    plan = _plan(tk.span_corruption_plan(spark, SF))
+    assert "Exchange" not in plan, f"span plan must not shuffle:\n{plan}"
+    assert "Generate" in plan
