@@ -1777,6 +1777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # T5 span-corruption masking plan (exact 15% rate, one span
         # per 20-token block, map-only — plan-gated)
         "span_corruption_plan": tokenize.span_corruption_plan,
+        # k-anonymity audit of quasi-identifier cells (privacy gate;
+        # user-bounded pre-aggregate, violating cells only)
+        "k_anonymity_audit": relational.k_anonymity_audit,
+        # unbiased pass@k estimator (HumanEval eq. 1) in exact bigint
+        # telescoping products, ONE task-cardinality aggregate
+        "pass_at_k": convops.pass_at_k,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -1919,11 +1925,11 @@ _DRIVER_WINDOW = [
 
 # The tail's front: every entry that has NEVER had a driver
 # CORRECTNESS row (the round-4 window was already full when these
-# landed) leads this list, in landing order — positions 50..117 at end
-# of round 4, 67 entries.  Round 5's window takes the first 50 of them;
-# the remainder plus any new landings lead round 6.  After them come
-# the oldest-green entries (last green row r2), so staleness cycles out
-# on the same rotation.
+# landed) leads this list, in landing order — 80 entries at end of
+# round 4 (through span_corruption_plan).  Round 5's window takes the
+# first 50 of them; the remainder plus any new landings lead round 6.
+# After them come the oldest-green entries (last green row r2), so
+# staleness cycles out on the same rotation.
 _LAST_GREEN_R2 = [
     # never-driver-checked round-4 latecomers (landed after the window
     # was frozen) lead the round-5 rotation candidates:
@@ -1959,7 +1965,7 @@ _LAST_GREEN_R2 = [
     "colbert_maxsim", "wilson_source_ranking", "signal_agreement_tau",
     "conv_quality_trend", "ngram_novelty", "dq_expectations",
     "dpp_partition_prune", "deepwalk_corpus", "hard_negative_mining",
-    "span_corruption_plan",
+    "span_corruption_plan", "k_anonymity_audit", "pass_at_k",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6558,5 +6564,49 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE day(ts) % 7 = 1
         GROUP BY event_type
+    """
+    # k-anonymity: user-bounded pre-aggregate, then the cell rollup.
+    oracles["k_anonymity_audit"] = f"""
+        WITH per_user AS (
+          SELECT event_type, day(ts) AS day, hour(ts) AS hour, user_id,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2, 3, 4
+        ), cells AS (
+          SELECT event_type, day, hour,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(n) AS BIGINT) AS n_rows
+          FROM per_user GROUP BY 1, 2, 3
+        )
+        SELECT event_type, CAST(day AS BIGINT) AS day,
+               CAST(hour AS BIGINT) AS hour, n_users, n_rows
+        FROM cells WHERE n_users < {relational.K_ANON_K}
+    """
+    # pass@k: the telescoping-product expansion per declared k.
+    _pk_parts = []
+    for _k in convops.PASS_AT_KS:
+        _num = "*".join(f"(n - c - {i})" for i in range(_k))
+        _den = "*".join(f"(n - {i})" for i in range(_k))
+        _pk_parts.append(f"""
+        SELECT CAST(task_id AS BIGINT) AS task_id,
+               CAST({_k} AS BIGINT) AS k,
+               n AS n_attempts, c AS n_correct,
+               CASE WHEN n - c < {_k} THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST(1000000 - CAST({_num} AS BIGINT) * 1000000
+                              // CAST({_den} AS BIGINT) AS BIGINT)
+               END AS pass_ppm
+        FROM a WHERE n >= {_k}""")
+    oracles["pass_at_k"] = f"""
+        WITH t AS (
+          SELECT doc_id % {convops.PASS_TASK_MOD} AS task_id,
+                 CASE WHEN {_dd_md5_bucket("pass:", 1000)}
+                        < {convops.PASS_RATE_PPT}
+                      THEN 1 ELSE 0 END AS ok
+          FROM documents
+        ), a AS (
+          SELECT task_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(ok) AS BIGINT) AS c
+          FROM t GROUP BY task_id
+        )
+        {" UNION ALL ".join(_pk_parts)}
     """
     return oracles

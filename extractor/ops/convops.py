@@ -1240,3 +1240,85 @@ def conv_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PASS_AT_KS = (1, 5)   # the k values reported
+PASS_TASK_MOD = 25    # doc_id % mod forms the task axis
+PASS_RATE_PPT = 300   # per-attempt success rate, parts per thousand
+
+
+def pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021, HumanEval eq. 1)
+    over attempt families: ``pass@k = 1 − C(n−c, k) / C(n, k)`` for a
+    task with *n* sampled attempts of which *c* passed — the standard
+    correction for the naive ``1 − (1 − c/n)^k`` that overestimates
+    with small n.  The eval-harness rollup every model-improvement
+    loop runs over its generation logs.
+
+    Tasks and verdicts are modeled deterministically on the documents
+    axis (``task = doc_id % 25``; an attempt passes iff the md5 draw
+    "pass:doc_id" lands under 300/1000), so the whole computation is
+    engine-exact: the binomial ratio is expanded to the telescoping
+    product ``Π_{i<k} (n−c−i)/(n−i)`` and evaluated as two BIGINT
+    products (k ≤ 5, n ≤ attempts-per-task — no overflow), final ppm
+    by integer division.  Tasks where ``n−c < k`` short-circuit to
+    pass@k = 1 exactly, as the estimator requires.
+
+    Scale shape: ONE map-side-combined aggregate to task cardinality;
+    the per-k expansion is a constant-width projection + explode of a
+    2-literal array.  Nothing after the rollup touches data.
+
+    Output: ``(task_id, k, n_attempts, n_correct, pass_ppm)`` for
+    tasks with n ≥ k."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pass:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    t = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(PASS_TASK_MOD)).alias("task_id"),
+        (draw < PASS_RATE_PPT).cast("long").alias("ok"),
+    )
+    agg = t.groupBy("task_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("c"),
+    )
+    frames = []
+    for k in PASS_AT_KS:
+        frames.append(
+            agg.where(F.col("n") >= k).select(
+                "task_id",
+                F.lit(k).cast("long").alias("k"),
+                F.col("n").alias("n_attempts"),
+                F.col("c").alias("n_correct"),
+                F.when(
+                    F.col("n") - F.col("c") < k,
+                    F.lit(1_000_000).cast("long"),
+                )
+                .otherwise(
+                    (
+                        F.lit(1_000_000).cast("long")
+                        - F.expr(
+                            "CAST("
+                            + "*".join(f"(n - c - {i})" for i in range(k))
+                            + f" AS BIGINT) * 1000000 DIV CAST("
+                            + "*".join(f"(n - {i})" for i in range(k))
+                            + " AS BIGINT)"
+                        )
+                    ).cast("long")
+                )
+                .alias("pass_ppm"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -798,3 +798,45 @@ def pareto_frontier(
         .select("x", "y", "n_docs")
         .orderBy(F.desc("x"))
     )
+
+
+K_ANON_K = 5  # minimum group size for a quasi-identifier cell
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str,
+                      k: int = K_ANON_K) -> DataFrame:
+    """k-anonymity audit over the events table — the privacy gate run
+    before releasing activity data: a quasi-identifier cell (here
+    ``(event_type, day, hour)``) occupied by fewer than *k* distinct
+    users is a re-identification risk (an attacker who knows someone
+    acted in that cell pins them to < k candidates).  Complements the
+    direct-identifier ops (``pii_redact``, ``gdpr_delete_cascade``):
+    k-anonymity is about what the REMAINING columns still leak.
+
+    Scale shape: pre-aggregate to (cell, user) so reducer keys stay
+    user-bounded (the ``retention_cohorts`` trick), then ONE cell
+    rollup; both aggregates map-side combine.  Output is violating
+    cells only — bounded by the cell lattice, not the event count.
+
+    Output: ``(event_type, day, hour, n_users, n_rows)`` for cells with
+    ``n_users < k``."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+        "user_id",
+    )
+    per_user = ev.groupBy("event_type", "day", "hour", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = per_user.groupBy("event_type", "day", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    return cells.where(F.col("n_users") < k).select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_users",
+        "n_rows",
+    )

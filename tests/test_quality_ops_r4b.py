@@ -289,3 +289,55 @@ def test_span_plan_map_only(spark):
     plan = _plan(tk.span_corruption_plan(spark, SF))
     assert "Exchange" not in plan, f"span plan must not shuffle:\n{plan}"
     assert "Generate" in plan
+
+
+# ---------------------------------------------------- k-anonymity
+
+def test_k_anonymity_flags_exactly_the_small_cells(spark):
+    from extractor.ops import relational
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+        "user_id",
+    ).collect()
+    cells = {}
+    for r in ev:
+        key = (r["event_type"], r["day"], r["hour"])
+        cells.setdefault(key, set()).add(r["user_id"])
+    want = {k for k, users in cells.items() if len(users) < relational.K_ANON_K}
+    got_rows = relational.k_anonymity_audit(spark, SF).collect()
+    got = {(r["event_type"], r["day"], r["hour"]) for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        assert r["n_users"] < relational.K_ANON_K
+        assert r["n_rows"] >= r["n_users"]
+
+
+# -------------------------------------------------------- pass@k
+
+def test_pass_at_k_matches_combinatorial_reference(spark):
+    from math import comb
+
+    from extractor.ops import convops as co
+
+    rows = co.pass_at_k(spark, SF).collect()
+    assert rows
+    ks = {r["k"] for r in rows}
+    assert ks == set(co.PASS_AT_KS)
+    for r in rows:
+        n, c, k = r["n_attempts"], r["n_correct"], r["k"]
+        assert n >= k
+        if n - c < k:
+            want = 1_000_000
+        else:
+            want = 1_000_000 - comb(n - c, k) * 1_000_000 // comb(n, k)
+        assert r["pass_ppm"] == want, (n, c, k)
+    # pass@5 >= pass@1 per task (more samples can only help)
+    by_task = {}
+    for r in rows:
+        by_task.setdefault(r["task_id"], {})[r["k"]] = r["pass_ppm"]
+    for task, d in by_task.items():
+        if 1 in d and 5 in d:
+            assert d[5] >= d[1]
