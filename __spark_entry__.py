@@ -1783,6 +1783,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unbiased pass@k estimator (HumanEval eq. 1) in exact bigint
         # telescoping products, ONE task-cardinality aggregate
         "pass_at_k": convops.pass_at_k,
+        # quality-based survivorship over the duplicate clusters
+        # (longest member wins — composes cluster formation end-to-end)
+        "cluster_survivorship": dedup.cluster_survivorship,
+        # BLEU-1 modified unigram precision between retried episodes
+        # and their originals (exact clipped counts, ppm)
+        "bleu1_retry_similarity": convops.bleu1_retry_similarity,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -1966,6 +1972,7 @@ _LAST_GREEN_R2 = [
     "conv_quality_trend", "ngram_novelty", "dq_expectations",
     "dpp_partition_prune", "deepwalk_corpus", "hard_negative_mining",
     "span_corruption_plan", "k_anonymity_audit", "pass_at_k",
+    "cluster_survivorship", "bleu1_retry_similarity",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6608,5 +6615,58 @@ def oracle_sql() -> dict[str, str]:
           FROM t GROUP BY task_id
         )
         {" UNION ALL ".join(_pk_parts)}
+    """
+    # Survivorship: the dedup_clusters oracle as a nested CTE + a
+    # quality argmax per cluster.
+    oracles["cluster_survivorship"] = f"""
+        WITH base AS ({oracles["dedup_clusters"]}),
+        q AS (
+          SELECT b.doc_id, b.cluster_id, b.cluster_size, d.n_chars
+          FROM base b JOIN documents d USING (doc_id)
+        ), k AS (
+          SELECT cluster_id, doc_id AS keeper_doc_id FROM (
+            SELECT cluster_id, doc_id, row_number() OVER (
+              PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+            FROM q
+          ) WHERE rn = 1
+        )
+        SELECT q.doc_id, q.cluster_id, q.cluster_size,
+               CAST(q.n_chars AS BIGINT) AS n_chars, k.keeper_doc_id,
+               q.doc_id = k.keeper_doc_id AS is_keeper
+        FROM q JOIN k USING (cluster_id)
+    """
+    # BLEU-1 retry similarity: clipped unigram counts over the planted
+    # retried-episode families, aligned turn by turn.
+    oracles["bleu1_retry_similarity"] = rf"""
+        {convops.DTR_RETRIED_CTE}, cand AS (
+          SELECT conv_id, turn_idx, tok, CAST(count(*) AS BIGINT) AS c_cand
+          FROM (
+            SELECT conv_id, turn_idx,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '')) AS tok
+            FROM dtrr WHERE conv_id >= 36
+          ) GROUP BY 1, 2, 3
+        ), ref AS (
+          SELECT conv_id + 36 AS conv_id, turn_idx, tok,
+                 CAST(count(*) AS BIGINT) AS c_ref
+          FROM (
+            SELECT conv_id, turn_idx,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '')) AS tok
+            FROM dtrr WHERE conv_id < 4
+          ) GROUP BY 1, 2, 3
+        ), j AS (
+          SELECT cand.conv_id, cand.turn_idx, cand.c_cand,
+                 least(cand.c_cand, coalesce(ref.c_ref, 0)) AS clip
+          FROM cand LEFT JOIN ref USING (conv_id, turn_idx, tok)
+        )
+        SELECT conv_id, turn_idx,
+               CAST(sum(c_cand) AS BIGINT) AS n_cand_tokens,
+               CAST(sum(clip) AS BIGINT) AS n_clipped,
+               CAST(sum(clip) * 1000000 // sum(c_cand) AS BIGINT)
+                 AS bleu1_ppm
+        FROM j GROUP BY conv_id, turn_idx
     """
     return oracles

@@ -1322,3 +1322,69 @@ def pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def bleu1_retry_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified-unigram-precision (BLEU-1, Papineni et al. 2002 §2.1)
+    between each RETRIED episode's turns and the original episode they
+    re-ran — the text-overlap eval a transcript-curation pipeline uses
+    to decide whether a retry is a near-verbatim re-run (keep one) or
+    a divergent attempt (keep both; preference-pair material).  Runs
+    on the planted retried families (convs 36–39 vs 0–3 of the
+    ``derived_transcripts_retried`` view).
+
+    Exact integers end to end: clipped count = Σ_tok min(c_cand,
+    c_ref) per aligned turn (the "modified" in modified precision —
+    a candidate token only scores as often as the reference contains
+    it), precision in ppm by integer division.
+
+    Scale shape: token counts are ONE (conv, turn, tok) map-side-
+    combined aggregate per side on the extraction partitioning; the
+    clip join is keyed on (pair, turn, tok); per-turn rollup follows
+    the same keys.  Nothing is quadratic in turn length.
+
+    Output: ``(conv_id, turn_idx, n_cand_tokens, n_clipped,
+    bleu1_ppm)`` — one row per retried turn with ≥1 token."""
+    t = derived_transcripts_retried(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+    )
+    cand = (
+        t.where(F.col("conv_id") >= 36)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.explode(toks).alias("tok"),
+        )
+        .groupBy("conv_id", "turn_idx", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_cand"))
+    )
+    ref = (
+        t.where(F.col("conv_id") < 4)
+        .select(
+            (F.col("conv_id") + 36).alias("conv_id"),
+            "turn_idx",
+            F.explode(toks).alias("tok"),
+        )
+        .groupBy("conv_id", "turn_idx", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ref"))
+    )
+    joined = cand.join(ref, ["conv_id", "turn_idx", "tok"], "left")
+    return (
+        joined.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.sum("c_cand").cast("long").alias("n_cand_tokens"),
+            F.sum(
+                F.least(F.col("c_cand"), F.coalesce(F.col("c_ref"), F.lit(0)))
+            ).cast("long").alias("n_clipped"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n_cand_tokens",
+            "n_clipped",
+            F.expr("n_clipped * 1000000 DIV n_cand_tokens").cast("long").alias(
+                "bleu1_ppm"
+            ),
+        )
+    )

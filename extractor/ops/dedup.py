@@ -1842,3 +1842,42 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("novelty_ppm"),
         )
     )
+
+
+def cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy over the duplicate clusters: instead of the
+    min-id keeper (:func:`dedup_apply`'s rule), keep the HIGHEST-
+    QUALITY member of each connected component — here the longest
+    document, tie-broken by doc_id — the policy real curation
+    pipelines use (keep the canonical/most-complete copy, drop the
+    truncated mirrors).  Composes :func:`neardup_clusters` (the
+    label-propagation components over exact+simhash edges) with a
+    per-cluster argmax, so the cluster-formation output is consumed
+    the way production consumes it.
+
+    Scale shape: cluster labels are bounded by the duplicate-graph
+    node count (≪ corpus); ONE join to fetch the quality scalar and
+    one per-cluster window (clusters are shallow stars/chains — tiny
+    partitions).  The corpus itself never re-shuffles.
+
+    Output: ``(doc_id, cluster_id, cluster_size, n_chars,
+    keeper_doc_id, is_keeper)`` for every clustered document."""
+    from pyspark.sql.window import Window as _W
+
+    labels = neardup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    q = labels.join(docs, "doc_id")
+    w = _W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    keepers = (
+        q.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keeper_doc_id"))
+    )
+    return q.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "keeper_doc_id",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
+    )

@@ -341,3 +341,46 @@ def test_pass_at_k_matches_combinatorial_reference(spark):
     for task, d in by_task.items():
         if 1 in d and 5 in d:
             assert d[5] >= d[1]
+
+
+# ------------------------------------------------ survivorship policy
+
+def test_survivorship_keeper_is_longest_member(spark):
+    rows = dedup.cluster_survivorship(spark, SF).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["is_keeper"]]
+        assert len(keepers) == 1
+        k = keepers[0]
+        assert all(r["keeper_doc_id"] == k["doc_id"] for r in members)
+        best = max(members, key=lambda r: (r["n_chars"], -r["doc_id"]))
+        assert k["doc_id"] == best["doc_id"]
+        assert len(members) == members[0]["cluster_size"]
+
+
+# ----------------------------------------------------- BLEU-1 retry
+
+def test_bleu1_identical_turns_score_one(spark):
+    """Turns the retried view copied verbatim from the original must
+    score exactly 1e6; divergent turns (kept own text) score below
+    whenever the texts differ."""
+    t = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in convops.derived_transcripts_retried(spark, SF).collect()
+    }
+    rows = convops.bleu1_retry_similarity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        cand = t[(r["conv_id"], r["turn_idx"])]
+        ref = t.get((r["conv_id"] - 36, r["turn_idx"]))
+        assert 0 <= r["n_clipped"] <= r["n_cand_tokens"]
+        if ref == cand:
+            assert r["bleu1_ppm"] == 1_000_000
+        expected = r["n_clipped"] * 1_000_000 // r["n_cand_tokens"]
+        assert r["bleu1_ppm"] == expected
+    # the planted families are ~7/8 verbatim: most turns score 1.0
+    perfect = sum(1 for r in rows if r["bleu1_ppm"] == 1_000_000)
+    assert perfect > len(rows) // 2
