@@ -510,7 +510,8 @@ def hits(edges: DataFrame, iterations: int = 3,
     return auth.join(hub, "node").select("node", "auth", "hub")
 
 
-def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 4,
+          materialize: bool = True) -> DataFrame:
     """Fixed-round k-core peeling over an undirected graph given as a
     (src, dst) edge table (either orientation; self-loops dropped,
     duplicates collapsed): each round removes every node whose degree
@@ -563,8 +564,13 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
         )
     out = _induced_degree(alive).select(
         F.col("src").cast("long").alias("node"), "deg"
-    ).localCheckpoint()  # materialize before releasing the edge cache
-    e.unpersist()
+    )
+    if materialize:
+        # materialize before releasing the edge cache (the default);
+        # materialize=False hands the LAZY plan back for plan gates —
+        # the caller then owns the persisted edge table's lifetime
+        out = out.localCheckpoint()
+        e.unpersist()
     return out
 
 

@@ -161,10 +161,12 @@ def resize_meta(media: DataFrame, max_side: int = 32) -> DataFrame:
     )
 
 
-def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling plan for video rows: explode frame indices 0..n step
-    every_n (n proxied from byte length).  Shows the explode-side-table
-    pattern for frame-level work without decoding."""
+def frame_stride_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Stride frame-sampling plan for video rows: explode frame indices
+    0..n step every_n (n proxied from byte length) — the fixed-stride
+    counterpart of :func:`frame_sample_plan` (which spaces a bounded
+    frame count evenly).  Shows the explode-side-table pattern for
+    frame-level work without decoding."""
     video = media.where(F.col("kind") == "video")
     n_frames = (F.col("meta.n_bytes") / 256).cast("int")
     return video.select(

@@ -47,9 +47,9 @@ def test_resize_meta(spark):
             assert r["target_height"] >= r["target_width"] - 1
 
 
-def test_frame_sample_plan(spark):
+def test_frame_stride_plan(spark):
     media = mm.synth_media_df(spark, n=60)
-    plan = mm.frame_sample_plan(media, every_n=10)
+    plan = mm.frame_stride_plan(media, every_n=10)
     rows = plan.collect()
     assert rows, "expected some video rows"
     by_id = {}

@@ -559,8 +559,14 @@ def test_fuzzy_match_blocked_equi_join(spark):
 
 def test_domain_kcore_edges_never_reshuffle(spark):
     import __spark_entry__ as e
+    from extractor.ops.links import kcore
 
-    plan = _plan(e._domain_kcore(spark, SF))
+    # the op localCheckpoints its result (materialize before releasing
+    # the edge cache), which hides the join plan behind an ExistingRDD
+    # scan — gate the REAL lazy plan via the materialize=False seam
+    df = kcore(e._layered_domain_graph(spark, SF), k=3, rounds=4,
+               materialize=False)
+    plan = _plan(df)
     # every alive-set filter is a broadcast join against the persisted
     # edge table — the only Exchanges are the initial distinct and the
     # per-round degree aggregations (node-cardinality keys)
