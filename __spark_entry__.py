@@ -747,6 +747,15 @@ def _dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dag_longest_path(_layered_domain_graph(spark, sf_dir))
 
 
+def _stream_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming==batch parity row: a real Structured Streaming query
+    (readStream → 1h window agg → memory sink, availableNow replay)
+    whose rollup must hash-match DuckDB's batch answer."""
+    from extractor.streaming import stream_hourly_events
+
+    return stream_hourly_events(spark, sf_dir)
+
+
 def _deepwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk random-walk corpus over the layered domain graph —
     graph→sequence training data via the keyed-uniform next-hop rule
@@ -1789,6 +1798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BLEU-1 modified unigram precision between retried episodes
         # and their originals (exact clipped counts, ppm)
         "bleu1_retry_similarity": convops.bleu1_retry_similarity,
+        # Structured-Streaming == batch parity under the DuckDB oracle:
+        # readStream → windowed agg → memory sink, bounded replay
+        "stream_hourly_events": _stream_hourly_events,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -1931,8 +1943,8 @@ _DRIVER_WINDOW = [
 
 # The tail's front: every entry that has NEVER had a driver
 # CORRECTNESS row (the round-4 window was already full when these
-# landed) leads this list, in landing order — 80 entries at end of
-# round 4 (through span_corruption_plan).  Round 5's window takes the
+# landed) leads this list, in landing order — 84 entries at end of
+# round 4 (through bleu1_retry_similarity).  Round 5's window takes the
 # first 50 of them; the remainder plus any new landings lead round 6.
 # After them come the oldest-green entries (last green row r2), so
 # staleness cycles out on the same rotation.
@@ -1973,6 +1985,7 @@ _LAST_GREEN_R2 = [
     "dpp_partition_prune", "deepwalk_corpus", "hard_negative_mining",
     "span_corruption_plan", "k_anonymity_audit", "pass_at_k",
     "cluster_survivorship", "bleu1_retry_similarity",
+    "stream_hourly_events",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6668,5 +6681,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(clip) * 1000000 // sum(c_cand) AS BIGINT)
                  AS bleu1_ppm
         FROM j GROUP BY conv_id, turn_idx
+    """
+    # Streaming parity: the window(ts, 1h) start IS date_trunc('hour').
+    oracles["stream_hourly_events"] = """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM events GROUP BY 1, 2
     """
     return oracles

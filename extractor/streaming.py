@@ -358,3 +358,70 @@ def stream_session_windows(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def stream_hourly_events(spark: SparkSession, sf_dir: str):
+    """Structured-Streaming == batch parity, certified under the DuckDB
+    oracle: the hourly per-event-type rollup computed by a REAL
+    streaming query — ``readStream`` over the events parquet, windowed
+    aggregation, memory sink, ``availableNow`` bounded replay — must
+    hash-match the independent engine's batch answer.  This is the
+    lambda-architecture equivalence every streaming metrics pipeline
+    silently assumes; here it is a contract row.
+
+    Complete output mode is deliberate: with ``availableNow`` the
+    stream ends before the watermark can pass the final windows, so
+    append mode would (correctly) hold them back and parity would fail
+    — the append+watermark finalization semantics are pinned separately
+    in ``tests/test_streaming.py``.  Complete-mode state is bounded by
+    (windows × event types), not stream length, and the memory sink
+    holds only that rollup.
+
+    Money in exact cents (the ``backfill`` convention) so no float
+    crosses the sink.
+
+    Output: ``(window_start, event_type, n, sum_value_cents)``."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    # the file source requires a DIRECTORY; scope the listing to the
+    # events file with a glob filter (single-file test layout)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_cents",
+        )
+    )
+    name = f"stream_hourly_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -384,3 +384,33 @@ def test_bleu1_identical_turns_score_one(spark):
     # the planted families are ~7/8 verbatim: most turns score 1.0
     perfect = sum(1 for r in rows if r["bleu1_ppm"] == 1_000_000)
     assert perfect > len(rows) // 2
+
+
+# ------------------------------------------- streaming==batch parity
+
+def test_stream_hourly_matches_batch(spark):
+    from extractor.streaming import stream_hourly_events
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value_cents"])
+        for r in stream_hourly_events(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["s"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    # re-running registers a fresh memory sink — idempotent per call
+    again = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value_cents"])
+        for r in stream_hourly_events(spark, SF).collect()
+    }
+    assert again == got
