@@ -31,6 +31,7 @@ from extractor.ops import (
     relational,
     sampling,
     similarity,
+    temporal,
     textops,
     tokenize,
 )
@@ -1801,6 +1802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Structured-Streaming == batch parity under the DuckDB oracle:
         # readStream → windowed agg → memory sink, bounded replay
         "stream_hourly_events": _stream_hourly_events,
+        # SCD Type 2 dimension maintenance: change stream → versioned
+        # validity intervals, all windows on one user partitioning
+        "scd2_user_history": temporal.scd2_user_history,
+        # PERMISSIVE-mode corrupt-record containment at JSONL ingest
+        # (planted truncations land in _corrupt_record, job survives)
+        "jsonl_corrupt_read": maintenance.jsonl_corrupt_read,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -1985,7 +1992,7 @@ _LAST_GREEN_R2 = [
     "dpp_partition_prune", "deepwalk_corpus", "hard_negative_mining",
     "span_corruption_plan", "k_anonymity_audit", "pass_at_k",
     "cluster_survivorship", "bleu1_retry_similarity",
-    "stream_hourly_events",
+    "stream_hourly_events", "scd2_user_history", "jsonl_corrupt_read",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6689,5 +6696,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                  AS sum_value_cents
         FROM events GROUP BY 1, 2
+    """
+    # SCD2: identical change-point / version-numbering / interval-close
+    # construction (within a version every segment is equal, so
+    # min(segment) is the version's segment).
+    oracles["scd2_user_history"] = """
+        WITH ch AS (
+          SELECT user_id, ts, event_id, event_type AS segment,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                       OR event_type <> lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS changed
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), v AS (
+          SELECT user_id, ts, segment,
+                 sum(changed) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS version_n
+          FROM ch
+        ), spans AS (
+          SELECT user_id, version_n, min(segment) AS segment,
+                 min(ts) AS effective_from
+          FROM v GROUP BY user_id, version_n
+        )
+        SELECT user_id, CAST(version_n AS BIGINT) AS version_n, segment,
+               effective_from,
+               lead(effective_from) OVER w2 AS effective_to,
+               lead(effective_from) OVER w2 IS NULL AS is_current
+        FROM spans WINDOW w2 AS (PARTITION BY user_id ORDER BY version_n)
+    """
+    # JSONL corrupt-read rollup: the planted-truncation rule restated.
+    oracles["jsonl_corrupt_read"] = f"""
+        SELECT CASE WHEN doc_id % {maintenance.CORRUPT_MOD} = 0
+                    THEN '_corrupt' ELSE lang END AS category,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY 1
     """
     return oracles

@@ -805,3 +805,66 @@ def dpp_partition_prune(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("value_cents").cast("long").alias("sum_value_cents"),
     )
+
+
+JSONL_DIR = "/tmp/spark_graft_jsonl"
+CORRUPT_MOD = 23  # doc_id % mod == 0 lines are truncated (invalid JSON)
+
+
+def jsonl_corrupt_read(spark: SparkSession, sf_dir: str,
+                       base_dir: str = JSONL_DIR) -> DataFrame:
+    """Malformed-record containment at ingest — the PERMISSIVE-mode
+    contract every JSONL landing zone relies on: corrupt lines must
+    land in ``_corrupt_record`` (whole line preserved for quarantine
+    replay) WITHOUT failing the job or polluting typed columns, and
+    the valid rows must parse exactly.  A deterministic JSONL render
+    of the documents table is written with every ``doc_id % 23 == 0``
+    line truncated (always invalid — the closing brace is gone), read
+    back with an explicit schema + ``_corrupt_record``, and rolled up
+    per category.
+
+    Scale shape: the render is a map-only projection + text sink; the
+    read-back rollup is ONE fused conditional aggregate (the
+    ``dq_expectations`` shape).  Corrupt-line handling is per-row
+    local — no skew, no shuffle amplification.
+
+    Output: ``(category, n_rows)`` where category is the parsed lang
+    or '_corrupt'."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    rendered = docs.withColumn("line", line).select(
+        F.when(
+            F.col("doc_id") % CORRUPT_MOD == 0,
+            F.expr("substr(line, 1, greatest(length(line) - 5, 1))"),
+        )
+        .otherwise(F.col("line"))
+        .alias("value")
+    )
+    rendered.write.mode("overwrite").text(f"{base_dir}/landing")
+    parsed = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{base_dir}/landing")
+    )
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("lang"))
+            .alias("category")
+        )
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

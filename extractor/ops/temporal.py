@@ -390,3 +390,55 @@ def cogroup_merge_asof(spark, sf_dir: str) -> DataFrame:
         .cogroup(views.groupBy("user_id"))
         .applyInPandas(merge, COGROUP_ASOF_SCHEMA)
     )
+
+
+def scd2_user_history(spark, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 maintenance — the dimensional-
+    modeling staple: collapse a change stream into versioned validity
+    intervals ``[effective_from, effective_to)`` with an ``is_current``
+    flag, one row per attribute VERSION (a new version opens only when
+    the tracked attribute actually changes, not on every event).  Here
+    the tracked attribute is the user's event_type (their "segment");
+    the change stream is the events table ordered by (ts, event_id).
+
+    All-window construction: lag() finds change points, a running
+    count of change points numbers the versions, one (user, version)
+    rollup takes the interval bounds, lead() closes each interval with
+    the next version's start — four operators, ALL on the user_id
+    partitioning, so the stream shuffles once.  No self-joins.
+
+    Scale: per-user state is O(1) through every window; the output is
+    bounded by the number of CHANGES, not events — exactly why SCD2 is
+    the storage format for slowly-changing attributes at 10^12-event
+    scale.
+
+    Output: ``(user_id, version_n, segment, effective_from,
+    effective_to, is_current)`` — effective_to NULL on the open
+    version."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("segment")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("segment").over(w).isNull()
+        | (F.col("segment") != F.lag("segment").over(w))
+    ).cast("long")
+    versioned = ev.withColumn(
+        "version_n",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = versioned.groupBy("user_id", "version_n").agg(
+        F.min_by("segment", F.struct("ts", "event_id")).alias("segment"),
+        F.min("ts").alias("effective_from"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version_n")
+    return spans.select(
+        "user_id",
+        F.col("version_n").cast("long").alias("version_n"),
+        "segment",
+        "effective_from",
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        F.lead("effective_from").over(w2).isNull().alias("is_current"),
+    )

@@ -414,3 +414,61 @@ def test_stream_hourly_matches_batch(spark):
         for r in stream_hourly_events(spark, SF).collect()
     }
     assert again == got
+
+
+# ----------------------------------------------------------- SCD2
+
+def test_scd2_intervals_tile_and_match_stream(spark):
+    from extractor.ops.temporal import scd2_user_history
+
+    rows = scd2_user_history(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    streams = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        streams.setdefault(r["user_id"], []).append(r)
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, versions in by_user.items():
+        versions.sort(key=lambda r: r["version_n"])
+        # dense version numbers from 1; exactly one current (the last)
+        assert [v["version_n"] for v in versions] == list(
+            range(1, len(versions) + 1)
+        )
+        assert [v["is_current"] for v in versions] == [False] * (
+            len(versions) - 1
+        ) + [True]
+        # intervals tile: effective_to == next effective_from
+        for a, b in zip(versions, versions[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["segment"] != b["segment"], "version without a change"
+        assert versions[-1]["effective_to"] is None
+        # replaying the stream through the intervals recovers every event
+        idx = 0
+        for e in streams[uid]:
+            while (
+                versions[idx]["effective_to"] is not None
+                and e["ts"] >= versions[idx]["effective_to"]
+            ):
+                idx += 1
+            assert e["event_type"] == versions[idx]["segment"]
+        idx = 0  # reset not needed; loop per user
+
+
+# --------------------------------------------------- JSONL ingest
+
+def test_jsonl_corrupt_rows_contained(spark):
+    from extractor.ops import maintenance as mt
+
+    rows = {r["category"]: r["n_rows"]
+            for r in mt.jsonl_corrupt_read(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    want = {}
+    for d in docs:
+        cat = "_corrupt" if d["doc_id"] % mt.CORRUPT_MOD == 0 else d["lang"]
+        want[cat] = want.get(cat, 0) + 1
+    assert rows == want
+    assert rows.get("_corrupt", 0) > 0, "no corruption planted?"
