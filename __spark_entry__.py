@@ -1808,6 +1808,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PERMISSIVE-mode corrupt-record containment at JSONL ingest
         # (planted truncations land in _corrupt_record, job survives)
         "jsonl_corrupt_read": maintenance.jsonl_corrupt_read,
+        # Cohen's kappa between the two lang classifiers (chance-
+        # corrected agreement, exact bigint ppm)
+        "classifier_kappa": textops.classifier_kappa,
+        # A/B readout: SRM chi-square + exact cross-product lift
+        # (keyed-uniform user assignment, one user pre-aggregate)
+        "ab_experiment_report": relational.ab_experiment_report,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -1993,6 +1999,7 @@ _LAST_GREEN_R2 = [
     "span_corruption_plan", "k_anonymity_audit", "pass_at_k",
     "cluster_survivorship", "bleu1_retry_similarity",
     "stream_hourly_events", "scd2_user_history", "jsonl_corrupt_read",
+    "classifier_kappa", "ab_experiment_report",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6731,5 +6738,65 @@ def oracle_sql() -> dict[str, str]:
                     THEN '_corrupt' ELSE lang END AS category,
                CAST(count(*) AS BIGINT) AS n_rows
         FROM documents GROUP BY 1
+    """
+    # Cohen's kappa: aggregates the lang_confusion oracle as a CTE.
+    oracles["classifier_kappa"] = f"""
+        WITH conf AS ({oracles["lang_confusion"]}),
+        r AS (
+          SELECT marker_lang AS l, CAST(sum(n_docs) AS BIGINT) AS row_n
+          FROM conf GROUP BY 1
+        ), c AS (
+          SELECT chargram_lang AS l, CAST(sum(n_docs) AS BIGINT) AS col_n
+          FROM conf GROUP BY 1
+        ), m AS (
+          SELECT coalesce(r.row_n, 0) AS row_n,
+                 coalesce(c.col_n, 0) AS col_n
+          FROM r FULL JOIN c USING (l)
+        ), t AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN marker_lang = chargram_lang
+                          THEN n_docs ELSE 0 END) AS BIGINT) AS n_agree
+          FROM conf
+        ), p AS (
+          SELECT CAST(sum(row_n * col_n) AS BIGINT) AS pe_num FROM m
+        )
+        SELECT n_docs, n_agree,
+               CAST(n_agree * 1000000 // n_docs AS BIGINT) AS po_ppm,
+               CAST(pe_num * 1000000 // (n_docs * n_docs) AS BIGINT)
+                 AS pe_ppm,
+               CAST((n_agree * n_docs - pe_num) * 1000000
+                    // (n_docs * n_docs - pe_num) AS BIGINT) AS kappa_ppm
+        FROM t, p
+    """
+    # A/B readout: same keyed assignment, same exact-integer algebra.
+    oracles["ab_experiment_report"] = f"""
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY user_id
+        ), v AS (
+          SELECT {_dd_md5_bucket("exp:", 2, "user_id")} AS v, cents FROM pu
+        ), agg AS (
+          SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_control,
+                 CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treatment,
+                 CAST(sum(CASE WHEN v = 0 THEN cents ELSE 0 END) AS BIGINT)
+                   AS sum_control_cents,
+                 CAST(sum(CASE WHEN v = 1 THEN cents ELSE 0 END) AS BIGINT)
+                   AS sum_treatment_cents
+          FROM v
+        )
+        SELECT n_control, n_treatment,
+               CAST((n_control - n_treatment) * (n_control - n_treatment)
+                    * 1000000 // (n_control + n_treatment) AS BIGINT)
+                 AS srm_chi2_micro,
+               sum_control_cents, sum_treatment_cents,
+               CAST((sum_treatment_cents * n_control
+                     - sum_control_cents * n_treatment) * 1000000
+                    // (sum_control_cents * n_treatment) AS BIGINT)
+                 AS lift_ppm
+        FROM agg
     """
     return oracles

@@ -840,3 +840,74 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str,
         "n_users",
         "n_rows",
     )
+
+
+def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with the two checks every experimentation
+    platform runs, in exact integers: (1) sample-ratio mismatch — the
+    χ² of the observed variant split against the designed 50/50 (the
+    #1 silent-corruption detector: a biased assignment invalidates the
+    whole test before any metric is read); (2) the treatment lift on
+    revenue-per-user, computed as the exact cross-product ratio
+    ``(sum_t·n_c − sum_c·n_t)·10⁶ / (sum_c·n_t)`` so no float division
+    ever runs.
+
+    Variant assignment is the engine's keyed-uniform primitive on
+    user_id ("exp:" salt) — stable under traffic growth, exactly like
+    every sampling op.  The per-user metric is total event value in
+    cents.
+
+    Scale shape: one (user) pre-aggregate (map-side combined), one
+    2-row variant rollup, a 1×1 join — nothing after the user rollup
+    touches data.
+
+    Output: one row ``(n_control, n_treatment, srm_chi2_micro,
+    sum_control_cents, sum_treatment_cents, lift_ppm)``."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(F.sum("cents").alias("cents"))
+    v = per_user.select(variant.alias("v"), "cents").groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    return v.agg(
+        F.sum(F.when(F.col("v") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.sum(F.when(F.col("v") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_treatment"),
+        F.sum(F.when(F.col("v") == 0, F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("sum_control_cents"),
+        F.sum(F.when(F.col("v") == 1, F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("sum_treatment_cents"),
+    ).select(
+        "n_control",
+        "n_treatment",
+        F.expr(
+            "(n_control - n_treatment) * (n_control - n_treatment)"
+            " * 1000000 DIV (n_control + n_treatment)"
+        ).cast("long").alias("srm_chi2_micro"),
+        "sum_control_cents",
+        "sum_treatment_cents",
+        F.expr(
+            "(sum_treatment_cents * n_control"
+            " - sum_control_cents * n_treatment) * 1000000"
+            " DIV (sum_control_cents * n_treatment)"
+        ).cast("long").alias("lift_ppm"),
+    )

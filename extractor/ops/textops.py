@@ -1887,3 +1887,62 @@ def signal_agreement_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_concordant - n_discordant) * 10000 DIV n_pairs"
         ).cast("long").alias("tau_bp"),
     )
+
+
+def classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the two language classifiers — the chance-
+    corrected agreement statistic behind "do two annotators/models
+    agree beyond luck": raw agreement p_o overstates reliability when
+    the label marginals are skewed (both models predicting 'en' for
+    everything agree constantly and mean nothing).  The eval every
+    LLM-judge / weak-supervision pipeline runs before trusting a
+    cheap labeler.
+
+    Exact integers end to end: with N docs, diagonal D, and marginal
+    products P = Σ_ℓ row_ℓ·col_ℓ, κ = (p_o − p_e)/(1 − p_e)
+    = (D·N − P) / (N² − P) — two bigint products and one ppm floor
+    division; p_o and p_e are reported in exact ppm alongside.
+
+    Scale shape: composes the same two prediction sweeps as
+    ``lang_confusion`` (one doc_id equi-join), then everything runs on
+    the |langs|²-row matrix — constant-size beyond the join.
+
+    Output: one row ``(n_docs, n_agree, po_ppm, pe_ppm, kappa_ppm)``."""
+    a = lang_id(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("la")
+    )
+    b = lang_id_chargram(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("lb")
+    )
+    cells = (
+        a.join(b, "doc_id")
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = cells.groupBy("la").agg(F.sum("n").alias("row_n"))
+    cols = cells.groupBy("lb").agg(F.sum("n").alias("col_n"))
+    marg = rows.join(cols, rows["la"] == cols["lb"], "full").select(
+        F.coalesce("row_n", F.lit(0)).alias("row_n"),
+        F.coalesce("col_n", F.lit(0)).alias("col_n"),
+    )
+    totals = cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    pe_num = marg.agg(
+        F.sum(F.col("row_n") * F.col("col_n")).cast("long").alias("pe_num")
+    )
+    return totals.crossJoin(F.broadcast(pe_num)).select(
+        "n_docs",
+        "n_agree",
+        F.expr("n_agree * 1000000 DIV n_docs").cast("long").alias("po_ppm"),
+        F.expr("pe_num * 1000000 DIV (n_docs * n_docs)").cast("long").alias(
+            "pe_ppm"
+        ),
+        F.expr(
+            "(n_agree * n_docs - pe_num) * 1000000"
+            " DIV (n_docs * n_docs - pe_num)"
+        ).cast("long").alias("kappa_ppm"),
+    )

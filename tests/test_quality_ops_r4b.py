@@ -7,7 +7,14 @@ import math
 
 from pyspark.sql import functions as F
 
-from extractor.ops import convops, dedup, maintenance, similarity, textops
+from extractor.ops import (
+    convops,
+    dedup,
+    maintenance,
+    relational,
+    similarity,
+    textops,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -472,3 +479,55 @@ def test_jsonl_corrupt_rows_contained(spark):
         want[cat] = want.get(cat, 0) + 1
     assert rows == want
     assert rows.get("_corrupt", 0) > 0, "no corruption planted?"
+
+
+# ------------------------------------------------------ Cohen's kappa
+
+def test_kappa_chance_corrected(spark):
+    rows = textops.classifier_kappa(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r["n_agree"] <= r["n_docs"]
+    assert r["po_ppm"] == r["n_agree"] * 1_000_000 // r["n_docs"]
+    # kappa strictly below raw agreement whenever pe > 0 and po < 1
+    if r["po_ppm"] < 1_000_000:
+        assert r["kappa_ppm"] < r["po_ppm"]
+    assert -1_000_000 <= r["kappa_ppm"] <= 1_000_000
+
+
+def test_kappa_identity_and_degeneracy():
+    # hand matrices: perfect agreement => kappa 1; one-sided marginals
+    # agree often but kappa collapses toward 0
+    def kappa(diag, n, pe_num):
+        return (diag * n - pe_num) * 1_000_000 // (n * n - pe_num)
+
+    # 2 labels, perfectly diagonal, balanced: D=100, N=100, P=50*50*2
+    assert kappa(100, 100, 5000) == 1_000_000
+    # both predict 'en' 90% independently: po=0.82, pe=0.82 => kappa 0
+    # (marginals 90/10 both sides: pe_num = 90*90+10*10 = 8200, diag=82)
+    assert kappa(82, 100, 8200) == 0
+
+
+# ------------------------------------------------------ A/B readout
+
+def test_ab_report_exact_identities(spark):
+    import hashlib
+
+    r = relational.ab_experiment_report(spark, SF).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.expr("CAST(round(value*100) AS BIGINT)").alias("c")
+    ).collect()
+    per_user = {}
+    for e in ev:
+        per_user[e["user_id"]] = per_user.get(e["user_id"], 0) + e["c"]
+    n = [0, 0]
+    s = [0, 0]
+    for uid, cents in per_user.items():
+        v = int(hashlib.md5(f"exp:{uid}".encode()).hexdigest()[:8], 16) % 2
+        n[v] += 1
+        s[v] += cents
+    assert (r["n_control"], r["n_treatment"]) == (n[0], n[1])
+    assert (r["sum_control_cents"], r["sum_treatment_cents"]) == (s[0], s[1])
+    assert r["srm_chi2_micro"] == (n[0] - n[1]) ** 2 * 1_000_000 // (
+        n[0] + n[1]
+    )
