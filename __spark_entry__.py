@@ -1814,6 +1814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A/B readout: SRM chi-square + exact cross-product lift
         # (keyed-uniform user assignment, one user pre-aggregate)
         "ab_experiment_report": relational.ab_experiment_report,
+        # offline bandit policy evaluation (replay method): filtered
+        # rollup over logged interactions, exact micro-cents
+        "bandit_replay_eval": relational.bandit_replay_eval,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -1999,7 +2002,7 @@ _LAST_GREEN_R2 = [
     "span_corruption_plan", "k_anonymity_audit", "pass_at_k",
     "cluster_survivorship", "bleu1_retry_similarity",
     "stream_hourly_events", "scd2_user_history", "jsonl_corrupt_read",
-    "classifier_kappa", "ab_experiment_report",
+    "classifier_kappa", "ab_experiment_report", "bandit_replay_eval",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6798,5 +6801,37 @@ def oracle_sql() -> dict[str, str]:
                     // (sum_control_cents * n_treatment) AS BIGINT)
                  AS lift_ppm
         FROM agg
+    """
+    # Bandit replay: same keyed policy map, same filtered rollup.
+    _arm_list = ", ".join(f"'{a}'" for a in relational.BANDIT_ARMS)
+    oracles["bandit_replay_eval"] = f"""
+        WITH ev AS (
+          SELECT user_id % 10 AS context, event_type AS logged_arm,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 ([{_arm_list}])[
+                   CAST({_dd_md5_bucket("policy:",
+                                        len(relational.BANDIT_ARMS),
+                                        "user_id % 10")}
+                        + 1 AS INTEGER)] AS policy_arm
+          FROM events
+        )
+        SELECT CAST(context AS BIGINT) AS context,
+               CAST(count(*) AS BIGINT) AS n_logged,
+               CAST(sum(CASE WHEN logged_arm = policy_arm
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN logged_arm = policy_arm
+                        THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                 AS match_ppm,
+               CAST(sum(CASE WHEN logged_arm = policy_arm
+                        THEN cents ELSE 0 END) AS BIGINT)
+                 AS sum_matched_cents,
+               CAST(CASE WHEN sum(CASE WHEN logged_arm = policy_arm
+                                  THEN 1 ELSE 0 END) > 0
+                    THEN sum(CASE WHEN logged_arm = policy_arm
+                             THEN cents ELSE 0 END) * 1000000
+                         // sum(CASE WHEN logged_arm = policy_arm
+                                THEN 1 ELSE 0 END)
+                    ELSE 0 END AS BIGINT) AS mean_reward_microcents
+        FROM ev GROUP BY context
     """
     return oracles

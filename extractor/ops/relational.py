@@ -911,3 +911,85 @@ def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (sum_control_cents * n_treatment)"
         ).cast("long").alias("lift_ppm"),
     )
+
+
+BANDIT_ARMS = ("click", "view", "purchase", "signup", "error")
+
+
+def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation by the REPLAY method (Li et al. 2011,
+    WSDM — the unbiased offline evaluator for contextual bandits):
+    score a CANDIDATE policy against logged interaction data by
+    keeping exactly the logged rows where the policy's chosen arm
+    matches the logged arm, and averaging their rewards.  Unbiased
+    when logging was uniform-random over arms; the match-rate column
+    makes the effective sample size auditable.  This is how
+    recommendation / routing policies are evaluated before any online
+    test.
+
+    Deterministic modeling on the events axis: context = user_id % 10,
+    logged arm = event_type, reward = value in cents; the candidate
+    policy maps each context to an arm via the keyed-uniform md5 draw
+    ("policy:" salt) — a pure column function, no policy table join.
+
+    Exact integers: per-context match counts, matched-reward sums,
+    and the mean reward in micro-cents by floor division.
+
+    Scale shape: ONE map-side-combined aggregate over the logged
+    stream (the policy evaluation is a filtered rollup — nothing else
+    moves); contexts are the only reducer keys.
+
+    Output: ``(context, n_logged, n_matched, match_ppm,
+    sum_matched_cents, mean_reward_microcents)``."""
+    arms = F.array(*[F.lit(a) for a in BANDIT_ARMS])
+    policy_arm = F.element_at(
+        arms,
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("policy:"),
+                            (F.col("user_id") % 10).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % len(BANDIT_ARMS)
+        ).cast("int")
+        + 1,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 10).alias("context"),
+        F.col("event_type").alias("logged_arm"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        policy_arm.alias("policy_arm"),
+    )
+    matched = F.col("logged_arm") == F.col("policy_arm")
+    return (
+        ev.groupBy("context")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_logged"),
+            F.sum(matched.cast("long")).cast("long").alias("n_matched"),
+            F.sum(F.when(matched, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("sum_matched_cents"),
+        )
+        .select(
+            F.col("context").cast("long").alias("context"),
+            "n_logged",
+            "n_matched",
+            F.expr("n_matched * 1000000 DIV n_logged").cast("long").alias(
+                "match_ppm"
+            ),
+            "sum_matched_cents",
+            F.expr(
+                "CASE WHEN n_matched > 0 THEN"
+                " sum_matched_cents * 1000000 DIV n_matched ELSE 0 END"
+            ).cast("long").alias("mean_reward_microcents"),
+        )
+    )

@@ -531,3 +531,34 @@ def test_ab_report_exact_identities(spark):
     assert r["srm_chi2_micro"] == (n[0] - n[1]) ** 2 * 1_000_000 // (
         n[0] + n[1]
     )
+
+
+# ------------------------------------------------- bandit replay
+
+def test_bandit_replay_hand_replay(spark):
+    import hashlib
+
+    rows = {r["context"]: r
+            for r in relational.bandit_replay_eval(spark, SF).collect()}
+    arms = relational.BANDIT_ARMS
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_type",
+        F.expr("CAST(round(value*100) AS BIGINT)").alias("c"),
+    ).collect()
+    acc = {}
+    for e in ev:
+        ctx = e["user_id"] % 10
+        pick = arms[
+            int(hashlib.md5(f"policy:{ctx}".encode()).hexdigest()[:8], 16)
+            % len(arms)
+        ]
+        n, m, s = acc.get(ctx, (0, 0, 0))
+        hit = e["event_type"] == pick
+        acc[ctx] = (n + 1, m + hit, s + (e["c"] if hit else 0))
+    assert set(rows) == set(acc)
+    for ctx, (n, m, s) in acc.items():
+        r = rows[ctx]
+        assert (r["n_logged"], r["n_matched"], r["sum_matched_cents"]) == (
+            n, m, s,
+        )
+        assert r["match_ppm"] == m * 1_000_000 // n
