@@ -1959,8 +1959,8 @@ _DRIVER_WINDOW = [
 
 # The tail's front: every entry that has NEVER had a driver
 # CORRECTNESS row (the round-4 window was already full when these
-# landed) leads this list, in landing order — 84 entries at end of
-# round 4 (through bleu1_retry_similarity).  Round 5's window takes the
+# landed) leads this list, in landing order — 90 entries at end of
+# round 4 (through bandit_replay_eval).  Round 5's window takes the
 # first 50 of them; the remainder plus any new landings lead round 6.
 # After them come the oldest-green entries (last green row r2), so
 # staleness cycles out on the same rotation.
