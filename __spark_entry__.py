@@ -1817,6 +1817,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # offline bandit policy evaluation (replay method): filtered
         # rollup over logged interactions, exact micro-cents
         "bandit_replay_eval": relational.bandit_replay_eval,
+        # active-learning margin sampling over classifier scores
+        # (TakeOrderedAndProject — never a global sort)
+        "uncertainty_sample": textops.uncertainty_sample,
+        # exact-sufficient-stats Pearson correlation per event type
+        # (bigint sums, two correctly-rounded sqrts, one micro-round)
+        "metric_correlation": relational.metric_correlation,
         # dynamic partition-overwrite backfill: one partition replaced,
         # read-back rollup certifies the rest untouched
         "backfill_partition_overwrite": maintenance.backfill_partition_overwrite,
@@ -2003,6 +2009,7 @@ _LAST_GREEN_R2 = [
     "cluster_survivorship", "bleu1_retry_similarity",
     "stream_hourly_events", "scd2_user_history", "jsonl_corrupt_read",
     "classifier_kappa", "ab_experiment_report", "bandit_replay_eval",
+    "uncertainty_sample", "metric_correlation",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6833,5 +6840,45 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1 ELSE 0 END)
                     ELSE 0 END AS BIGINT) AS mean_reward_microcents
         FROM ev GROUP BY context
+    """
+    # Margin uncertainty: runner-up of three via greatest-of-leasts.
+    oracles["uncertainty_sample"] = f"""
+        WITH li AS ({oracles["lang_id"]})
+        SELECT doc_id,
+               CAST(greatest(score_en, score_de, score_fr) AS BIGINT)
+                 AS best,
+               CAST(greatest(least(score_en, score_de),
+                             least(score_en, score_fr),
+                             least(score_de, score_fr)) AS BIGINT)
+                 AS second,
+               CAST(greatest(score_en, score_de, score_fr)
+                    - greatest(least(score_en, score_de),
+                               least(score_en, score_fr),
+                               least(score_de, score_fr)) AS BIGINT)
+                 AS margin
+        FROM li ORDER BY margin, doc_id LIMIT {textops.UNCERTAIN_K}
+    """
+    # Pearson correlation from exact sufficient statistics.
+    oracles["metric_correlation"] = """
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS x,
+                 CAST(hour(ts) AS BIGINT) AS y
+          FROM events
+        ), a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM ev GROUP BY event_type
+        )
+        SELECT event_type, n, sx, sy, sxy,
+               CAST(round((n * sxy - sx * sy)
+                          / (sqrt(n * sxx - sx * sx)
+                             * sqrt(n * syy - sy * sy))
+                          * 1000000) AS BIGINT) AS corr_micro
+        FROM a
     """
     return oracles

@@ -993,3 +993,47 @@ def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("mean_reward_microcents"),
         )
     )
+
+
+def metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-sufficient-statistics Pearson correlation between two
+    event metrics (value in cents × hour of day) per event type — the
+    metric-relationship profile behind "does revenue correlate with
+    time of day", computed the engine-exact way: the five sums are
+    exact bigints, the only floats are two correctly-rounded sqrts and
+    one division (the ``wilson_source_ranking`` recipe), and the
+    result rounds once to micro-units.  Conversions bigint→double are
+    IEEE round-to-nearest in both engines, so the value hash-matches
+    even where the intermediate exceeds 2^53.
+
+    Scale shape: ONE map-side-combined aggregate to event-type
+    cardinality; nothing else moves.  (At extreme row counts the raw
+    sums outgrow int64 — swap the sum columns to DECIMAL(38,0), same
+    plan.)
+
+    Output: ``(event_type, n, corr_micro)`` plus the raw sums for
+    audit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    a = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    corr = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+        * F.lit(1_000_000)
+    ).cast("long")
+    return a.select(
+        "event_type", "n", "sx", "sy", "sxy", corr.alias("corr_micro")
+    )

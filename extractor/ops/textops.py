@@ -1946,3 +1946,44 @@ def classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n_docs * n_docs - pe_num)"
         ).cast("long").alias("kappa_ppm"),
     )
+
+
+UNCERTAIN_K = 20  # most-uncertain docs returned
+
+
+def uncertainty_sample(spark: SparkSession, sf_dir: str,
+                       k: int = UNCERTAIN_K) -> DataFrame:
+    """Margin-based uncertainty sampling — the active-learning loop's
+    acquisition step: the documents the classifier is LEAST sure about
+    (smallest gap between its best and second-best class scores) are
+    the ones worth human labels.  Runs over the word-marker language
+    classifier's per-class scores; for three classes the runner-up is
+    ``greatest(least(a,b), least(a,c), least(b,c))`` — a pure codegen
+    expression, no sort over classes.
+
+    Exact integers throughout (marker hit counts), so the selection is
+    engine-reproducible — the property a sampled-for-labeling batch
+    needs for audit.
+
+    Scale shape: the scores ride the classifier's one scan; selection
+    is TakeOrderedAndProject on (margin asc, doc_id) — never a global
+    sort.
+
+    Output: top-*k* ``(doc_id, best, second, margin)``."""
+    s = lang_id(spark, sf_dir)
+    best = F.greatest("score_en", "score_de", "score_fr")
+    second = F.greatest(
+        F.least("score_en", "score_de"),
+        F.least("score_en", "score_fr"),
+        F.least("score_de", "score_fr"),
+    )
+    return (
+        s.select(
+            "doc_id",
+            best.cast("long").alias("best"),
+            second.cast("long").alias("second"),
+            (best - second).cast("long").alias("margin"),
+        )
+        .orderBy("margin", "doc_id")
+        .limit(k)
+    )

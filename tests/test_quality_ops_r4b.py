@@ -562,3 +562,55 @@ def test_bandit_replay_hand_replay(spark):
             n, m, s,
         )
         assert r["match_ppm"] == m * 1_000_000 // n
+
+
+# ------------------------------------------------- uncertainty sample
+
+def test_uncertainty_margin_semantics(spark):
+    rows = textops.uncertainty_sample(spark, SF).collect()
+    assert 0 < len(rows) <= textops.UNCERTAIN_K
+    margins = [r["margin"] for r in rows]
+    assert margins == sorted(margins)
+    for r in rows:
+        assert r["margin"] == r["best"] - r["second"] >= 0
+    # the returned set really is the global minimum-margin set
+    all_scores = textops.lang_id(spark, SF).collect()
+    all_margins = sorted(
+        max(s["score_en"], s["score_de"], s["score_fr"])
+        - sorted([s["score_en"], s["score_de"], s["score_fr"]])[1]
+        for s in all_scores
+    )
+    assert margins[-1] <= all_margins[len(rows) - 1] or (
+        margins[-1] == all_margins[len(rows) - 1]
+    )
+
+
+# ------------------------------------------------ metric correlation
+
+def test_metric_correlation_exact_and_bounded(spark):
+    import math
+
+    rows = relational.metric_correlation(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type",
+        F.expr("CAST(round(value*100) AS BIGINT)").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    ).collect()
+    acc = {}
+    for e in ev:
+        n, sx, sy, sxy, sxx, syy = acc.get(e["event_type"], (0,) * 6)
+        acc[e["event_type"]] = (
+            n + 1, sx + e["x"], sy + e["y"], sxy + e["x"] * e["y"],
+            sxx + e["x"] * e["x"], syy + e["y"] * e["y"],
+        )
+    for r in rows:
+        n, sx, sy, sxy, sxx, syy = acc[r["event_type"]]
+        assert (r["n"], r["sx"], r["sy"], r["sxy"]) == (n, sx, sy, sxy)
+        want = round(
+            (n * sxy - sx * sy)
+            / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+            * 1_000_000
+        )
+        assert r["corr_micro"] == want
+        assert -1_000_000 <= r["corr_micro"] <= 1_000_000
