@@ -1820,6 +1820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # active-learning margin sampling over classifier scores
         # (TakeOrderedAndProject — never a global sort)
         "uncertainty_sample": textops.uncertainty_sample,
+        # greedy k-center coreset (diversity data pruning, Gonzalez/
+        # Sener-Savarese): k map-only scans, exact-int L2², unrolled
+        # round-by-round in the oracle
+        "kcenter_coreset": similarity.kcenter_coreset,
         # exact-sufficient-stats Pearson correlation per event type
         # (bigint sums, two correctly-rounded sqrts, one micro-round)
         "metric_correlation": relational.metric_correlation,
@@ -2009,7 +2013,7 @@ _LAST_GREEN_R2 = [
     "cluster_survivorship", "bleu1_retry_similarity",
     "stream_hourly_events", "scd2_user_history", "jsonl_corrupt_read",
     "classifier_kappa", "ab_experiment_report", "bandit_replay_eval",
-    "uncertainty_sample", "metric_correlation",
+    "uncertainty_sample", "metric_correlation", "kcenter_coreset",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6881,4 +6885,60 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000) AS BIGINT) AS corr_micro
         FROM a
     """
+    # Greedy k-center: rounds unrolled — d{r} = min(d{r-1}, L2² to the
+    # round-r pick), each pick the argmax of the previous d.
+    def _dw_l2(v: str, s: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, len({v}.qcodes) + 1),"
+            f" i -> CAST({v}.qcodes[CAST(i AS INTEGER)]"
+            f" - {s}.qcodes[CAST(i AS INTEGER)] AS BIGINT)"
+            f" * CAST({v}.qcodes[CAST(i AS INTEGER)]"
+            f" - {s}.qcodes[CAST(i AS INTEGER)] AS BIGINT))) AS BIGINT)"
+        )
+
+    _kc = [
+        """
+        WITH qv AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN list_max(list_transform(embedding,
+                                                   x -> abs(x))) > 0
+                      THEN CAST(127.0 AS DOUBLE)
+                           / list_max(list_transform(embedding,
+                                                     x -> abs(x)))
+                      ELSE CAST(0.0 AS DOUBLE) END AS scale
+          FROM embeddings
+        ), qc AS (
+          SELECT vec_id, list_transform(embedding,
+                   x -> CAST(round(x * scale) AS INTEGER)) AS qcodes
+          FROM qv
+        ), c0 AS (
+          SELECT vec_id, qcodes FROM qc WHERE vec_id = 0
+        ), d0 AS (
+          SELECT v.vec_id, """ + _dw_l2("v", "s") + """ AS d
+          FROM qc v, c0 s
+        )"""
+    ]
+    for _r in range(1, similarity.KC_K):
+        _kc.append(f""", s{_r} AS (
+          SELECT vec_id FROM d{_r - 1} ORDER BY d DESC, vec_id LIMIT 1
+        ), c{_r} AS (
+          SELECT qc.vec_id, qc.qcodes FROM qc JOIN s{_r} USING (vec_id)
+        )""")
+        if _r < similarity.KC_K - 1:
+            _kc.append(f""", d{_r} AS (
+          SELECT v.vec_id, least(p.d, {_dw_l2("v", "s")}) AS d
+          FROM qc v JOIN d{_r - 1} p ON p.vec_id = v.vec_id, c{_r} s
+        )""")
+    _kc.append(
+        """
+        SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS vec_id,
+               CAST(0 AS BIGINT) AS min_dist2"""
+        + "".join(
+            f"""
+        UNION ALL SELECT CAST({_r} AS BIGINT), s{_r}.vec_id, d{_r - 1}.d
+        FROM s{_r} JOIN d{_r - 1} USING (vec_id)"""
+            for _r in range(1, similarity.KC_K)
+        )
+    )
+    oracles["kcenter_coreset"] = "".join(_kc)
     return oracles

@@ -1217,3 +1217,71 @@ def hard_negative_mining(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+KC_K = 6  # coreset size (seed + 5 greedy picks)
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = KC_K) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the diversity
+    data-pruning strategy of Sener & Savarese 2018): repeatedly pick
+    the point FARTHEST from everything already chosen — the k points
+    that best cover the embedding space, the opposite selection
+    pressure from SemDeDup's redundancy prune.  The 2-approximation
+    guarantee of the greedy rule is what makes it the standard
+    coreset baseline.
+
+    Distances are exact-integer squared L2 over
+    :func:`embedding_quantize_int8` codes (bigint throughout), seeded
+    at vec_id 0, ties to the smaller vec_id — fully
+    engine-reproducible.
+
+    Scale shape: k−1 rounds, each ONE map-only scan of the unshuffled
+    corpus (the chosen codes ride as literals — dim×k ints, the
+    k-means broadcast contract) + a TakeOrderedAndProject argmax;
+    driver state is k code vectors.  At 10^9+ vectors swap in the
+    sample-then-select variant — the per-round plan is identical.
+
+    Output: ``(round, vec_id, min_dist2)`` — min_dist2 is the point's
+    distance to the previously-chosen set at selection time (0 for
+    the seed); the sequence is non-increasing after round 1 (greedy
+    invariant, pytest-pinned)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    codes = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * scale).cast("int")
+        ).alias("q_codes"),
+    ).persist()
+
+    def dist2_to(lit_codes):
+        arr = F.array(*[F.lit(int(v)) for v in lit_codes])
+        return F.aggregate(
+            F.zip_with(
+                "q_codes", arr, lambda a, b: ((a - b) * (a - b)).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = codes.where(F.col("vec_id") == 0).collect()[0]
+    sel = [(0, 0, 0)]
+    chosen_codes = [seed["q_codes"]]
+    for r in range(1, k):
+        mind = dist2_to(chosen_codes[0])
+        for c in chosen_codes[1:]:
+            mind = F.least(mind, dist2_to(c))
+        top = (
+            codes.select("vec_id", "q_codes", mind.alias("d"))
+            .orderBy(F.desc("d"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append((r, top["vec_id"], top["d"]))
+        chosen_codes.append(top["q_codes"])
+    codes.unpersist()
+    return spark.createDataFrame(
+        sel, "round long, vec_id long, min_dist2 long"
+    )

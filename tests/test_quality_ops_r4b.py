@@ -614,3 +614,50 @@ def test_metric_correlation_exact_and_bounded(spark):
         )
         assert r["corr_micro"] == want
         assert -1_000_000 <= r["corr_micro"] <= 1_000_000
+
+
+# --------------------------------------------------- k-center coreset
+
+def test_kcenter_greedy_invariants(spark):
+    rows = sorted(
+        similarity.kcenter_coreset(spark, SF).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(rows) == similarity.KC_K
+    assert rows[0]["vec_id"] == 0 and rows[0]["min_dist2"] == 0
+    picked = [r["vec_id"] for r in rows]
+    assert len(set(picked)) == len(picked), "a point chosen twice"
+    # farthest-first: selection distances never increase after round 1
+    dists = [r["min_dist2"] for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d > 0 for d in dists)
+
+
+def test_kcenter_first_pick_is_true_farthest(spark):
+    from pyspark.sql import functions as F
+
+    emb = similarity._emb(spark, SF).select("vec_id", "embedding")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    codes = {
+        r["vec_id"]: r["q"]
+        for r in emb.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x * scale).cast("int")
+            ).alias("q"),
+        ).collect()
+    }
+    seed = codes[0]
+    best = max(
+        codes,
+        key=lambda v: (
+            sum((a - b) ** 2 for a, b in zip(codes[v], seed)),
+            -v,
+        ),
+    )
+    rows = {r["round"]: r for r in similarity.kcenter_coreset(spark, SF).collect()}
+    assert rows[1]["vec_id"] == best
+    assert rows[1]["min_dist2"] == sum(
+        (a - b) ** 2 for a, b in zip(codes[best], seed)
+    )
