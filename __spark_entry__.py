@@ -1824,6 +1824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Sener-Savarese): k map-only scans, exact-int L2², unrolled
         # round-by-round in the oracle
         "kcenter_coreset": similarity.kcenter_coreset,
+        # per-epoch training order over the materialized mixture —
+        # epoch-salted permutation (each epoch shuffles differently)
+        "epoch_training_order": sampling.epoch_training_order,
         # exact-sufficient-stats Pearson correlation per event type
         # (bigint sums, two correctly-rounded sqrts, one micro-round)
         "metric_correlation": relational.metric_correlation,
@@ -2014,6 +2017,7 @@ _LAST_GREEN_R2 = [
     "stream_hourly_events", "scd2_user_history", "jsonl_corrupt_read",
     "classifier_kappa", "ab_experiment_report", "bandit_replay_eval",
     "uncertainty_sample", "metric_correlation", "kcenter_coreset",
+    "epoch_training_order",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6941,4 +6945,20 @@ def oracle_sql() -> dict[str, str]:
         )
     )
     oracles["kcenter_coreset"] = "".join(_kc)
+    # Per-epoch order: the mixture oracle as a CTE + epoch-salted keys.
+    _ekey = "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+    oracles["epoch_training_order"] = f"""
+        WITH mix AS ({oracles["mixture_epochs"]}),
+        keyed AS (
+          SELECT doc_id, epoch,
+                 md5('eorder:' || {_ekey}) AS order_key,
+                 {_dd_md5_bucket("eshard:", 16, _ekey)} AS shard
+          FROM mix
+        )
+        SELECT doc_id, epoch, CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY epoch, shard
+                 ORDER BY order_key, doc_id) AS BIGINT) AS position
+        FROM keyed
+    """
     return oracles

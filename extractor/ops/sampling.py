@@ -356,3 +356,66 @@ def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
     )
+
+
+def epoch_training_order(spark: SparkSession, sf_dir: str,
+                         n_shards: int = 16) -> DataFrame:
+    """Per-epoch training order over the MATERIALIZED fractional-epoch
+    mixture — the composition practitioners get wrong: each epoch must
+    see a DIFFERENT pseudo-random permutation (salting the order key
+    with the epoch), or every epoch replays the identical batch
+    sequence and the optimizer sees correlated noise.  Composes
+    :func:`mixture_epochs` (which copies docs per the ppm recipe) with
+    the :func:`training_order` shuffle, epoch in the salt.
+
+    Scale shape: the mixture stage is map-only; ordering is one shuffle
+    on (epoch, shard) and a per-shard window — identical cost profile
+    to ``training_order``, with the epoch axis widening the shard key
+    space (better parallelism, not worse).
+
+    Output: ``(doc_id, epoch, shard, position)`` — position dense from
+    1 within (epoch, shard)."""
+    epochs = mixture_epochs(spark, sf_dir).select("doc_id", "epoch")
+    okey = F.md5(
+        F.concat(
+            F.lit("eorder:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("eshard:"),
+                        F.col("epoch").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("order_key", "doc_id")
+    return (
+        epochs.select(
+            "doc_id",
+            "epoch",
+            shard.cast("int").alias("shard"),
+            okey.alias("order_key"),
+        )
+        .withColumn("position", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "epoch",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("position").cast("long").alias("position"),
+        )
+    )

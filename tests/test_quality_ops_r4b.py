@@ -661,3 +661,32 @@ def test_kcenter_first_pick_is_true_farthest(spark):
     assert rows[1]["min_dist2"] == sum(
         (a - b) ** 2 for a, b in zip(codes[best], seed)
     )
+
+
+# ---------------------------------------------- epoch training order
+
+def test_epoch_orders_differ_between_epochs(spark):
+    from extractor.ops import sampling
+
+    rows = sampling.epoch_training_order(spark, SF).collect()
+    assert rows
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert len(by_epoch) >= 2, "need multi-epoch docs to test salting"
+    # positions dense per (epoch, shard)
+    for eps in by_epoch.values():
+        per_shard = {}
+        for r in eps:
+            per_shard.setdefault(r["shard"], []).append(r["position"])
+        for ps in per_shard.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+    # epoch salting: docs present in BOTH epoch 0 and 1 must not keep
+    # the same global order — compare induced sequences
+    docs0 = {r["doc_id"]: (r["shard"], r["position"]) for r in by_epoch[0]}
+    docs1 = {r["doc_id"]: (r["shard"], r["position"]) for r in by_epoch.get(1, [])}
+    both = sorted(set(docs0) & set(docs1))
+    assert len(both) >= 10
+    seq0 = sorted(both, key=lambda d: docs0[d])
+    seq1 = sorted(both, key=lambda d: docs1[d])
+    assert seq0 != seq1, "epochs replayed the identical order"
