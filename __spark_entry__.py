@@ -1972,8 +1972,8 @@ _DRIVER_WINDOW = [
 
 # The tail's front: every entry that has NEVER had a driver
 # CORRECTNESS row (the round-4 window was already full when these
-# landed) leads this list, in landing order — 90 entries at end of
-# round 4 (through bandit_replay_eval).  Round 5's window takes the
+# landed) leads this list, in landing order — 95 entries at end of
+# round 4 (through epoch_training_order).  Round 5's window takes the
 # first 50 of them; the remainder plus any new landings lead round 6.
 # After them come the oldest-green entries (last green row r2), so
 # staleness cycles out on the same rotation.
@@ -6633,18 +6633,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(hour AS BIGINT) AS hour, n_users, n_rows
         FROM cells WHERE n_users < {relational.K_ANON_K}
     """
-    # pass@k: the telescoping-product expansion per declared k.
+    # pass@k: the telescoping-product expansion per declared k, in
+    # HUGEINT (the Spark side uses DECIMAL(38,0)) — the k=5 numerator
+    # × 10⁶ passes int64 once a task has ≳400 failing attempts.
     _pk_parts = []
     for _k in convops.PASS_AT_KS:
-        _num = "*".join(f"(n - c - {i})" for i in range(_k))
-        _den = "*".join(f"(n - {i})" for i in range(_k))
+        _num = "CAST((n - c) AS HUGEINT)" + "".join(
+            f" * (n - c - {i})" for i in range(1, _k)
+        )
+        _den = "CAST(n AS HUGEINT)" + "".join(
+            f" * (n - {i})" for i in range(1, _k)
+        )
         _pk_parts.append(f"""
         SELECT CAST(task_id AS BIGINT) AS task_id,
                CAST({_k} AS BIGINT) AS k,
                n AS n_attempts, c AS n_correct,
                CASE WHEN n - c < {_k} THEN CAST(1000000 AS BIGINT)
-                    ELSE CAST(1000000 - CAST({_num} AS BIGINT) * 1000000
-                              // CAST({_den} AS BIGINT) AS BIGINT)
+                    ELSE CAST(1000000 - ({_num}) * 1000000
+                              // ({_den}) AS BIGINT)
                END AS pass_ppm
         FROM a WHERE n >= {_k}""")
     oracles["pass_at_k"] = f"""

@@ -1259,10 +1259,12 @@ def pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis (``task = doc_id % 25``; an attempt passes iff the md5 draw
     "pass:doc_id" lands under 300/1000), so the whole computation is
     engine-exact: the binomial ratio is expanded to the telescoping
-    product ``Π_{i<k} (n−c−i)/(n−i)`` and evaluated as two BIGINT
-    products (k ≤ 5, n ≤ attempts-per-task — no overflow), final ppm
-    by integer division.  Tasks where ``n−c < k`` short-circuit to
-    pass@k = 1 exactly, as the estimator requires.
+    product ``Π_{i<k} (n−c−i)/(n−i)`` and evaluated in DECIMAL(38,0)
+    (the k=5 numerator × 10⁶ reaches ~n⁵·10⁶, past int64 once a task
+    has ≳400 failing attempts — decimal keeps it exact to n ≈ 10⁶ per
+    task; the oracle mirrors with HUGEINT), final ppm by integer
+    division.  Tasks where ``n−c < k`` short-circuit to pass@k = 1
+    exactly, as the estimator requires.
 
     Scale shape: ONE map-side-combined aggregate to task cardinality;
     the per-k expansion is a constant-width projection + explode of a
@@ -1307,11 +1309,16 @@ def pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         F.lit(1_000_000).cast("long")
                         - F.expr(
-                            "CAST("
-                            + "*".join(f"(n - c - {i})" for i in range(k))
-                            + f" AS BIGINT) * 1000000 DIV CAST("
-                            + "*".join(f"(n - {i})" for i in range(k))
-                            + " AS BIGINT)"
+                            # first factor cast to DECIMAL(38,0) so the
+                            # whole product evaluates in decimal — the
+                            # bigint path overflows at n-c > ~393
+                            "CAST(CAST((n - c) AS DECIMAL(38,0))"
+                            + "".join(
+                                f" * (n - c - {i})" for i in range(1, k)
+                            )
+                            + " * 1000000 DIV (CAST(n AS DECIMAL(38,0))"
+                            + "".join(f" * (n - {i})" for i in range(1, k))
+                            + ") AS BIGINT)"
                         )
                     ).cast("long")
                 )

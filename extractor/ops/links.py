@@ -532,13 +532,13 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4,
     nodes, swap the broadcasts for src/dst-bucketed semi-joins; the
     edge table still never moves."""
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    e = (
-        e0.union(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
+    e = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if materialize:
+        # plan-gate callers (materialize=False) get a pure lazy plan —
+        # nothing cached, nothing for them to release
+        e = e.persist()
     alive = (
         e.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
@@ -567,8 +567,8 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4,
     )
     if materialize:
         # materialize before releasing the edge cache (the default);
-        # materialize=False hands the LAZY plan back for plan gates —
-        # the caller then owns the persisted edge table's lifetime
+        # materialize=False never persisted anything, so the lazy plan
+        # it returns carries no cache to release
         out = out.localCheckpoint()
         e.unpersist()
     return out
@@ -874,8 +874,10 @@ def deepwalk_corpus(edges: DataFrame, walk_len: int = 4) -> DataFrame:
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out.select(
+    out = out.select(
         F.col("start").cast("long").alias("start"),
         F.col("step").cast("long").alias("step"),
         F.col("node").cast("long").alias("node"),
-    )
+    ).localCheckpoint()  # materialize before releasing the edge cache
+    e.unpersist()
+    return out

@@ -1074,6 +1074,24 @@ def matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _int8_codes(emb: DataFrame, *extra: str) -> DataFrame:
+    """``(vec_id, *extra, q_codes)`` with the
+    :func:`embedding_quantize_int8` transform applied as an int-array
+    column — the ONE definition of the int8 scoring codes shared by
+    the MaxSim / hard-negative / coreset ops (nine inline copies of
+    this snippet predated it; new ops must use the helper so a
+    quantization-rule change is a one-place edit)."""
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    return emb.select(
+        "vec_id",
+        *extra,
+        F.transform(
+            "embedding", lambda x: F.round(x * scale).cast("int")
+        ).alias("q_codes"),
+    )
+
+
 # --------------------------------------------------- ColBERT-style MaxSim
 
 CB_TOKS_PER_DOC = 10   # contiguous vec_id blocks form a pseudo-document
@@ -1116,15 +1134,10 @@ def colbert_maxsim_topk(
 
     Output: ``(doc_id, n_qtok, maxsim)`` — top-*top* by (maxsim desc,
     doc_id)."""
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
-    toks = emb.select(
+    toks = _int8_codes(_emb(spark, sf_dir)).select(
         F.expr(f"vec_id DIV {toks_per_doc}").alias("doc_id"),
         F.col("vec_id").alias("tok_id"),
-        F.transform(
-            "embedding", lambda x: F.round(x * scale).cast("int")
-        ).alias("q_codes"),
+        "q_codes",
     )
     qtoks = toks.where(F.col("doc_id") == query_doc).select(
         F.col("tok_id").alias("q_tok"), F.col("q_codes").alias("p_codes")
@@ -1180,16 +1193,7 @@ def hard_negative_mining(
     the broadcast hits candidates only; the mining plan is unchanged.
 
     Output: ``(query_id, vec_id, dot_q, rank)`` — k rows per anchor."""
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
-    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
-    codes = emb.select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding", lambda x: F.round(x * scale).cast("int")
-        ).alias("q_codes"),
-    )
+    codes = _int8_codes(_emb(spark, sf_dir), "label")
     anchors = codes.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
@@ -1246,15 +1250,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = KC_K) -> DataFram
     distance to the previously-chosen set at selection time (0 for
     the seed); the sequence is non-increasing after round 1 (greedy
     invariant, pytest-pinned)."""
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
-    codes = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x * scale).cast("int")
-        ).alias("q_codes"),
-    ).persist()
+    codes = _int8_codes(_emb(spark, sf_dir)).persist()
 
     def dist2_to(lit_codes):
         arr = F.array(*[F.lit(int(v)) for v in lit_codes])

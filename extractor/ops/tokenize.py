@@ -324,6 +324,7 @@ def unigram_lm_em(
             .agg(F.sum("n_uses").cast("long").alias("n_uses"))
             .collect()
         )  # bounded: ≤ vocab rows
+        blogp.destroy()  # usage is materialized; drop the round's model
         counts = {r["piece"]: r["n_uses"] for r in usage}
         # pieces that lost all mass drop out (single chars persist via
         # smoothing only while still in `counts`; keep them alive)

@@ -424,4 +424,10 @@ def stream_hourly_events(spark: SparkSession, sf_dir: str):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # the rollup is bounded (windows × event types); localize it and
+    # drop the memory-sink table so repeated calls don't accumulate
+    # orphaned in-memory tables for the session lifetime
+    rows = spark.table(name).collect()
+    schema = spark.table(name).schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
