@@ -1827,6 +1827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-epoch training order over the materialized mixture —
         # epoch-salted permutation (each epoch shuffles differently)
         "epoch_training_order": sampling.epoch_training_order,
+        # watermark-tuning audit: deterministic arrival replay, rows a
+        # W-second watermark would drop, per event type
+        "late_data_audit": temporal.late_data_audit,
         # exact-sufficient-stats Pearson correlation per event type
         # (bigint sums, two correctly-rounded sqrts, one micro-round)
         "metric_correlation": relational.metric_correlation,
@@ -2017,7 +2020,7 @@ _LAST_GREEN_R2 = [
     "stream_hourly_events", "scd2_user_history", "jsonl_corrupt_read",
     "classifier_kappa", "ab_experiment_report", "bandit_replay_eval",
     "uncertainty_sample", "metric_correlation", "kcenter_coreset",
-    "epoch_training_order",
+    "epoch_training_order", "late_data_audit",
     "s8_delete_rewrite", "s3_merge_upsert", "o1_ordered_concat",
     "f5_existence_gate", "set_op_retry_merge", "t14_lineage_stamp",
     "rollup_event_hierarchy", "decontaminate_ngram", "dedup_apply",
@@ -6966,5 +6969,35 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY epoch, shard
                  ORDER BY order_key, doc_id) AS BIGINT) AS position
         FROM keyed
+    """
+    # Late-data audit: identical arrival replay.  floor(epoch(ts)) —
+    # a bare BIGINT cast of epoch ROUNDS in DuckDB while Spark's
+    # timestamp→long truncates.
+    oracles["late_data_audit"] = f"""
+        WITH ev AS (
+          SELECT event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ets
+          FROM events
+        ), arr AS (
+          SELECT event_type, event_id, ets,
+                 ets + {_dd_md5_bucket("delay:", temporal.LATE_MAX_DELAY_S,
+                                       "event_id")} AS ats
+          FROM ev
+        ), flagged AS (
+          SELECT event_type, ets,
+                 coalesce(max(ets) OVER (
+                   PARTITION BY event_type ORDER BY ats, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   - ets AS lateness_s
+          FROM arr
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN lateness_s > {temporal.LATE_WATERMARK_S}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(sum(CASE WHEN lateness_s > {temporal.LATE_WATERMARK_S}
+                        THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                 AS late_ppm,
+               CAST(max(lateness_s) AS BIGINT) AS max_lateness_s
+        FROM flagged GROUP BY event_type
     """
     return oracles

@@ -442,3 +442,78 @@ def scd2_user_history(spark, sf_dir: str) -> DataFrame:
         F.lead("effective_from").over(w2).alias("effective_to"),
         F.lead("effective_from").over(w2).isNull().alias("is_current"),
     )
+
+
+LATE_WATERMARK_S = 3600   # audited watermark: 1 hour
+LATE_MAX_DELAY_S = 7200   # synthetic arrival skew: 0..2h
+
+
+def late_data_audit(spark, sf_dir: str,
+                    watermark_s: int = LATE_WATERMARK_S) -> DataFrame:
+    """Watermark-tuning audit — the batch replay every streaming team
+    runs before picking ``withWatermark``'s delay: with arrival order
+    reconstructed, how many rows would a W-second watermark DROP (rows
+    whose event time is more than W behind the max event time already
+    seen when they arrive)?  Too-small W silently loses late data;
+    too-large W holds state; this measures the actual tail.
+
+    Arrival times are synthesized deterministically (event ts + an
+    md5-keyed delay in [0, 2h) — the planted-payload pattern), so both
+    engines replay the identical arrival sequence.  The watermark here
+    is per event_type — the per-key approximation of Spark's global
+    watermark, which is what a per-source audit wants anyway.
+
+    Scale shape: ONE window (running max of event time in arrival
+    order, per event_type — streams through the sort, O(1) state) +
+    one rollup.  The arrival sort is the audit's inherent cost; a real
+    deployment reads arrival order from the ingest log's own order.
+
+    Output: ``(event_type, n_rows, n_late, late_ppm, max_lateness_s)``."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        # epoch seconds, floored — a direct BIGINT cast is illegal for
+        # TIMESTAMP_NTZ; integer µs DIV 1e6 floors exactly like the
+        # oracle's floor(epoch(ts)), no double ever touched
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 1000000"
+        ).cast("long").alias("ets"),
+    )
+    delay = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("delay:"), F.col("event_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % LATE_MAX_DELAY_S
+    )
+    arr = ev.withColumn("ats", F.col("ets") + delay)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ats", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = arr.select(
+        "event_type",
+        "ets",
+        (F.coalesce(F.max("ets").over(w), F.lit(0)) - F.col("ets")).alias(
+            "lateness_s"
+        ),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("lateness_s") > watermark_s).cast("long"))
+        .cast("long")
+        .alias("n_late"),
+        F.expr(
+            f"CAST(sum(CASE WHEN lateness_s > {watermark_s} THEN 1 ELSE 0"
+            " END) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("late_ppm"),
+        F.max("lateness_s").cast("long").alias("max_lateness_s"),
+    )

@@ -690,3 +690,42 @@ def test_epoch_orders_differ_between_epochs(spark):
     seq0 = sorted(both, key=lambda d: docs0[d])
     seq1 = sorted(both, key=lambda d: docs1[d])
     assert seq0 != seq1, "epochs replayed the identical order"
+
+
+# --------------------------------------------------- late-data audit
+
+def test_late_data_audit_replay(spark):
+    import hashlib
+
+    from extractor.ops import temporal as tp
+
+    rows = {r["event_type"]: r
+            for r in tp.late_data_audit(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 1000000")
+        .alias("ets"),
+    ).collect()
+    acc = {}
+    for e in ev:
+        d = int(
+            hashlib.md5(f"delay:{e['event_id']}".encode()).hexdigest()[:8],
+            16,
+        ) % tp.LATE_MAX_DELAY_S
+        acc.setdefault(e["event_type"], []).append(
+            (e["ets"] + d, e["event_id"], e["ets"])
+        )
+    for et, arrivals in acc.items():
+        arrivals.sort()
+        hi, n_late, max_late = None, 0, None
+        for _, _, ets in arrivals:
+            # exact mirror of the op: empty preceding window -> 0 - ets
+            lateness = (hi if hi is not None else 0) - ets
+            if lateness > tp.LATE_WATERMARK_S:
+                n_late += 1
+            max_late = lateness if max_late is None else max(max_late, lateness)
+            hi = ets if hi is None else max(hi, ets)
+        r = rows[et]
+        assert r["n_late"] == n_late, et
+        assert r["max_lateness_s"] == max_late, et
+        assert r["late_ppm"] == n_late * 1_000_000 // r["n_rows"]
