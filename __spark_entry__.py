@@ -6286,7 +6286,8 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
           SELECT doc_id, source,
                  500000 + 250000 *
-                   (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+                   (coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1)
+                                      AS BIGINT), 0)
                     % 8) AS eppm,
                  {_dd_md5_bucket("epoch:", 1000000)} AS draw
           FROM documents
@@ -6791,8 +6792,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_agree * 1000000 // n_docs AS BIGINT) AS po_ppm,
                CAST(pe_num * 1000000 // (n_docs * n_docs) AS BIGINT)
                  AS pe_ppm,
-               CAST((n_agree * n_docs - pe_num) * 1000000
-                    // (n_docs * n_docs - pe_num) AS BIGINT) AS kappa_ppm
+               CAST(CASE WHEN n_docs * n_docs = pe_num THEN 0
+                    ELSE (n_agree * n_docs - pe_num) * 1000000
+                         // (n_docs * n_docs - pe_num) END AS BIGINT)
+                 AS kappa_ppm
         FROM t, p
     """
     # A/B readout: same keyed assignment, same exact-integer algebra.

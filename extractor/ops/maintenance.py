@@ -22,8 +22,20 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+def _session_scratch(spark: SparkSession, name: str) -> str:
+    """Per-Spark-app scratch root: keyed on ``applicationId`` so two
+    concurrent driver/bench sessions on the same host can never overwrite
+    each other's fact/dim/landing dirs mid-read, while staying stable
+    within one session (overwrite re-runs remain idempotent)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{name}_{spark.sparkContext.applicationId}",
+    )
 
 
 def _content_fingerprint(df: DataFrame):
@@ -107,8 +119,6 @@ def compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir (the post-streaming-ingest state), compact to 4, and report the
     verified stats.  Deterministic: row count from the corpus, file counts
     pinned by round-robin repartition (events ≫ 16 rows at every SF)."""
-    import tempfile
-
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     work = tempfile.mkdtemp(prefix="compact-demo-")
     frag = os.path.join(work, "events")
@@ -131,7 +141,6 @@ def compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BUCKET_N = 16  # bucket count for the co-located join layout
-BUCKET_DIR = "/tmp/spark_graft_bucketed"  # external-table location
 
 
 def write_bucketed(
@@ -152,7 +161,7 @@ def write_bucketed(
         df.write.format("parquet")
         .bucketBy(n_buckets, key)
         .sortBy(key)
-        .option("path", f"{BUCKET_DIR}/{table}")
+        .option("path", f"{_session_scratch(spark, 'bucketed')}/{table}")
         .mode("overwrite")
         .saveAsTable(table)
     )
@@ -557,11 +566,8 @@ def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionAll(outs[1])
 
 
-SCHEMA_EVO_DIR = "/tmp/spark_graft_schema_evo"
-
-
 def schema_evolution_read(spark: SparkSession, sf_dir: str,
-                          base_dir: str = SCHEMA_EVO_DIR) -> DataFrame:
+                          base_dir: str | None = None) -> DataFrame:
     """Schema-evolution roundtrip — the lakehouse ADD COLUMN story on
     plain parquet: snapshot 1 is written with the ORIGINAL schema
     ``(doc_id, text_len)``, snapshot 2 with the EVOLVED schema adding
@@ -583,6 +589,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str,
 
     Output: ``(lang, n_docs, sum_len)`` with lang NULL for pre-evolution
     rows."""
+    base_dir = base_dir or _session_scratch(spark, "schema_evo")
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(
@@ -606,11 +613,8 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str,
     )
 
 
-BACKFILL_DIR = "/tmp/spark_graft_backfill"
-
-
 def backfill_partition_overwrite(spark: SparkSession, sf_dir: str,
-                                 base_dir: str = BACKFILL_DIR) -> DataFrame:
+                                 base_dir: str | None = None) -> DataFrame:
     """Idempotent partition backfill — the everyday lakehouse repair
     job: a table partitioned by ``event_type`` is fully written once,
     then ONE partition ('click') is reprocessed and rewritten with
@@ -631,6 +635,7 @@ def backfill_partition_overwrite(spark: SparkSession, sf_dir: str,
     backfill cost tracks the reprocessed partitions, never the table.
 
     Output: ``(event_type, n_rows, sum_value_cents)``."""
+    base_dir = base_dir or _session_scratch(spark, "backfill")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id",
         "event_type",
@@ -751,11 +756,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DPP_DIR = "/tmp/spark_graft_dpp"
-
-
 def dpp_partition_prune(spark: SparkSession, sf_dir: str,
-                        base_dir: str = DPP_DIR) -> DataFrame:
+                        base_dir: str | None = None) -> DataFrame:
     """Dynamic partition pruning end to end — THE join optimization for
     partitioned 100 TB fact tables: the fact side is written
     partitioned by day, the dim side (a tiny campaign calendar) is
@@ -775,6 +777,7 @@ def dpp_partition_prune(spark: SparkSession, sf_dir: str,
 
     Output: ``(event_type, n_rows, sum_value_cents)`` over campaign
     days only."""
+    base_dir = base_dir or _session_scratch(spark, "dpp")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id",
         "event_type",
@@ -807,12 +810,11 @@ def dpp_partition_prune(spark: SparkSession, sf_dir: str,
     )
 
 
-JSONL_DIR = "/tmp/spark_graft_jsonl"
 CORRUPT_MOD = 23  # doc_id % mod == 0 lines are truncated (invalid JSON)
 
 
 def jsonl_corrupt_read(spark: SparkSession, sf_dir: str,
-                       base_dir: str = JSONL_DIR) -> DataFrame:
+                       base_dir: str | None = None) -> DataFrame:
     """Malformed-record containment at ingest — the PERMISSIVE-mode
     contract every JSONL landing zone relies on: corrupt lines must
     land in ``_corrupt_record`` (whole line preserved for quarantine
@@ -830,6 +832,7 @@ def jsonl_corrupt_read(spark: SparkSession, sf_dir: str,
 
     Output: ``(category, n_rows)`` where category is the parsed lang
     or '_corrupt'."""
+    base_dir = base_dir or _session_scratch(spark, "jsonl")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", "n_chars"
     )

@@ -328,7 +328,15 @@ def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: ``(doc_id, source, epoch)`` — epoch 0..floor(e) per doc."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
-    num = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long")
+    # try_cast + coalesce: a source with no trailing digits extracts ''
+    # which must mean repeat-factor bucket 0, not a silent null-eppm drop
+    # (the oracle uses the same TRY_CAST so both engines agree)
+    num = F.coalesce(
+        F.expr(
+            "try_cast(regexp_extract(source, '([0-9]+)$', 1) AS bigint)"
+        ),
+        F.lit(0),
+    )
     d = (
         docs.withColumn(
             "eppm", F.lit(500000) + F.lit(250000) * (num % 8)

@@ -1941,9 +1941,13 @@ def classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("pe_num * 1000000 DIV (n_docs * n_docs)").cast("long").alias(
             "pe_ppm"
         ),
+        # kappa is 0/0-undefined when chance agreement is total
+        # (pe_num == n_docs²); pin it to 0 on BOTH engines — Spark DIV
+        # would return NULL here while DuckDB // raises div-by-zero
         F.expr(
-            "(n_agree * n_docs - pe_num) * 1000000"
-            " DIV (n_docs * n_docs - pe_num)"
+            "CASE WHEN n_docs * n_docs = pe_num THEN 0"
+            " ELSE (n_agree * n_docs - pe_num) * 1000000"
+            " DIV (n_docs * n_docs - pe_num) END"
         ).cast("long").alias("kappa_ppm"),
     )
 
