@@ -62,8 +62,9 @@ def decode_layout(payload) -> dict:
     real-world encoding) decode for real via the stdlib content-stream
     parser — each show-text line becomes a positioned block at the
     writer's geometry, so the XY-cut linearizer downstream operates on
-    genuine PDF bytes.  Only non-Flate filters (DCT/LZW/CCITT images,
-    filter chains, predictors) remain a codec stub
+    genuine PDF bytes.  Flate/LZW/ASCIIHex streams (chains included) and
+    TIFF/PNG predictors decode for real; only lossy image codecs
+    (DCT/JPX/CCITT/JBIG2) remain a codec stub
     (``NotImplementedError`` → contained error row)."""
     if payload is None:
         raise ValueError("null payload")

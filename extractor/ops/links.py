@@ -183,9 +183,11 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     dst-keyed partial-aggregated contribution sum plus the node-sized
     rebase join that re-adds the teleport base.  At 10^8+
     nodes swap the broadcast for a src-bucketed sort-merge join; the
-    edge-side-never-moves property survives either way.  ``iterations``
-    chained plans grow linearly — for large k, checkpoint ranks every few
-    rounds to cut lineage."""
+    edge-side-never-moves property survives either way.  Each round's
+    rank vector is ``localCheckpoint``-ed (node-cardinality rows, cheap)
+    so downstream actions replay one materialized vector instead of
+    re-deriving the whole k-round lineage — the same cut
+    :func:`hits`/:func:`bfs_hop_distance`/``_cc_two_phase`` apply."""
     e = edges.select("src", "dst").persist()
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     weighted = e.join(F.broadcast(out), "src").select(
@@ -222,6 +224,7 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                 .cast("long")
                 .alias("rank"),
             )
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -346,10 +349,10 @@ def bfs_hop_distance(edges: DataFrame, seeds: DataFrame,
         )
         new = reached.join(dist, "node", "left_anti").select(
             "node", F.lit(k).cast("long").alias("hops")
-        ).localCheckpoint()
+        ).localCheckpoint()  # eager: the isEmpty probe reads it next
         if new.rdd.isEmpty():
             break
-        dist = dist.unionAll(new).localCheckpoint()
+        dist = dist.unionAll(new).localCheckpoint(eager=False)
         frontier = new.select("node")
     e.unpersist()
     return dist
@@ -481,12 +484,12 @@ def hits(edges: DataFrame, iterations: int = 3,
                 F.coalesce("s", F.lit(0)).cast("long").alias("raw"),
             )
         )
-        auth = auth.localCheckpoint()
+        auth = auth.localCheckpoint(eager=False)
         amax = auth.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
         auth = auth.crossJoin(F.broadcast(amax)).select(
             "node",
             F.expr(f"raw * {scale} DIV m").cast("long").alias("auth"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         h_raw = (
             e.join(F.broadcast(auth), e["dst"] == auth["node"])
             .groupBy("src")
@@ -499,15 +502,18 @@ def hits(edges: DataFrame, iterations: int = 3,
                 F.coalesce("s", F.lit(0)).cast("long").alias("raw"),
             )
         )
-        hub = hub.localCheckpoint()
+        hub = hub.localCheckpoint(eager=False)
         hmax = hub.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
         hub = hub.crossJoin(F.broadcast(hmax)).select(
             "node",
             F.expr(f"raw * {scale} DIV m").cast("long").alias("hub"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+    # one EAGER materialization at the end (cascades through the lazy
+    # per-round checkpoints in a single job tree) before the caches drop
+    out = auth.join(hub, "node").select("node", "auth", "hub").localCheckpoint()
     e.unpersist()
     nodes.unpersist()
-    return auth.join(hub, "node").select("node", "auth", "hub")
+    return out
 
 
 def kcore(edges: DataFrame, k: int = 3, rounds: int = 4,
@@ -560,7 +566,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4,
             _induced_degree(alive)
             .where(F.col("deg") >= k)
             .select(F.col("src").alias("node"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     out = _induced_degree(alive).select(
         F.col("src").cast("long").alias("node"), "deg"
@@ -630,10 +636,13 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .select(
                 "node", (-F.col("m.neg")).cast("long").alias("label")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+    out = labels.select(
+        F.col("node").cast("long").alias("node"), "label"
+    ).localCheckpoint()  # eager: materialize before releasing the edge cache
     e.unpersist()
-    return labels.select(F.col("node").cast("long").alias("node"), "label")
+    return out
 
 
 def jaccard_linkpred(

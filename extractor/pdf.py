@@ -19,9 +19,15 @@ Decoder scope (``pdf_to_text``): uncompressed AND ``/FlateDecode`` content
 streams (stdlib ``zlib``), literal strings with full PDF escape semantics
 (octal, ``\\n``-family, line continuations, balanced parens), hex strings,
 and the ``Tj`` / ``'`` / ``"`` / ``TJ`` show-text operators — i.e. the text
-layer of the overwhelming majority of real-world PDFs.  Still out of scope
-(raise ``NotImplementedError``): non-Flate filters (DCT/JPX images, LZW,
-CCITT), filter *chains*, and predictor-coded streams.
+layer of the overwhelming majority of real-world PDFs.  Filters:
+``FlateDecode`` (stdlib zlib), ``LZWDecode`` (own TIFF-convention codec:
+MSB-first variable-width 9→12-bit codes, 256=Clear/257=EOD, EarlyChange
+honored), ``ASCIIHexDecode``, chains thereof, and ``/Predictor`` post-steps
+(TIFF 2 horizontal differencing; PNG 10-15 per-row None/Sub/Up/Average/
+Paeth with ``/Columns``/``/Colors``/``/BitsPerComponent``, 8-bit
+components).  Still out of scope (raise ``NotImplementedError``): lossy /
+image codecs (DCT/JPX/CCITT/JBIG2), crypt filters, and sub-8-bit predictor
+components.
 """
 from __future__ import annotations
 
@@ -60,6 +66,206 @@ def n_pages(text: str) -> int:
     return max(1, math.ceil(n_lines(text) / LINES_PER_PAGE))
 
 
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF/TIFF LZWDecode-compatible encoder (PDF 1.7 §7.4.4, public
+    spec): MSB-first bit packing, variable code width 9→12 bits, code 256
+    = ClearTable, 257 = EOD.  With ``early_change=1`` (the PDF default)
+    the code width bumps one code EARLY — when the next code to be
+    assigned is 511/1023/2047 — matching what compliant readers expect.
+    Table resets via ClearTable at 4096.  Deterministic."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # leading ClearTable per convention
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # width bump: EarlyChange fires when next_code + early hits 2^width
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096 - early_change:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """Inverse of :func:`lzw_encode` — the PDF ``LZWDecode`` filter.
+    Accepts any spec-compliant stream (not just our encoder's output):
+    handles mid-stream ClearTable, the KwKwK case, and EarlyChange 0/1."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 257:  # EOD
+                return bytes(out)
+            if code == 256:  # ClearTable
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt LZW stream: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream: code out of range")
+            out += entry
+            prev = entry
+            # decoder table lags the encoder's by one entry, so its bump
+            # threshold is one lower (enc: next_code+early-1 >= 2^w)
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def png_predict_encode(
+    data: bytes, columns: int, colors: int = 1, bpc: int = 8,
+    filter_type: int = 2,
+) -> bytes:
+    """Apply ONE PNG row filter (default 2 = Up, deterministic) to *data*
+    laid out as rows of ``columns`` samples — the encode side of PDF
+    ``/Predictor 10-15`` streams (PNG spec §6, public).  A short final
+    row is filtered as-is (both sides of this module agree on that
+    framing).  8-bit components only."""
+    if bpc != 8:
+        raise NotImplementedError("png predictor: only 8-bit components")
+    bpp = colors  # bytes per pixel at bpc=8
+    rowlen = columns * colors
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r0 in range(0, len(data), rowlen):
+        row = data[r0 : r0 + rowlen]
+        out.append(filter_type)
+        for i, x in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i] if i < len(prev) else 0
+            c = prev[i - bpp] if i >= bpp and i - bpp < len(prev) else 0
+            if filter_type == 0:
+                f = x
+            elif filter_type == 1:
+                f = (x - a) & 0xFF
+            elif filter_type == 2:
+                f = (x - b) & 0xFF
+            elif filter_type == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            elif filter_type == 4:
+                f = (x - _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError("bad PNG filter type %d" % filter_type)
+            out.append(f)
+        prev = row
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_predict_decode(
+    data: bytes, columns: int, colors: int = 1, bpc: int = 8
+) -> bytes:
+    """Undo PNG per-row filters (types 0-4, tag byte leading each row) —
+    the decode side of PDF ``/Predictor >= 10``.  Handles a short final
+    row.  8-bit components only."""
+    if bpc != 8:
+        raise NotImplementedError("png predictor: only 8-bit components")
+    bpp = colors
+    rowlen = columns * colors
+    out = bytearray()
+    prev = bytes(rowlen)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ftype = data[pos]
+        pos += 1
+        raw = data[pos : pos + rowlen]
+        pos += len(raw)
+        row = bytearray(len(raw))
+        for i, f in enumerate(raw):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i] if i < len(prev) else 0
+            c = prev[i - bpp] if i >= bpp and i - bpp < len(prev) else 0
+            if ftype == 0:
+                x = f
+            elif ftype == 1:
+                x = (f + a) & 0xFF
+            elif ftype == 2:
+                x = (f + b) & 0xFF
+            elif ftype == 3:
+                x = (f + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                x = (f + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError("bad PNG filter tag %d" % ftype)
+            row[i] = x
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def tiff_predict_decode(data: bytes, columns: int, colors: int = 1,
+                        bpc: int = 8) -> bytes:
+    """Undo TIFF ``/Predictor 2`` horizontal differencing (8-bit)."""
+    if bpc != 8:
+        raise NotImplementedError("tiff predictor: only 8-bit components")
+    bpp = colors
+    rowlen = columns * colors
+    out = bytearray(data)
+    for r0 in range(0, len(out), rowlen):
+        end = min(r0 + rowlen, len(out))
+        for i in range(r0 + bpp, end):
+            out[i] = (out[i] + out[i - bpp]) & 0xFF
+    return bytes(out)
+
+
 def _pdf_escape(line: str) -> bytes:
     """PDF literal-string escaping; non-Latin-1 chars degrade to '?'
     (Helvetica/WinAnsi has no wider repertoire — documented scope)."""
@@ -67,13 +273,24 @@ def _pdf_escape(line: str) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def text_to_pdf_bytes(text: str, compress: bool = False) -> bytes:
+PRED_COLUMNS = 64  # /Columns for the predictor-coded write mode
+
+
+def text_to_pdf_bytes(
+    text: str, compress: bool = False, stream_filter: str | None = None
+) -> bytes:
     """Render *text* to a complete, valid, deterministic PDF 1.4 file.
 
     ``compress=True`` Flate-compresses each page content stream
     (``/Filter /FlateDecode``, fixed zlib level → still deterministic);
     the default stays uncompressed so the s9 oracle's byte-length math
-    remains SQL-expressible."""
+    remains SQL-expressible.  ``stream_filter`` selects the encoding
+    explicitly: ``"flate"``, ``"lzw"`` (``/Filter /LZWDecode``, own
+    codec), or ``"lzw-png"`` (LZW over a PNG Up-predictor pre-pass,
+    ``/DecodeParms << /Predictor 12 /Columns 64 >>`` — the layout real
+    xref-stream-era PDFs use).  All modes byte-deterministic."""
+    if compress and stream_filter is None:
+        stream_filter = "flate"
     lines = wrap_lines(text)
     pages = [
         lines[i : i + LINES_PER_PAGE]
@@ -108,16 +325,31 @@ def text_to_pdf_bytes(text: str, compress: bool = False) -> bytes:
         for j, line in enumerate(page):
             body += b"(" + _pdf_escape(line) + b") Tj T*\n"
         body += b"ET"
-        if compress:
+        if stream_filter == "flate":
             body = zlib.compress(body, 6)
             objects.append(
                 b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
                 % (len(body), body)
             )
-        else:
+        elif stream_filter == "lzw":
+            body = lzw_encode(body)
+            objects.append(
+                b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream"
+                % (len(body), body)
+            )
+        elif stream_filter == "lzw-png":
+            body = lzw_encode(png_predict_encode(body, PRED_COLUMNS))
+            objects.append(
+                b"<< /Length %d /Filter /LZWDecode /DecodeParms "
+                b"<< /Predictor 12 /Columns %d >> >>\nstream\n%s\nendstream"
+                % (len(body), PRED_COLUMNS, body)
+            )
+        elif stream_filter is None:
             objects.append(
                 b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body)
             )
+        else:
+            raise ValueError("unknown stream_filter %r" % stream_filter)
 
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]  # object 0 is the free head
@@ -251,10 +483,14 @@ def _content_lines(body: bytes) -> list[str]:
 
 
 def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
-    """Apply the stream dict's filter to the raw body.  Flate inflates via
-    stdlib zlib; no filter passes through; anything else (LZW, DCT, CCITT,
-    filter chains, predictor-coded data) raises ``NotImplementedError`` —
-    the remaining honest codec boundary."""
+    """Apply the stream dict's filter(s) to the raw body, in order.
+    Supported: ``FlateDecode`` (stdlib zlib), ``LZWDecode`` (own codec,
+    :func:`lzw_decode`), ``ASCIIHexDecode``, and chains thereof; a
+    ``/Predictor`` in ``/DecodeParms`` (TIFF 2 or PNG 10-15, 8-bit
+    components, ``/Columns``/``/Colors``/``/EarlyChange`` honored) is
+    undone after its compression filter.  Lossy/image codecs (DCT, JPX,
+    CCITT, JBIG2) raise ``NotImplementedError`` — the remaining honest
+    codec boundary."""
     filters = re.findall(rb"/Filter\s*(?:\[\s*((?:/\w+\s*)+)\]|/(\w+))", dict_bytes)
     names: list[bytes] = []
     for arr, single in filters:
@@ -264,21 +500,48 @@ def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
             names.extend(re.findall(rb"/(\w+)", arr))
     if not names:
         return body
-    if names != [b"FlateDecode"]:
+    supported = {b"FlateDecode", b"LZWDecode", b"ASCIIHexDecode"}
+    bad = [x for x in names if x not in supported]
+    if bad:
         raise NotImplementedError(
-            "unsupported PDF stream filter(s) %s (only FlateDecode and "
+            "unsupported PDF stream filter(s) %s (Flate/LZW/ASCIIHex and "
             "uncompressed streams decode in this environment)"
-            % [x.decode() for x in names]
+            % [x.decode() for x in bad]
         )
-    m = re.search(rb"/Predictor\s+(\d+)", dict_bytes)
-    if m and int(m.group(1)) > 1:
-        raise NotImplementedError(
-            "predictor-coded Flate streams are not supported"
-        )
-    try:
-        return zlib.decompress(body)
-    except zlib.error as exc:
-        raise ValueError("corrupt FlateDecode stream: %s" % exc) from exc
+
+    def _parm(name: bytes, default: int) -> int:
+        m = re.search(rb"/" + name + rb"\s+(\d+)", dict_bytes)
+        return int(m.group(1)) if m else default
+
+    predictor = _parm(b"Predictor", 1)
+    columns = _parm(b"Columns", 1)
+    colors = _parm(b"Colors", 1)
+    bpc = _parm(b"BitsPerComponent", 8)
+    early = _parm(b"EarlyChange", 1)
+    for name in names:
+        if name == b"ASCIIHexDecode":
+            hx = re.sub(rb"[\s>]", b"", body)
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                body = bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError) as exc:
+                raise ValueError("corrupt ASCIIHex stream: %s" % exc) from exc
+            continue
+        if name == b"FlateDecode":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error as exc:
+                raise ValueError(
+                    "corrupt FlateDecode stream: %s" % exc
+                ) from exc
+        else:  # LZWDecode
+            body = lzw_decode(body, early_change=early)
+        if predictor >= 10:
+            body = png_predict_decode(body, columns, colors, bpc)
+        elif predictor == 2:
+            body = tiff_predict_decode(body, columns, colors, bpc)
+    return body
 
 
 def _iter_streams(payload: bytes):

@@ -8,9 +8,17 @@ driver applies (tests/driver_sim.py).
     python scripts/oracle_sweep.py --start 100     # resume a slice
     python scripts/oracle_sweep.py --names dedup_exact q1_pricing_summary
     python scripts/oracle_sweep.py --sf-dir /root/testdata/sf0.001
+    python scripts/oracle_sweep.py --budget 5      # flag slow entries
 
-Exit code 0 iff every checked entry passes (rows-only entries count as
-pass when they execute and return a row count).
+The sweep is the repo's de-facto regression harness for the full
+contract: any entry exceeding ``--budget`` seconds (default 5) is
+tagged ``SLOW`` inline and re-listed in a summary, so plan-time
+blowups (lineage re-derivation in iterative ops, a lost broadcast)
+surface automatically as the contract ages.  Exit code 0 iff every
+checked entry passes (rows-only entries count as pass when they
+execute and return a row count); SLOW alone does not fail the sweep
+(toy-scale wall-time is advisory — correctness gates are the pytest
+plan-lint suite).
 """
 
 from __future__ import annotations
@@ -30,6 +38,13 @@ def main() -> int:
     parser.add_argument("--start", type=int, default=0)
     parser.add_argument("--stop", type=int, default=None)
     parser.add_argument("--names", nargs="*", default=None)
+    parser.add_argument(
+        "--budget",
+        type=float,
+        default=5.0,
+        help="per-entry wall-time budget in seconds; slower entries are "
+        "tagged SLOW and re-listed in the summary (advisory, not a fail)",
+    )
     args = parser.parse_args()
 
     sys.path.insert(0, REPO)
@@ -62,6 +77,7 @@ def main() -> int:
 
     t0 = time.time()
     fails = []
+    slow = []
     for i, (name, fn) in enumerate(items):
         t = time.time()
         try:
@@ -74,15 +90,24 @@ def main() -> int:
                 ok, msg = True, f"rows-only n={n}"
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             ok, msg = False, f"EXC {type(ex).__name__}: {ex}"
+        dt = time.time() - t
+        if ok and dt > args.budget:
+            slow.append((name, dt))
         tag = "OK " if ok else "FAIL"
+        over = " SLOW" if ok and dt > args.budget else ""
         print(
-            f"{args.start + i:3d} {tag} {name:32s} {time.time() - t:6.1f}s"
+            f"{args.start + i:3d} {tag} {name:32s} {dt:6.1f}s{over}"
             f" {'' if ok else msg[:300]}",
             flush=True,
         )
         if not ok:
             fails.append((name, msg))
-    print(f"TOTAL {time.time() - t0:.0f}s fails={len(fails)}")
+    print(
+        f"TOTAL {time.time() - t0:.0f}s fails={len(fails)} "
+        f"slow(>{args.budget:g}s)={len(slow)}"
+    )
+    for name, dt in slow:
+        print(f"SLOW {name}: {dt:.1f}s over {args.budget:g}s budget")
     for name, msg in fails:
         print(f"FAIL {name}: {msg[:500]}")
     return 1 if fails else 0

@@ -91,39 +91,124 @@ def test_pdf_to_text_roundtrip_exact():
         assert len(pages) == n_pages(t)
 
 
-def test_pdf_to_text_rejects_non_flate_filters():
+def _one_stream_pdf(dict_extra: bytes, body: bytes) -> bytes:
+    return (
+        b"%%PDF-1.5\n1 0 obj\n<< /Length %d %s >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(body), dict_extra, body)
+    )
+
+
+def test_pdf_to_text_rejects_unsupported_filters():
     import pytest
 
     from extractor.pdf import pdf_to_text
 
-    def one_stream_pdf(dict_extra: bytes, body: bytes) -> bytes:
-        return (
-            b"%%PDF-1.5\n1 0 obj\n<< /Length %d %s >>\nstream\n%s\nendstream\nendobj\n"
-            % (len(body), dict_extra, body)
-        )
-
-    with pytest.raises(NotImplementedError, match="LZWDecode"):
-        pdf_to_text(one_stream_pdf(b"/Filter /LZWDecode", b"BT x ET"))
-    # filter CHAIN ending in Flate is still out of scope
+    # lossy/image codecs stay out of scope
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        pdf_to_text(_one_stream_pdf(b"/Filter /DCTDecode", b"BT x ET"))
     with pytest.raises(NotImplementedError, match="ASCII85"):
         pdf_to_text(
-            one_stream_pdf(b"/Filter [/ASCII85Decode /FlateDecode]", b"BT ET")
-        )
-    # predictor-coded flate
-    import zlib
-
-    with pytest.raises(NotImplementedError, match="predictor"):
-        pdf_to_text(
-            one_stream_pdf(
-                b"/Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
-                zlib.compress(b"BT (x) Tj ET"),
-            )
+            _one_stream_pdf(b"/Filter [/ASCII85Decode /FlateDecode]", b"BT ET")
         )
     with pytest.raises(ValueError):
         pdf_to_text(b"not a pdf")
     # corrupt flate data is a ValueError, not a crash
     with pytest.raises(ValueError, match="corrupt"):
-        pdf_to_text(one_stream_pdf(b"/Filter /FlateDecode", b"BT not-zlib ET"))
+        pdf_to_text(_one_stream_pdf(b"/Filter /FlateDecode", b"BT not-zlib ET"))
+
+
+def test_lzw_matches_pdf_spec_vector():
+    """PDF 1.7 §7.4.4.2 publishes a worked LZW example — our codec must
+    match it byte-for-byte both directions (EarlyChange=1 default)."""
+    from extractor.pdf import lzw_decode, lzw_encode
+
+    data = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    spec = bytes.fromhex("800B6050220C0C8501")
+    assert lzw_encode(data) == spec
+    assert lzw_decode(spec) == data
+
+
+def test_lzw_roundtrip_width_growth_and_reset():
+    import random
+
+    from extractor.pdf import lzw_decode, lzw_encode
+
+    rnd = random.Random(7)
+    cases = [
+        b"",
+        b"A",
+        b"AAAA" * 2000,
+        bytes(rnd.randrange(256) for _ in range(20000)),
+        b"the quick brown fox " * 3000,
+        bytes(rnd.randrange(4) for _ in range(60000)),  # forces table resets
+    ]
+    for c in cases:
+        assert lzw_decode(lzw_encode(c)) == c
+        assert lzw_decode(lzw_encode(c, 0), early_change=0) == c
+
+
+def test_png_predictor_roundtrip_all_filters():
+    import random
+
+    from extractor.pdf import png_predict_decode, png_predict_encode
+
+    rnd = random.Random(11)
+    payload = bytes(rnd.randrange(256) for _ in range(1000))
+    for ft in range(5):
+        for cols, colors in [(16, 1), (7, 3), (90, 1)]:
+            enc = png_predict_encode(payload, cols, colors, filter_type=ft)
+            assert png_predict_decode(enc, cols, colors) == payload
+
+
+def test_predictor_and_lzw_filter_streams_decode():
+    """A stream dict carrying /LZWDecode (+ PNG predictor DecodeParms,
+    + EarlyChange 0, + /Predictor 2 TIFF) decodes through pdf_to_text."""
+    import zlib
+
+    from extractor.pdf import lzw_encode, pdf_to_text, png_predict_encode
+
+    body = b"BT (lzw line) Tj ET"
+    pdf = _one_stream_pdf(b"/Filter /LZWDecode", lzw_encode(body))
+    assert pdf_to_text(pdf) == [["lzw line"]]
+    pdf = _one_stream_pdf(
+        b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+        lzw_encode(body, early_change=0),
+    )
+    assert pdf_to_text(pdf) == [["lzw line"]]
+    # flate + PNG Up predictor
+    pdf = _one_stream_pdf(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 8 >>",
+        zlib.compress(png_predict_encode(body, 8)),
+    )
+    assert pdf_to_text(pdf) == [["lzw line"]]
+    # TIFF predictor 2 (horizontal differencing, colors=1: per-row delta)
+    row = bytearray(body)
+    for i in range(len(row) - 1, 0, -1):  # single logical row: Columns big
+        row[i] = (row[i] - row[i - 1]) & 0xFF
+    pdf = _one_stream_pdf(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns 4096 >>",
+        zlib.compress(bytes(row)),
+    )
+    assert pdf_to_text(pdf) == [["lzw line"]]
+    # ASCIIHex, and an AHx -> LZW chain
+    pdf = _one_stream_pdf(b"/Filter /ASCIIHexDecode", body.hex().encode() + b">")
+    assert pdf_to_text(pdf) == [["lzw line"]]
+    pdf = _one_stream_pdf(
+        b"/Filter [/ASCIIHexDecode /LZWDecode]", lzw_encode(body).hex().encode()
+    )
+    assert pdf_to_text(pdf) == [["lzw line"]]
+
+
+def test_lzw_write_modes_roundtrip():
+    from extractor.pdf import is_valid_pdf, pdf_to_text
+
+    t = "\n".join("line %d (%s) \\" % (i, "a" * (i % 120)) for i in range(300))
+    base = pdf_to_text(text_to_pdf_bytes(t))
+    for mode in ("lzw", "lzw-png"):
+        b = text_to_pdf_bytes(t, stream_filter=mode)
+        assert is_valid_pdf(b)
+        assert b == text_to_pdf_bytes(t, stream_filter=mode)  # deterministic
+        assert pdf_to_text(b) == base
 
 
 def test_flate_roundtrip_exact():
