@@ -11,6 +11,8 @@ aggregation, AQE-friendly shapes).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -40,13 +42,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    The filtered customer segment auto-broadcasts while it fits (every
-    bench scale) and degrades to a shuffle join at extreme SF — no hint,
-    so the optimizer owns that call; deterministic tiebreaker on the
-    top-k."""
+    The filtered customer segment's broadcast hint is gated on the
+    customer table's on-disk size (driver-side stat, no Spark job): under
+    the bound it is hinted — the static planner then builds the broadcast
+    directly instead of shuffling first and letting AQE promote — and
+    above it the optimizer owns the call, degrading to a shuffle join at
+    extreme SF; deterministic tiebreaker on the top-k."""
     cust = _read(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
+    if _parquet_bytes(f"{sf_dir}/customer.parquet") < 64 << 20:
+        cust = F.broadcast(cust)
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
     # Dim-reduction order: filter orders through the selective customer
@@ -70,12 +76,27 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_bytes(path: str) -> int:
+    """On-disk size of a parquet file/directory — a free, exact driver-side
+    stat for broadcast decisions (no Spark job, no estimate blow-up)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dim star join: constant dims (nation/region) broadcast by
-    hint; the supplier-derived dim is left unhinted — it scales with SF,
-    so the optimizer broadcast-promotes it while it fits (it does at every
-    bench scale) and degrades to a shuffle join rather than forcing a
-    fact-scale broadcast.  Single shuffle for the agg either way."""
+    hint.  The supplier-derived dim SCALES with SF, so its hint is gated
+    on the actual on-disk size of the supplier table (cheap driver-side
+    stat, not a Spark job): under the broadcast bound it is hinted —
+    skipping the shuffle-then-AQE-promote detour whose extra exchange
+    materialization cost ~0.3 s at sf0.1 (round-4 regression, plan-
+    diffed) — and above the bound it is left to the optimizer, which
+    degrades to a shuffle join rather than forcing a fact-scale
+    broadcast.  Single shuffle for the agg either way."""
     li = _read(spark, sf_dir, "lineitem")
     supplier = _read(spark, sf_dir, "supplier")
     nation = _read(spark, sf_dir, "nation")
@@ -85,6 +106,8 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "r_name")
     )
+    if _parquet_bytes(f"{sf_dir}/supplier.parquet") < 64 << 20:
+        dims = F.broadcast(dims)
     return (
         li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name")

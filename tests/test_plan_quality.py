@@ -54,6 +54,18 @@ def test_q3_broadcasts_dimension(spark):
     assert "c_mktsegment" in plan
 
 
+def test_q_regional_static_broadcast_single_exchange(spark):
+    plan = _plan(relational.q_regional_revenue(spark, SF))
+    # All three dim joins must be broadcast, and STATICALLY (the hint is
+    # gated on the supplier table's on-disk size): the only Exchange in
+    # the plan is the final agg shuffle.  Without the static hint the dim
+    # side rides a shuffle-then-AQE-promote detour whose extra exchange
+    # materialization cost ~0.3 s at sf0.1 (round-4 regression).
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
 def test_map_only_extraction_no_shuffle(spark):
     df = spark.read.parquet(f"{SF}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("conv_id"),
