@@ -201,7 +201,7 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     )
     base = scale * (100 - damping_pct) // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             weighted.join(
                 F.broadcast(ranks), weighted["src"] == ranks["node"]
@@ -216,16 +216,21 @@ def pagerank(edges: DataFrame, iterations: int = 5,
             .groupBy("dst")
             .agg(F.sum(F.expr("num DIV denom")).alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
         )
+        # lineage cut BETWEEN iterations only: the returned DataFrame keeps
+        # the final iteration's composable plan (callers/plan gates can see
+        # the broadcast joins) while every earlier round reads one
+        # materialized node-cardinality vector instead of replaying the
+        # whole k-round chain
+        if it < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -39,6 +39,12 @@ def main() -> int:
     parser.add_argument("--stop", type=int, default=None)
     parser.add_argument("--names", nargs="*", default=None)
     parser.add_argument(
+        "--json",
+        default=None,
+        help="also write a machine-readable per-entry record (CORRECTNESS-"
+        "style: pass/mode/wall_sec/detail + run metadata) to this path",
+    )
+    parser.add_argument(
         "--budget",
         type=float,
         default=5.0,
@@ -78,8 +84,10 @@ def main() -> int:
     t0 = time.time()
     fails = []
     slow = []
+    records: dict[str, dict] = {}
     for i, (name, fn) in enumerate(items):
         t = time.time()
+        mode = "oracle" if name in oracles else "rows_only"
         try:
             if name in oracles:
                 ok, msg = driver_sim.compare_query(
@@ -91,6 +99,12 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             ok, msg = False, f"EXC {type(ex).__name__}: {ex}"
         dt = time.time() - t
+        records[name] = {
+            "pass": ok,
+            "mode": mode,
+            "wall_sec": round(dt, 1),
+            "detail": None if ok and mode == "oracle" else msg[:300],
+        }
         if ok and dt > args.budget:
             slow.append((name, dt))
         tag = "OK " if ok else "FAIL"
@@ -102,6 +116,35 @@ def main() -> int:
         )
         if not ok:
             fails.append((name, msg))
+    if args.json:
+        import json as _json
+        import subprocess as _sp
+
+        try:
+            commit = _sp.run(
+                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001
+            commit = None
+        with open(args.json, "w") as f:
+            _json.dump(
+                {
+                    "method": (
+                        "scripts/oracle_sweep.py — the grading driver's "
+                        "exact canonicalized Spark-vs-DuckDB compare "
+                        "(tests/driver_sim.py) run locally"
+                    ),
+                    "sf_dir": args.sf_dir,
+                    "master": args.master,
+                    "git_commit": commit,
+                    "total_sec": round(time.time() - t0, 1),
+                    "fails": len(fails),
+                    "entries": records,
+                },
+                f,
+                indent=1,
+            )
     print(
         f"TOTAL {time.time() - t0:.0f}s fails={len(fails)} "
         f"slow(>{args.budget:g}s)={len(slow)}"
