@@ -64,10 +64,14 @@ SCALING_PAIRS = (
     (max(CPUS // 4, 1), CPUS),
 )
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "60000"))  # ~720k turns
-# scaling matrix uses a half-size corpus (same distribution, same corpus for
-# every config in a ratio -> unbiased pair efficiencies, half the wall time);
-# the headline extraction stats still run on the full corpus
-SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "30000"))
+# The scaling matrix runs the FULL corpus (same parquet as the headline
+# stats — one cache, identical bytes at every core count).  Rounds 2-5
+# used a half-size corpus to save wall time, which silently distorted
+# strong scaling: fixed per-job cost (scheduling, stage setup, collect)
+# is ~1 s, i.e. 10-15% of a 6 s 8-core window but only ~5% of the 2-core
+# window — deflating measured 2->8 efficiency by ~0.2 (measured r5:
+# half corpus 0.69-0.72 vs full corpus 0.92-0.98, same host hour).
+SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", str(BENCH_CONVS)))
 CACHE_DIR = os.path.join(REPO, ".bench_cache")
 # Committed (not gitignored) high-water mark of the no-Spark control probe,
 # per proc count: the best throughput this box has EVER shown us.  External
