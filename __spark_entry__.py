@@ -5775,11 +5775,15 @@ def oracle_sql() -> dict[str, str]:
           FROM toks GROUP BY tok HAVING count(*) >= 5
         )
         SELECT tok, df, pos_df,
-          CAST(t.n
+          -- explicit 128-bit products (HUGEINT) mirroring the Spark
+          -- side's DECIMAL(38,0): the worst-case numerator N^5/16*10^6
+          -- exceeds int64 past ~6e3 docs (hit live at sf0.1)
+          CAST(CAST(t.n AS HUGEINT)
                * (per.pos_df * (t.n - t.p) - (per.df - per.pos_df) * t.p)
                * (per.pos_df * (t.n - t.p) - (per.df - per.pos_df) * t.p)
                * 1000000
-               // (per.df * (t.n - per.df) * t.p * (t.n - t.p))
+               // (CAST(per.df AS HUGEINT) * (t.n - per.df) * t.p
+                   * (t.n - t.p))
             AS BIGINT) AS chi2_micro
         FROM per, tot t
         ORDER BY chi2_micro DESC, tok LIMIT 25

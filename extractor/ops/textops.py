@@ -1711,9 +1711,14 @@ def term_chi2_topk(
 
     (the standard N(ad-bc)²/((a+b)(c+d)(a+c)(b+d)) with the margins
     substituted) — engine-exact, no float sums.  |a*Neg - b*P| ≤ N²/4,
-    so the numerator stays under 2^63 up to N ≈ 10^? per the bound
-    N^5/16·10^6 < 2^63 (N ≤ ~6e3 corpus docs at micro precision; at
-    larger N drop to basis points or DECIMAL — documented tradeoff).
+    so the worst-case numerator is N⁵/16·10⁶: past ~6e3 docs that
+    exceeds int64 (found live at sf0.1 — ~5e4 docs — by the sf0.1
+    oracle sweep), so both products run in 128-bit integer space —
+    DECIMAL(38,0) here, HUGEINT in the DuckDB oracle — and only the
+    final quotient (≤ N·10⁶) returns to BIGINT.  The 128-bit bound
+    holds to N ≈ 7e6 docs; beyond that drop the score to basis points
+    or normalize per-shard first (documented tradeoff, not reachable
+    at any bench SF).
 
     Plan shape: one corpus scan → per-doc distinct terms exploded (the
     label rides along as a 0/1 column, no join) → ONE map-side-combined
@@ -1750,20 +1755,25 @@ def term_chi2_topk(
     num = F.col("pos_df") * F.lit(n_neg) - (
         F.col("df") - F.col("pos_df")
     ) * F.lit(n_pos)
-    den = (
-        F.col("df")
-        * (F.lit(n_docs) - F.col("df"))
-        * F.lit(n_pos)
-        * F.lit(n_neg)
-    )
     return (
-        per_term.withColumn("num", num)
-        .withColumn("den", den)
+        per_term.withColumn("num", num.cast("decimal(38,0)"))
+        .withColumn(
+            "den",
+            F.col("df").cast("decimal(38,0)")
+            * (F.lit(n_docs) - F.col("df"))
+            * F.lit(n_pos)
+            * F.lit(n_neg),
+        )
         .select(
             "tok",
             "df",
             "pos_df",
-            F.expr(f"{n_docs} * num * num * 1000000 DIV den")
+            # 128-bit integral arithmetic: DECIMAL(38,0) products, exact
+            # integral quotient via DIV, final value <= N*10^6 -> BIGINT
+            F.expr(
+                f"CAST({n_docs} AS DECIMAL(38,0)) * num * num * 1000000"
+                " DIV den"
+            )
             .cast("long")
             .alias("chi2_micro"),
         )
