@@ -81,6 +81,12 @@ CACHE_DIR = os.path.join(REPO, ".bench_cache")
 HWM_PATH = os.path.join(REPO, "bench_control_hwm.json")
 QUIET_FRACTION = float(os.environ.get("BENCH_QUIET_FRACTION", "0.7"))
 QUIET_MAX_WAIT = int(os.environ.get("BENCH_QUIET_MAX_WAIT", "240"))
+# Soft wall-clock budget for the whole bench: once exceeded, OPTIONAL
+# extra work (quiet-window top-up rounds) is skipped so a burst-heavy
+# window can't push the run past an external driver timeout.  The
+# mandatory sections (headline, 2 scaling rounds + primary round,
+# queries) always run.
+MAX_WALL = int(os.environ.get("BENCH_MAX_WALL", "1500"))
 
 HEADLINE = (
     "q1_pricing_summary",
@@ -467,6 +473,12 @@ def main() -> None:
 
     extra_primary_rounds = 0
     while _primary_eff() < 0.8 and extra_primary_rounds < 5:
+        if time.monotonic() - _T0 > MAX_WALL:
+            _progress(
+                f"wall budget {MAX_WALL}s exceeded: skipping remaining "
+                "top-up rounds"
+            )
+            break
         extra_primary_rounds += 1
         _progress(
             f"primary-pair eff {_primary_eff():.3f} < 0.8: "
