@@ -2664,7 +2664,7 @@ def oracle_sql() -> dict[str, str]:
         # min-label propagation — same fixpoint)
         "dedup_clusters": simhash_sig.replace("WITH ", "WITH RECURSIVE ", 1)
         + f"""
-            , bands AS (
+            , bands AS MATERIALIZED (
               SELECT doc_id, simhash, b.band,
                      (simhash >> CAST(b.band * 16 AS INTEGER)) & 65535 AS key
               FROM signed CROSS JOIN (
@@ -2684,7 +2684,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_a, doc_b FROM exact
               UNION
               SELECT doc_a, doc_b FROM near
-            ), edges AS (
+            ), edges AS MATERIALIZED (
+              -- MATERIALIZED: the recursive reach step below re-evaluates
+              -- its join input each iteration; inlined, that re-runs the
+              -- whole simhash+LSH pipeline per iteration (121s -> s at
+              -- sf0.1)
               SELECT doc_a AS a, doc_b AS b FROM edges0
               UNION
               SELECT doc_b, doc_a FROM edges0
@@ -5625,37 +5629,41 @@ def oracle_sql() -> dict[str, str]:
     # shared deterministic domain graph (generated to match links.hits).
     _hits_cte = [
         """
-        WITH e AS (
+        WITH e AS MATERIALIZED (
           SELECT DISTINCT
                  doc_id % 50 AS src,
                  (7 * (doc_id % 50) + doc_id // 50) % 50 AS dst
           FROM documents
           WHERE ((doc_id % 50) + 2 * (doc_id // 50)) % 3 <> 0
-        ), n AS (
+        ), n AS MATERIALIZED (
           SELECT src AS node FROM e UNION SELECT dst FROM e
         ), h0 AS (
           SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n
         )"""
     ]
+    # Each round's CTEs are MATERIALIZED: without it DuckDB inlines the
+    # chain (a3 -> h2 -> a2 -> ...), re-expanding every prior round at
+    # each of its 2+ reference sites — 2^depth plan blowup (measured
+    # 11.6s -> <0.1s at sf0.01).
     for _k in (1, 2, 3):
-        _hits_cte.append(f""", a{_k}r AS (
+        _hits_cte.append(f""", a{_k}r AS MATERIALIZED (
           SELECT n.node, CAST(coalesce(sum(h.hub), 0) AS BIGINT) AS raw
           FROM n LEFT JOIN e ON e.dst = n.node
                  LEFT JOIN h{_k - 1} h ON h.node = e.src
           GROUP BY n.node
         ), a{_k}m AS (
           SELECT greatest(max(raw), 1) AS m FROM a{_k}r
-        ), a{_k} AS (
+        ), a{_k} AS MATERIALIZED (
           SELECT node, CAST(raw * 1000000 // m AS BIGINT) AS auth
           FROM a{_k}r, a{_k}m
-        ), h{_k}r AS (
+        ), h{_k}r AS MATERIALIZED (
           SELECT n.node, CAST(coalesce(sum(a.auth), 0) AS BIGINT) AS raw
           FROM n LEFT JOIN e ON e.src = n.node
                  LEFT JOIN a{_k} a ON a.node = e.dst
           GROUP BY n.node
         ), h{_k}m AS (
           SELECT greatest(max(raw), 1) AS m FROM h{_k}r
-        ), h{_k} AS (
+        ), h{_k} AS MATERIALIZED (
           SELECT node, CAST(raw * 1000000 // m AS BIGINT) AS hub
           FROM h{_k}r, h{_k}m
         )""")
@@ -5893,7 +5901,7 @@ def oracle_sql() -> dict[str, str]:
                               conv_id) AS rk
             FROM sc
           ) WHERE rk <= 6
-        ), comp AS (
+        ), comp AS MATERIALIZED (
           SELECT CASE WHEN (a.score, a.conv_id) > (c.score, c.conv_id)
                       THEN a.conv_id ELSE c.conv_id END AS w,
                  CASE WHEN (a.score, a.conv_id) > (c.score, c.conv_id)
@@ -5901,7 +5909,7 @@ def oracle_sql() -> dict[str, str]:
           FROM samp a JOIN samp c ON a.g = c.g AND a.rk < c.rk
         ), items AS (
           SELECT w AS conv_id FROM comp UNION SELECT l FROM comp
-        ), wins AS (
+        ), wins AS MATERIALIZED (
           SELECT i.conv_id, CAST(coalesce(cw.n, 0) AS BIGINT) AS wins
           FROM items i LEFT JOIN (
             SELECT w, count(*) AS n FROM comp GROUP BY w
@@ -5922,14 +5930,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS conv_id, term FROM t{_k}
             UNION ALL SELECT l, term FROM t{_k}
           ) GROUP BY conv_id
-        ), praw{_k} AS (
+        ), praw{_k} AS MATERIALIZED (
           SELECT wins.conv_id,
                  CAST(wins.wins * 1000000000000 // greatest(d.dsum, 1)
                       AS BIGINT) AS raw
           FROM wins JOIN d{_k} d USING (conv_id)
         ), m{_k} AS (
           SELECT greatest(max(raw), 1) AS m FROM praw{_k}
-        ), p{_k} AS (
+        ), p{_k} AS MATERIALIZED (
           SELECT conv_id, CAST(raw * 1000000 // m AS BIGINT) AS pv
           FROM praw{_k}, m{_k}
         )""")
