@@ -161,7 +161,8 @@ def url_frontier(links: DataFrame, href_col: str = "href",
 
 
 def pagerank(edges: DataFrame, iterations: int = 5,
-             damping_pct: int = 85, scale: int = 10 ** 12) -> DataFrame:
+             damping_pct: int = 85, scale: int = 10 ** 12,
+             materialize: bool = True) -> DataFrame:
     """Fixed-iteration PageRank over a (src, dst) edge table, in EXACT
     integer arithmetic: ``(node, rank)`` with
 
@@ -187,18 +188,29 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     rank vector is ``localCheckpoint``-ed (node-cardinality rows, cheap)
     so downstream actions replay one materialized vector instead of
     re-deriving the whole k-round lineage — the same cut
-    :func:`hits`/:func:`bfs_hop_distance`/``_cc_two_phase`` apply."""
-    e = edges.select("src", "dst").persist()
+    :func:`hits`/:func:`bfs_hop_distance`/``_cc_two_phase`` apply.
+
+    ``materialize=False`` (plan-gate seam, same contract as
+    :func:`kcore`/:func:`hits`) skips every persist/checkpoint and
+    returns the pure lazy plan — nothing cached, nothing for the caller
+    to release.  The default eagerly materializes the final vector and
+    releases the three caches before returning, so repeated calls in a
+    long-lived session leave no storage-memory residue."""
+    e = edges.select("src", "dst")
+    if materialize:
+        e = e.persist()
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     weighted = e.join(F.broadcast(out), "src").select(
         "src", "dst", (F.lit(100) * F.col("outdeg")).alias("denom")
-    ).persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if materialize:
+        weighted = weighted.persist()
+        nodes = nodes.persist()
     base = scale * (100 - damping_pct) // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for it in range(iterations):
@@ -224,13 +236,19 @@ def pagerank(edges: DataFrame, iterations: int = 5,
             .cast("long")
             .alias("rank"),
         )
-        # lineage cut BETWEEN iterations only: the returned DataFrame keeps
-        # the final iteration's composable plan (callers/plan gates can see
-        # the broadcast joins) while every earlier round reads one
+        # lineage cut BETWEEN iterations: every earlier round reads one
         # materialized node-cardinality vector instead of replaying the
         # whole k-round chain
-        if it < iterations - 1:
+        if materialize and it < iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
+    if materialize:
+        # eager materialization (cascades the lazy per-round checkpoints
+        # in one job tree), then release the caches — repeated pagerank
+        # calls must not accumulate persisted edge tables
+        ranks = ranks.localCheckpoint()
+        e.unpersist()
+        weighted.unpersist()
+        nodes.unpersist()
     return ranks
 
 
@@ -438,7 +456,7 @@ def politeness_schedule(urls: DataFrame, limit: int = 200) -> DataFrame:
 
 
 def hits(edges: DataFrame, iterations: int = 3,
-         scale: int = 10 ** 6) -> DataFrame:
+         scale: int = 10 ** 6, materialize: bool = True) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
     (src, dst) edge table, in EXACT integer arithmetic:
 
@@ -466,14 +484,24 @@ def hits(edges: DataFrame, iterations: int = 3,
     shuffle carries node-cardinality partial sums; the per-round max is
     a 1-row aggregate cross-joined back (never a driver collect).  At
     10^8+ nodes swap broadcasts for src/dst-bucketed sort-merge joins.
-    """
-    e = edges.select("src", "dst").distinct().persist()
+
+    ``materialize=False`` (plan-gate seam, same contract as
+    :func:`kcore`) skips every persist/checkpoint and returns the pure
+    lazy plan — nothing cached, nothing for the caller to release."""
+    e = edges.select("src", "dst").distinct()
+    if materialize:
+        e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if materialize:
+        nodes = nodes.persist()
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if materialize else df
+
     auth = nodes.select("node", F.lit(scale).cast("long").alias("auth"))
     hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
     for _ in range(iterations):
@@ -489,12 +517,13 @@ def hits(edges: DataFrame, iterations: int = 3,
                 F.coalesce("s", F.lit(0)).cast("long").alias("raw"),
             )
         )
-        auth = auth.localCheckpoint(eager=False)
+        auth = _cut(auth)
         amax = auth.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
         auth = auth.crossJoin(F.broadcast(amax)).select(
             "node",
             F.expr(f"raw * {scale} DIV m").cast("long").alias("auth"),
-        ).localCheckpoint(eager=False)
+        )
+        auth = _cut(auth)
         h_raw = (
             e.join(F.broadcast(auth), e["dst"] == auth["node"])
             .groupBy("src")
@@ -507,17 +536,20 @@ def hits(edges: DataFrame, iterations: int = 3,
                 F.coalesce("s", F.lit(0)).cast("long").alias("raw"),
             )
         )
-        hub = hub.localCheckpoint(eager=False)
+        hub = _cut(hub)
         hmax = hub.agg(F.greatest(F.max("raw"), F.lit(1)).alias("m"))
         hub = hub.crossJoin(F.broadcast(hmax)).select(
             "node",
             F.expr(f"raw * {scale} DIV m").cast("long").alias("hub"),
-        ).localCheckpoint(eager=False)
+        )
+        hub = _cut(hub)
     # one EAGER materialization at the end (cascades through the lazy
     # per-round checkpoints in a single job tree) before the caches drop
-    out = auth.join(hub, "node").select("node", "auth", "hub").localCheckpoint()
-    e.unpersist()
-    nodes.unpersist()
+    out = auth.join(hub, "node").select("node", "auth", "hub")
+    if materialize:
+        out = out.localCheckpoint()
+        e.unpersist()
+        nodes.unpersist()
     return out
 
 

@@ -19,23 +19,57 @@ matching ``extractor.streaming.stream_upsert_sink``.
 """
 from __future__ import annotations
 
+import atexit
 import math
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+_SCRATCH_REGISTERED: set[str] = set()
+_STALE_SCRATCH_SECS = 24 * 3600
+
+
+def _reap_stale_scratch(prefix: str) -> None:
+    """Remove same-prefix scratch roots left behind by CRASHED sessions
+    (``atexit`` covers clean exits): a scratch dir untouched for a day on
+    this host is dead, so repeated driver/bench runs can't fill the temp
+    volume.  Live concurrent sessions' dirs are younger and untouched."""
+    tmp = tempfile.gettempdir()
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return
+    now = time.time()
+    for e in entries:
+        p = os.path.join(tmp, e)
+        if not e.startswith(prefix) or p in _SCRATCH_REGISTERED:
+            continue
+        try:
+            if now - os.path.getmtime(p) > _STALE_SCRATCH_SECS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def _session_scratch(spark: SparkSession, name: str) -> str:
     """Per-Spark-app scratch root: keyed on ``applicationId`` so two
     concurrent driver/bench sessions on the same host can never overwrite
     each other's fact/dim/landing dirs mid-read, while staying stable
-    within one session (overwrite re-runs remain idempotent)."""
-    return os.path.join(
+    within one session (overwrite re-runs remain idempotent).  The root
+    is removed at interpreter exit, and stale roots from crashed sessions
+    are reaped, so the per-app keying stays disk-bounded."""
+    root = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_{name}_{spark.sparkContext.applicationId}",
     )
+    if root not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _reap_stale_scratch(f"spark_graft_{name}_")
+    return root
 
 
 def _content_fingerprint(df: DataFrame):

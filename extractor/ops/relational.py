@@ -78,13 +78,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _parquet_bytes(path: str) -> int:
     """On-disk size of a parquet file/directory — a free, exact driver-side
-    stat for broadcast decisions (no Spark job, no estimate blow-up)."""
+    stat for broadcast decisions (no Spark job, no estimate blow-up).
+    Unknown sizes (remote hdfs://s3a:// URIs this local stat can't see,
+    or a missing path) return a sentinel LARGER than any broadcast bound,
+    so the gate fails safe to "don't hint" — Catalyst/AQE then picks the
+    strategy from its own stats instead of being forced into a
+    potentially fact-scale broadcast."""
     if os.path.isfile(path):
         return os.path.getsize(path)
     total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-    return total
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    return total if total > 0 else (1 << 62)
 
 
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1716,9 +1716,13 @@ def term_chi2_topk(
     oracle sweep), so both products run in 128-bit integer space —
     DECIMAL(38,0) here, HUGEINT in the DuckDB oracle — and only the
     final quotient (≤ N·10⁶) returns to BIGINT.  The 128-bit bound
-    holds to N ≈ 7e6 docs; beyond that drop the score to basis points
-    or normalize per-shard first (documented tradeoff, not reachable
-    at any bench SF).
+    N⁵/16·10⁶ ≤ 10³⁸ holds to N ≈ 4.4e6 docs (DECIMAL(38,0) is the
+    binding constraint; HUGEINT's ~1.7e38 gives ~4.9e6), and past it
+    the engines FAIL DIFFERENTLY (Spark non-ANSI decimal overflow →
+    NULL rows silently dropped from the top-k; DuckDB HUGEINT → raise),
+    so the op fails fast at the bound instead of diverging: drop the
+    score to basis points (10⁴ → N ≈ 1.1e7) or normalize per-shard
+    first (documented tradeoff, not reachable at any bench SF).
 
     Plan shape: one corpus scan → per-doc distinct terms exploded (the
     label rides along as a 0/1 column, no join) → ONE map-side-combined
@@ -1739,6 +1743,16 @@ def term_chi2_topk(
         raise ValueError(
             f"term_chi2_topk needs both classes present: lang={pos_lang!r} "
             f"labels {n_pos} of {n_docs} docs"
+        )
+    # 128-bit safety bound (see docstring): worst-case numerator
+    # N^5/16*10^6 must fit DECIMAL(38,0) / HUGEINT.  Past it Spark
+    # silently NULLs overflowed rows while DuckDB raises — fail fast
+    # identically on both engines instead.
+    if n_docs > 4_400_000:
+        raise ValueError(
+            f"term_chi2_topk: {n_docs} docs exceeds the 128-bit exact-"
+            "integer bound (~4.4e6); score in basis points or normalize "
+            "per shard (see docstring)"
         )
     per_term = (
         docs.select(

@@ -90,6 +90,7 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
     width = 9
     emit(256, width)  # leading ClearTable per convention
     w = b""
+    emitted_since_clear = 0
     for byte in data:
         c = bytes([byte])
         wc = w + c
@@ -97,6 +98,7 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
             w = wc
             continue
         emit(table[w], width)
+        emitted_since_clear += 1
         table[wc] = next_code
         next_code += 1
         # width bump: EarlyChange fires when next_code + early hits 2^width
@@ -107,9 +109,21 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
             table = {bytes([i]): i for i in range(256)}
             next_code = 258
             width = 9
+            emitted_since_clear = 0
         w = c
     if w:
         emit(table[w], width)
+        # The decoder appends a table entry for every data code after the
+        # first since a ClearTable; that final append can bump ITS width
+        # right before EOD when the table lands exactly on a 2^width
+        # boundary.  Mirror the bump so EOD is written at the width the
+        # decoder reads it with (PDF 1.7 §7.4.4.2 boundary case).
+        if (
+            emitted_since_clear > 0
+            and width < 12
+            and next_code + early_change >= (1 << width)
+        ):
+            width += 1
     emit(257, width)  # EOD
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -482,15 +496,57 @@ def _content_lines(body: bytes) -> list[str]:
     return lines
 
 
+def _filter_parms(dict_bytes: bytes, names: list[bytes]) -> list[bytes]:
+    """Pair each ``/Filter`` entry with its ``/DecodeParms`` dict bytes
+    (PDF 1.7 §7.3.8.2: with an array Filter, DecodeParms is an array of
+    the same length whose elements are dicts or ``null``).  A lone dict
+    against an array Filter (spec-invalid but seen in the wild) is paired
+    with the first compression filter; absent parms yield ``b""``."""
+    m = re.search(rb"/(?:DecodeParms|DP)\b", dict_bytes)
+    if not m:
+        return [b""] * len(names)
+    rest = dict_bytes[m.end() :].lstrip()
+    if rest.startswith(b"<<"):
+        j = rest.find(b">>")
+        d = rest[: j + 2] if j >= 0 else rest
+        out = [b""] * len(names)
+        for i, nm in enumerate(names):
+            if nm in (b"FlateDecode", b"LZWDecode"):
+                out[i] = d
+                break
+        return out
+    if not rest.startswith(b"["):
+        return [b""] * len(names)
+    out, i = [], 1
+    while len(out) < len(names) and i < len(rest):
+        ch = rest[i : i + 1]
+        if ch in b" \t\r\n":
+            i += 1
+        elif rest.startswith(b"null", i):
+            out.append(b"")
+            i += 4
+        elif rest.startswith(b"<<", i):
+            j = rest.find(b">>", i)
+            out.append(rest[i : j + 2] if j >= 0 else rest[i:])
+            i = (j + 2) if j >= 0 else len(rest)
+        elif ch == b"]":
+            break
+        else:
+            i += 1
+    out += [b""] * (len(names) - len(out))
+    return out
+
+
 def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
     """Apply the stream dict's filter(s) to the raw body, in order.
     Supported: ``FlateDecode`` (stdlib zlib), ``LZWDecode`` (own codec,
     :func:`lzw_decode`), ``ASCIIHexDecode``, and chains thereof; a
-    ``/Predictor`` in ``/DecodeParms`` (TIFF 2 or PNG 10-15, 8-bit
-    components, ``/Columns``/``/Colors``/``/EarlyChange`` honored) is
-    undone after its compression filter.  Lossy/image codecs (DCT, JPX,
-    CCITT, JBIG2) raise ``NotImplementedError`` — the remaining honest
-    codec boundary."""
+    ``/Predictor`` in a filter's ``/DecodeParms`` entry (TIFF 2 or PNG
+    10-15, 8-bit components, ``/Columns``/``/Colors``/``/EarlyChange``
+    honored) is undone after THAT filter — DecodeParms array elements are
+    paired with their Filter array positions per PDF 1.7 §7.3.8.2.
+    Lossy/image codecs (DCT, JPX, CCITT, JBIG2) raise
+    ``NotImplementedError`` — the remaining honest codec boundary."""
     filters = re.findall(rb"/Filter\s*(?:\[\s*((?:/\w+\s*)+)\]|/(\w+))", dict_bytes)
     names: list[bytes] = []
     for arr, single in filters:
@@ -509,16 +565,18 @@ def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
             % [x.decode() for x in bad]
         )
 
-    def _parm(name: bytes, default: int) -> int:
-        m = re.search(rb"/" + name + rb"\s+(\d+)", dict_bytes)
-        return int(m.group(1)) if m else default
+    parms = _filter_parms(dict_bytes, names)
+    for name, parm in zip(names, parms):
 
-    predictor = _parm(b"Predictor", 1)
-    columns = _parm(b"Columns", 1)
-    colors = _parm(b"Colors", 1)
-    bpc = _parm(b"BitsPerComponent", 8)
-    early = _parm(b"EarlyChange", 1)
-    for name in names:
+        def _parm(key: bytes, default: int) -> int:
+            m = re.search(rb"/" + key + rb"\s+(\d+)", parm)
+            return int(m.group(1)) if m else default
+
+        predictor = _parm(b"Predictor", 1)
+        columns = _parm(b"Columns", 1)
+        colors = _parm(b"Colors", 1)
+        bpc = _parm(b"BitsPerComponent", 8)
+        early = _parm(b"EarlyChange", 1)
         if name == b"ASCIIHexDecode":
             hx = re.sub(rb"[\s>]", b"", body)
             if len(hx) % 2:

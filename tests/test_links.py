@@ -168,12 +168,13 @@ def test_pagerank_broadcasts_ranks_not_edges(spark):
     from extractor.ops.links import pagerank
 
     edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
-    plan = (pagerank(edges, iterations=2)
+    # the default (materialize=True) eagerly checkpoints the final vector
+    # (and releases its caches), hiding the iteration plan behind an
+    # ExistingRDD scan — gate the REAL lazy plan via materialize=False
+    plan = (pagerank(edges, iterations=2, materialize=False)
             ._jdf.queryExecution().executedPlan().toString())
-    # earlier iterations sit behind a between-iteration localCheckpoint
-    # (lineage cut), so the visible plan is the FINAL iteration: its
-    # rank-onto-edges join is broadcast, as is the outdeg join feeding the
-    # (persisted, never-shuffled) weighted edge table; the remaining
+    # each iteration's rank-onto-edges join is broadcast, as is the
+    # outdeg join feeding the weighted edge table; the remaining
     # SortMergeJoin is the node-sized rebase join
     assert plan.count("BroadcastHashJoin") >= 2
     # contribution sums are partial-aggregated map-side before the

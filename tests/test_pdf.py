@@ -147,6 +147,73 @@ def test_lzw_roundtrip_width_growth_and_reset():
         assert lzw_decode(lzw_encode(c, 0), early_change=0) == c
 
 
+def test_lzw_eod_on_width_boundary_roundtrips():
+    """When the final data code lands the table exactly on a 2^width
+    boundary, the decoder's last table append bumps its code width BEFORE
+    reading EOD; the encoder must emit EOD at that bumped width or the
+    stream desyncs (silent trailing garbage or ValueError).  255 distinct
+    bytes produce exactly 254 loop emits → next_code 512 at the final
+    emit (regression: round-5 fuzz finding)."""
+    import random
+
+    from extractor.pdf import lzw_decode, lzw_encode
+
+    for ec, n in [(0, 255), (1, 254), (0, 256), (1, 255)]:
+        data = bytes(range(n))
+        assert lzw_decode(lzw_encode(data, ec), early_change=ec) == data
+    # seeded fuzz across the boundary-adjacent size band
+    rnd = random.Random(17)
+    for _ in range(300):
+        n = rnd.randrange(240, 280)
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        for ec in (0, 1):
+            assert lzw_decode(lzw_encode(data, ec), early_change=ec) == data
+
+
+def test_decodeparms_paired_per_filter():
+    """PDF 1.7 §7.3.8.2: with an array /Filter, /DecodeParms is an array
+    pairing each filter with its parms (dict or null).  A predictor
+    declared for the FIRST filter must not be re-applied after the
+    second, and vice versa."""
+    import zlib
+
+    from extractor.pdf import lzw_encode, pdf_to_text, png_predict_encode
+
+    body = b"BT (chain line) Tj ET"
+    # Filters decode in listed order, so the stream is built by applying
+    # each filter's ENCODE in reverse list order; a predictor pairs with
+    # its own filter (applied before that filter's compression).
+    # predictor on the Flate stage (filter 0) only:
+    pdf = _one_stream_pdf(
+        b"/Filter [/FlateDecode /LZWDecode] "
+        b"/DecodeParms [<< /Predictor 12 /Columns 8 >> null]",
+        zlib.compress(png_predict_encode(lzw_encode(body), 8)),
+    )
+    assert pdf_to_text(pdf) == [["chain line"]]
+    # predictor on the LZW stage (filter 0 of the swapped chain) only:
+    pdf = _one_stream_pdf(
+        b"/Filter [/LZWDecode /FlateDecode] "
+        b"/DecodeParms [<< /Predictor 12 /Columns 8 >> null]",
+        lzw_encode(png_predict_encode(zlib.compress(body), 8)),
+    )
+    assert pdf_to_text(pdf) == [["chain line"]]
+    # EarlyChange parms on the second (LZW) element, null on the first
+    pdf = _one_stream_pdf(
+        b"/Filter [/ASCIIHexDecode /LZWDecode] "
+        b"/DecodeParms [null << /EarlyChange 0 >>]",
+        lzw_encode(body, early_change=0).hex().encode(),
+    )
+    assert pdf_to_text(pdf) == [["chain line"]]
+    # spec-invalid lone dict with an array Filter: pairs with the first
+    # compression filter (here LZW), not with ASCIIHex
+    pdf = _one_stream_pdf(
+        b"/Filter [/ASCIIHexDecode /LZWDecode] "
+        b"/DecodeParms << /EarlyChange 0 >>",
+        lzw_encode(body, early_change=0).hex().encode(),
+    )
+    assert pdf_to_text(pdf) == [["chain line"]]
+
+
 def test_png_predictor_roundtrip_all_filters():
     import random
 

@@ -544,16 +544,42 @@ def test_classifier_auc_histogram_window(spark):
 
 def test_domain_hits_broadcast_power_iteration(spark):
     import __spark_entry__ as e
+    from extractor.ops.links import hits
 
-    plan = _plan(e._domain_hits(spark, SF))
-    # the power-iteration rounds run eagerly at localCheckpoint time
-    # (lineage cut is the point), so the returned plan is just the final
-    # auth⋈hub join of two node-cardinality checkpoint relations: it
-    # must be a plain equi-join (never a cartesian product) with only
-    # its own partitioning exchanges
+    # the default (materialize=True) hides the iteration plan behind an
+    # eager localCheckpoint's ExistingRDD scan — gate the REAL lazy plan
+    # via the materialize=False seam (same pattern as the kcore gate)
+    plan = _plan(
+        hits(e._layered_domain_graph(spark, SF), iterations=3,
+             materialize=False)
+    )
+    # every half-round joins the node-sized score vector onto the edge
+    # table as a BROADCAST hash join; the per-round max-normalize is a
+    # crossJoin against a BROADCAST 1-row aggregate (physically a
+    # BroadcastNestedLoopJoin BuildRight Cross — benign at 1 build row),
+    # and no other nested-loop/cartesian shape may appear
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    nlj = _re.findall(r"BroadcastNestedLoopJoin[ ]+(\w+)[, ]+(\w+)", plan)
+    assert nlj, "expected the 1-row max-normalize broadcast cross joins"
+    assert all("Cross" in pair for pair in nlj), nlj[:5]
+
+
+def test_domain_pagerank_broadcast_power_iteration(spark):
+    import __spark_entry__ as e
+    from extractor.ops.links import pagerank
+
+    plan = _plan(
+        pagerank(e._layered_domain_graph(spark, SF), iterations=3,
+                 materialize=False)
+    )
+    # ranks broadcast onto the edge table every round; contributions
+    # aggregate on dst (node-cardinality); no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert _n_exchanges(plan) <= 2, plan
 
 
 def test_fuzzy_match_blocked_equi_join(spark):
