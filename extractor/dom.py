@@ -21,8 +21,13 @@ O(document size), never O(partition size).
 
 from __future__ import annotations
 
+import re as _re
+
 from html import escape
+from html import unescape as _unescape
 from html.parser import HTMLParser
+from html.parser import attrfind_tolerant as _attrfind_tolerant
+from html.parser import tagfind_tolerant as _tagfind_tolerant
 
 VOID_ELEMENTS = frozenset(
     {
@@ -224,10 +229,116 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer (performance only — semantics are the stdlib parser's)
+#
+# ``HTMLParser.goahead`` spends ~half the extraction kernel's time in generic
+# chunk scanning (interesting-char search, position bookkeeping, per-construct
+# dispatch).  Real transcript markup is overwhelmingly plain start/end tags
+# and text runs, so a single compiled regex can tokenize the common case and
+# drive the SAME ``_TreeBuilder`` handle_* methods directly.  Parity contract:
+#
+# - the tokenizer only accepts documents made of (a) text runs containing no
+#   ``<`` and (b) start/end tags it re-parses with CPython's OWN
+#   ``tagfind_tolerant``/``attrfind_tolerant`` regexes (imported from
+#   ``html.parser``), reproducing ``parse_starttag``'s attribute loop,
+#   quote-stripping, entity-unescaping and lowercasing bit for bit;
+# - ANY construct outside that subset — comments, declarations, processing
+#   instructions, bogus ``<``, script/style CDATA, junk-in-start-tag,
+#   incomplete tags — returns None and the caller re-parses with the stdlib
+#   ``HTMLParser`` path, which is authoritative.  Falling back is always
+#   correct; the fast path is only taken when it is provably equivalent
+#   (the end-state check below fails closed).
+#
+# Equivalence is pinned by tests/test_dom_fast.py: tree-identical (tags,
+# attrs, exact text-node chunking) vs the stdlib builder on golden fixture
+# inputs, hand quirks, hypothesis-fuzzed soup, and the full bench corpus
+# (verified offline; see commit message).
+
+_FAST_GATE = _re.compile(r"<(?![a-zA-Z]|/[a-zA-Z])")
+_FAST_CDATA = _re.compile(r"(?i)<\s*/?\s*(?:script|style)\b")
+_FAST_TAG = _re.compile(
+    r"<(?:"
+    r"/\s*(?P<cname>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*"
+    r"|(?P<name>[a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"(?P<body>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"
+    r")>"
+)
+
+
+def _fast_parse(text: str):
+    """Tokenize *text* into a ``_TreeBuilder`` tree, or return None when any
+    construct falls outside the verified common-case subset (caller falls
+    back to the stdlib parser).  RecursionError (DOM depth cap) propagates —
+    both paths raise it identically."""
+    if _FAST_GATE.search(text) or _FAST_CDATA.search(text):
+        return None
+    builder = _TreeBuilder()
+    handle_data = builder.handle_data
+    handle_starttag = builder.handle_starttag
+    handle_endtag = builder.handle_endtag
+    pos = 0
+    for m in _FAST_TAG.finditer(text):
+        start = m.start()
+        if start > pos:
+            seg = text[pos:start]
+            if "<" in seg:  # a '<' the master regex skipped: not our subset
+                return None
+            handle_data(_unescape(seg) if "&" in seg else seg)
+        cname = m.group("cname")
+        if cname is not None:
+            handle_endtag(cname.lower())
+            pos = m.end()
+            continue
+        # Start tag: replicate HTMLParser.parse_starttag exactly, using
+        # CPython's own tolerant regexes on the original string.
+        endpos = m.end()
+        tm = _tagfind_tolerant.match(text, start + 1)
+        k = tm.end()
+        tag = tm.group(1).lower()
+        attrs = []
+        while k < endpos:
+            am = _attrfind_tolerant.match(text, k)
+            if not am:
+                break
+            attrname, rest, attrvalue = am.group(1, 2, 3)
+            if not rest:
+                attrvalue = None
+            elif (
+                attrvalue[:1] == "'" == attrvalue[-1:]
+                or attrvalue[:1] == '"' == attrvalue[-1:]
+            ):
+                attrvalue = attrvalue[1:-1]
+            if attrvalue:
+                attrvalue = _unescape(attrvalue)
+            attrs.append((attrname.lower(), attrvalue))
+            k = am.end()
+        end = text[k:endpos].strip()
+        if end == ">":
+            handle_starttag(tag, attrs)
+        elif end == "/>":
+            builder.handle_startendtag(tag, attrs)
+        else:
+            # junk characters in the start tag — stdlib emits the raw tag
+            # text as data; out of subset, fall back
+            return None
+        pos = endpos
+    if pos < len(text):
+        seg = text[pos:]
+        if "<" in seg:
+            return None
+        handle_data(_unescape(seg) if "&" in seg else seg)
+    return builder.root
+
+
 def parse_html(text: str) -> Element:
     """Parse *text* into a document Element.  Lenient for malformed markup;
     raises ``RecursionError`` only past ``MAX_DOM_DEPTH`` (callers contain
-    it as an error row)."""
+    it as an error row).  Tries the fast tokenizer first; any document
+    outside its verified subset re-parses on the stdlib ``HTMLParser``."""
+    root = _fast_parse(text)
+    if root is not None:
+        return root
     builder = _TreeBuilder()
     builder.feed(text)
     builder.close()
