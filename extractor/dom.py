@@ -255,8 +255,10 @@ class _TreeBuilder(HTMLParser):
 # inputs, hand quirks, hypothesis-fuzzed soup, and the full bench corpus
 # (verified offline; see commit message).
 
-_FAST_GATE = _re.compile(r"<(?![a-zA-Z]|/[a-zA-Z])")
-_FAST_CDATA = _re.compile(r"(?i)<\s*/?\s*(?:script|style)\b")
+# One combined scan: a '<' not opening a plain start/end tag, or any
+# script/style mention (CDATA content model) — either sends the document
+# to the stdlib parser.
+_FAST_GATE = _re.compile(r"<(?![a-zA-Z]|/[a-zA-Z])|(?i:</?(?:script|style)\b)")
 _FAST_TAG = _re.compile(
     r"<(?:"
     r"/\s*(?P<cname>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*"
@@ -271,7 +273,7 @@ def _fast_parse(text: str):
     construct falls outside the verified common-case subset (caller falls
     back to the stdlib parser).  RecursionError (DOM depth cap) propagates —
     both paths raise it identically."""
-    if _FAST_GATE.search(text) or _FAST_CDATA.search(text):
+    if _FAST_GATE.search(text):
         return None
     builder = _TreeBuilder()
     handle_data = builder.handle_data
@@ -288,6 +290,20 @@ def _fast_parse(text: str):
         cname = m.group("cname")
         if cname is not None:
             handle_endtag(cname.lower())
+            pos = m.end()
+            continue
+        # Attribute-free shortcut, the dominant case (<p>, <td>, <b>, ...):
+        # with an empty tag body, parse_starttag's tagfind/attrfind matches
+        # reduce to (lowercased name, no attrs, end '>'); a body of exactly
+        # '/' is the bare self-closing form (<br/>), whose '/' tagfind's
+        # trailing consumer never eats (negative lookahead before '>').
+        body = m.group("body")
+        if not body:
+            handle_starttag(m.group("name").lower(), [])
+            pos = m.end()
+            continue
+        if body == "/":
+            builder.handle_startendtag(m.group("name").lower(), [])
             pos = m.end()
             continue
         # Start tag: replicate HTMLParser.parse_starttag exactly, using

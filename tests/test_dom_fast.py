@@ -134,7 +134,9 @@ _frag = st.sampled_from(
      "a<b ", "< ", "<!-- c -->", "<table><tr><td>", "</td></tr></table>",
      "<span a=b>", "'", '"', ">", "<", '<x y="1">', "</x>", "\n", "\t",
      "&#65;", "&unknown;", "<a href=foo bar>", "</a>", "<input checked>",
-     "<3 ", "</ p>", "<script>x</script>", "=", "/>", "<div a=b\"c>"]
+     "<3 ", "</ p>", "<script>x</script>", "=", "/>", "<div a=b\"c>",
+     "<br/>", "<br />", "<b >", "<i\t>", "<img src=x/>", "<a b=c />",
+     "<em//>", "<p  \n >", "<q/ >", "<r / >", "<SCRIPT>", "</SCRIPT>"]
 )
 _soup = st.lists(st.one_of(_frag, st.text(max_size=12)), max_size=14).map("".join)
 
