@@ -55,7 +55,11 @@ class Element:
 
     def __init__(self, tag: str, attrs=None, parent=None):
         self.tag = tag
-        self.attrs = dict(attrs or {})
+        # A dict argument is taken by reference (builders always pass a
+        # fresh one); any other iterable of pairs is copied.
+        self.attrs = (
+            attrs if type(attrs) is dict else (dict(attrs) if attrs else {})
+        )
         self.children: list = []
         self.parent = parent
 
@@ -71,16 +75,19 @@ class Element:
 
     def iter_elements(self):
         """Depth-first, document-order iteration over descendant Elements
-        (iterative — no recursion, O(1) per element regardless of depth)."""
-        stack = [iter(self.children)]
+        (iterative — no recursion, O(1) per element regardless of depth).
+        Child lists are snapshotted as each node is visited; callers that
+        mutate the tree materialize results first (find_all returns a list)."""
+        stack = self.children[::-1]
+        pop = stack.pop
+        extend = stack.extend
         while stack:
-            for child in stack[-1]:
-                if isinstance(child, Element):
-                    yield child
-                    stack.append(iter(child.children))
-                    break
-            else:
-                stack.pop()
+            node = pop()
+            if isinstance(node, Element):
+                yield node
+                children = node.children
+                if children:
+                    extend(children[::-1])
 
     def is_attached_to(self, root: "Element") -> bool:
         """True if *root* is reachable via the parent chain (i.e. this node
@@ -287,7 +294,7 @@ def _fast_parse(text: str):
             if "<" in seg:  # a '<' the master regex skipped: not our subset
                 return None
             handle_data(_unescape(seg) if "&" in seg else seg)
-        cname = m.group("cname")
+        cname, name, body = m.group("cname", "name", "body")
         if cname is not None:
             handle_endtag(cname.lower())
             pos = m.end()
@@ -297,13 +304,12 @@ def _fast_parse(text: str):
         # reduce to (lowercased name, no attrs, end '>'); a body of exactly
         # '/' is the bare self-closing form (<br/>), whose '/' tagfind's
         # trailing consumer never eats (negative lookahead before '>').
-        body = m.group("body")
         if not body:
-            handle_starttag(m.group("name").lower(), [])
+            handle_starttag(name.lower(), [])
             pos = m.end()
             continue
         if body == "/":
-            builder.handle_startendtag(m.group("name").lower(), [])
+            builder.handle_startendtag(name.lower(), [])
             pos = m.end()
             continue
         # Start tag: replicate HTMLParser.parse_starttag exactly, using
