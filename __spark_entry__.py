@@ -43,6 +43,24 @@ from extractor.pipeline import (
 from extractor.transcripts import transcripts_df
 
 
+def _fan_out_if_starved(spark, df, scan_df, cap: int = 16):
+    """Fan out a CPU-bound Python-kernel stage when the scan under-partitions.
+
+    Text parquet compresses ~10x, so maxPartitionBytes-sized splits starve a
+    CPU-heavy kernel (at small SF the corpus is ONE split -> a
+    single-threaded mapInPandas stage).  The probe is ``inputFiles()`` on
+    the raw scan (~1ms, driver-side listing only — ``rdd.getNumPartitions``
+    costs >1s of plan conversion); at production scale the table has
+    thousands of files, the guard never fires, and no shuffle is added.
+    *cap*=16: measured per-task Python-worker overhead makes 8-16 the flat
+    optimum for a ~1s kernel; full-core fan-out regresses.
+    """
+    target = min(cap, spark.sparkContext.defaultParallelism)
+    if len(scan_df.inputFiles()) < target:
+        return df.repartition(target)
+    return df
+
+
 def _boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jusText/readability-style main-content extraction (north-star DOM
     heuristics): documents wrapped in deterministic page chrome, kernel
@@ -64,6 +82,8 @@ def _boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("html"),
     )
+    wrapped = _fan_out_if_starved(spark, wrapped, docs)
+
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -138,6 +158,7 @@ def _extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("turn_idx"),
         F.col("text"),
     )
+    turns = _fan_out_if_starved(spark, turns, docs)
     out = extract_transcripts(turns, sort_output=False)
     return out.select(
         "conv_id", "turn_idx", "extracted_text", "tables_count",
