@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The image/audio codec libraries are not available in this environment, so
-the *decode* step is stubbed (deterministic fake for our synthetic payloads;
-``NotImplementedError`` for real ones) — but everything Spark-side is real
-and tested: the binary-column schema, the Arrow batch shape through
-``mapInPandas`` (bytes round-trip), partition-size control for large blobs,
-and the feature-extraction output schema.
+The *decode* step is REAL for lossless containers — PNG (own stdlib
+decoder, ``extractor/imagecodec.py``) and 24-bit BMP — and stubbed only
+for lossy codecs (JPEG/GIF/WebP need a codec library not present in this
+container; those raise ``NotImplementedError`` → contained error rows).
+Everything Spark-side is real and tested either way: the binary-column
+schema, the Arrow batch shape through ``mapInPandas`` (bytes round-trip),
+partition-size control for large blobs, and the feature-extraction output
+schema.
 
 Synthetic payload format (deterministic, self-describing):
     b"FAKEIMG|<width>|<height>|<fmt>|" + pseudo-random pixel bytes
@@ -92,18 +94,35 @@ def synth_media_df(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFra
 
 
 def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
-    """STUB decode (clearly marked): real image decoding needs a codec
-    library not present in this container.  Synthetic payloads decode for
-    real; anything else raises — callers convert that to an error row."""
+    """Decode an image payload to ``(width, height, pixel_bytes)``.
+
+    REAL for the lossless containers: PNG (all 8-bit color types, own
+    stdlib decoder — ``extractor.imagecodec.png_decode``) and 24-bit
+    BI_RGB BMP, byte-sniffed; also the self-describing synthetic
+    ``FAKEIMG|`` payloads used by the oracle-checked contract entries.
+    Lossy codecs (JPEG/GIF/WebP) remain the honest environment boundary —
+    they need a codec library (PIL/libjpeg) absent here and raise
+    ``NotImplementedError``; callers convert that to an error row."""
+    from extractor.imagecodec import bmp_decode, png_decode, sniff_image
+
     if payload is None:
         raise ValueError("null payload")
-    if not payload.startswith(b"FAKEIMG|"):
-        raise NotImplementedError(
-            "real image decoding requires a codec library (PIL/libjpeg) "
-            "not available in this environment"
-        )
-    _, w, h, _fmt, body = payload.split(b"|", 4)
-    return int(w), int(h), body
+    payload = bytes(payload)
+    if payload.startswith(b"FAKEIMG|"):
+        _, w, h, _fmt, body = payload.split(b"|", 4)
+        return int(w), int(h), body
+    kind = sniff_image(payload)
+    if kind == "png":
+        w, h, _ch, pixels = png_decode(payload)
+        return w, h, pixels
+    if kind == "bmp":
+        w, h, _ch, pixels = bmp_decode(payload)
+        return w, h, pixels
+    raise NotImplementedError(
+        "image decoding for %r requires a codec library (PIL/libjpeg) "
+        "not available in this environment (PNG/BMP decode for real)"
+        % (kind or "unrecognized bytes")
+    )
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -22,12 +22,14 @@ and the ``Tj`` / ``'`` / ``"`` / ``TJ`` show-text operators — i.e. the text
 layer of the overwhelming majority of real-world PDFs.  Filters:
 ``FlateDecode`` (stdlib zlib), ``LZWDecode`` (own TIFF-convention codec:
 MSB-first variable-width 9→12-bit codes, 256=Clear/257=EOD, EarlyChange
-honored), ``ASCIIHexDecode``, chains thereof, and ``/Predictor`` post-steps
-(TIFF 2 horizontal differencing; PNG 10-15 per-row None/Sub/Up/Average/
-Paeth with ``/Columns``/``/Colors``/``/BitsPerComponent``, 8-bit
-components).  Still out of scope (raise ``NotImplementedError``): lossy /
-image codecs (DCT/JPX/CCITT/JBIG2), crypt filters, and sub-8-bit predictor
-components.
+honored), ``ASCIIHexDecode``, ``ASCII85Decode`` (stdlib ``base64``, Adobe
+framing, ``z`` shortcut), ``RunLengthDecode`` (PDF 1.7 §7.4.5 packbits-style
+RLE), chains thereof, and ``/Predictor`` post-steps (TIFF 2 horizontal
+differencing; PNG 10-15 per-row None/Sub/Up/Average/Paeth with
+``/Columns``/``/Colors``/``/BitsPerComponent``, 8-bit components).  That is
+the complete lossless-filter family; still out of scope (raise
+``NotImplementedError``): lossy / image codecs (DCT/JPX/CCITT/JBIG2), crypt
+filters, and sub-8-bit predictor components.
 """
 from __future__ import annotations
 
@@ -174,6 +176,84 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
     return bytes(out)
 
 
+def rle_encode(data: bytes) -> bytes:
+    """PDF ``RunLengthDecode``-compatible encoder (PDF 1.7 §7.4.5, public
+    spec — packbits convention): length byte 0-127 → the next length+1
+    bytes are literal; 129-255 → the next byte repeats 257-length times;
+    128 = EOD.  Runs ≥3 are emitted as repeats, else literals; max chunk
+    128 either way.  Deterministic."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal stretch: until a run of ≥3 starts or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += data[i:k]
+        i = k
+    out.append(128)
+    return bytes(out)
+
+
+def rle_decode(data: bytes) -> bytes:
+    """Decode PDF ``RunLengthDecode`` streams (PDF 1.7 §7.4.5)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            chunk = data[i : i + length + 1]
+            if len(chunk) != length + 1:
+                raise ValueError("corrupt RunLength stream: short literal")
+            out += chunk
+            i += length + 1
+        else:
+            if i >= n:
+                raise ValueError("corrupt RunLength stream: dangling repeat")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+def a85_encode(data: bytes) -> bytes:
+    """PDF ``ASCII85Decode``-compatible encoder: stdlib ``base64`` Adobe
+    framing minus the non-standard ``<~`` prefix PDF writers omit (the
+    stream is just base-85 groups terminated by ``~>``)."""
+    import base64
+
+    return base64.a85encode(data, adobe=True)[2:]
+
+
+def a85_decode(data: bytes) -> bytes:
+    """Decode PDF ``ASCII85Decode`` streams via stdlib ``base64``
+    (Adobe framing; whitespace ignored; ``z`` zero-group honored; a
+    missing ``~>`` EOD is tolerated as seen in the wild)."""
+    import base64
+
+    body = bytes(data).strip()
+    if not body.endswith(b"~>"):
+        body += b"~>"
+    try:
+        return base64.a85decode(body, adobe=True)
+    except ValueError as exc:
+        raise ValueError("corrupt ASCII85 stream: %s" % exc) from exc
+
+
 def png_predict_encode(
     data: bytes, columns: int, colors: int = 1, bpc: int = 8,
     filter_type: int = 2,
@@ -300,9 +380,12 @@ def text_to_pdf_bytes(
     the default stays uncompressed so the s9 oracle's byte-length math
     remains SQL-expressible.  ``stream_filter`` selects the encoding
     explicitly: ``"flate"``, ``"lzw"`` (``/Filter /LZWDecode``, own
-    codec), or ``"lzw-png"`` (LZW over a PNG Up-predictor pre-pass,
+    codec), ``"lzw-png"`` (LZW over a PNG Up-predictor pre-pass,
     ``/DecodeParms << /Predictor 12 /Columns 64 >>`` — the layout real
-    xref-stream-era PDFs use).  All modes byte-deterministic."""
+    xref-stream-era PDFs use), ``"rle"`` (``/RunLengthDecode``), ``"a85"``
+    (``/ASCII85Decode``), or ``"a85-flate"`` (the chained
+    ``[/ASCII85Decode /FlateDecode]`` array form).  All modes
+    byte-deterministic."""
     if compress and stream_filter is None:
         stream_filter = "flate"
     lines = wrap_lines(text)
@@ -357,6 +440,26 @@ def text_to_pdf_bytes(
                 b"<< /Length %d /Filter /LZWDecode /DecodeParms "
                 b"<< /Predictor 12 /Columns %d >> >>\nstream\n%s\nendstream"
                 % (len(body), PRED_COLUMNS, body)
+            )
+        elif stream_filter == "rle":
+            body = rle_encode(body)
+            objects.append(
+                b"<< /Length %d /Filter /RunLengthDecode >>"
+                b"\nstream\n%s\nendstream" % (len(body), body)
+            )
+        elif stream_filter == "a85":
+            body = a85_encode(body)
+            objects.append(
+                b"<< /Length %d /Filter /ASCII85Decode >>"
+                b"\nstream\n%s\nendstream" % (len(body), body)
+            )
+        elif stream_filter == "a85-flate":
+            # classic chained layout: stored = a85(flate(text)); the
+            # decoder applies the Filter array in order a85 → flate
+            body = a85_encode(zlib.compress(body, 6))
+            objects.append(
+                b"<< /Length %d /Filter [ /ASCII85Decode /FlateDecode ] >>"
+                b"\nstream\n%s\nendstream" % (len(body), body)
             )
         elif stream_filter is None:
             objects.append(
@@ -556,12 +659,16 @@ def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
             names.extend(re.findall(rb"/(\w+)", arr))
     if not names:
         return body
-    supported = {b"FlateDecode", b"LZWDecode", b"ASCIIHexDecode"}
+    supported = {
+        b"FlateDecode", b"LZWDecode", b"ASCIIHexDecode",
+        b"ASCII85Decode", b"RunLengthDecode",
+    }
     bad = [x for x in names if x not in supported]
     if bad:
         raise NotImplementedError(
-            "unsupported PDF stream filter(s) %s (Flate/LZW/ASCIIHex and "
-            "uncompressed streams decode in this environment)"
+            "unsupported PDF stream filter(s) %s (the lossless family — "
+            "Flate/LZW/ASCIIHex/ASCII85/RunLength — and uncompressed "
+            "streams decode in this environment)"
             % [x.decode() for x in bad]
         )
 
@@ -585,6 +692,12 @@ def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
                 body = bytes.fromhex(hx.decode("ascii"))
             except (ValueError, UnicodeDecodeError) as exc:
                 raise ValueError("corrupt ASCIIHex stream: %s" % exc) from exc
+            continue
+        if name == b"ASCII85Decode":
+            body = a85_decode(body)
+            continue
+        if name == b"RunLengthDecode":
+            body = rle_decode(body)
             continue
         if name == b"FlateDecode":
             try:

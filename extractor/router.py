@@ -13,6 +13,9 @@ sniffs the *content*:
 * ``PK\\x03\\x04`` zip → DOCX      → stdlib OOXML reader
                                      (``extractor/docx.py``) → DOM kernel
 * JSON with "pages"  → layout doc → XY-cut linearizer
+* image magics       → image      → real stdlib PNG/BMP decode
+                                     (``extractor/imagecodec.py``);
+                                     JPEG/GIF → contained codec error
 * markup tags        → HTML       → DOM kernel (``extractor/kernel.py``)
 * decodable utf-8    → plain text → passthrough (line-ending normalize)
 * anything else      → contained error row (never raises — the reference's
@@ -35,7 +38,10 @@ from .docx import decode_docx
 from .kernel import DEFAULT_OPTIONS, MAX_TEXT_CHARS, ConvertOptions, convert_text
 from .layout import parse_layout
 
-FORMATS = ("empty", "pdf", "docx", "zip", "layout_json", "html", "text", "binary")
+FORMATS = (
+    "empty", "pdf", "docx", "zip", "layout_json", "html", "text", "image",
+    "binary",
+)
 
 # Tags that mark a decoded text payload as HTML (first-window scan only —
 # a plain-text doc that *mentions* "<p>" late in the body is still text).
@@ -59,6 +65,10 @@ def sniff_format(payload) -> str:
             return "empty"
         if raw[:5] == b"%PDF-":
             return "pdf"
+        from extractor.imagecodec import sniff_image
+
+        if sniff_image(raw) is not None:
+            return "image"
         if raw[:4] == b"PK\x03\x04":
             try:
                 with zipfile.ZipFile(io.BytesIO(raw)) as zf:
@@ -148,6 +158,26 @@ def route_payload(
             out["extracted_text"] = (
                 text.replace("\r\n", "\n").replace("\r", "\n")
             )
+        elif fmt == "image":
+            # lossless containers decode for real (own stdlib PNG/BMP
+            # codecs); images carry no text — they route to the media
+            # side table (S6), here counted + validated only
+            from extractor.imagecodec import bmp_decode, png_decode, sniff_image
+
+            raw = (
+                payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
+            )
+            kind = sniff_image(raw)
+            if kind == "png":
+                png_decode(raw)  # raises on corrupt bytes → contained below
+            elif kind == "bmp":
+                bmp_decode(raw)
+            else:  # jpeg/gif: lossy/LZW codecs absent — honest boundary
+                raise NotImplementedError(
+                    "image codec for %s not available in this environment"
+                    % kind
+                )
+            out["images_count"] = 1
         else:  # zip / binary — no codec for this payload
             out["error"] = f"unsupported_format: {fmt}"
     except Exception as exc:  # containment of last resort, mirrors kernel

@@ -58,3 +58,130 @@ def test_frame_stride_plan(spark):
     for idxs in by_id.values():
         assert sorted(idxs) == idxs or sorted(idxs) == sorted(idxs)
         assert all(i % 10 == 0 for i in idxs)
+
+
+def test_real_png_bmp_payloads_decode_in_kernel(spark):
+    """REAL image bytes (own stdlib PNG/BMP codecs) flow through the same
+    Arrow feature kernel as the synthetic payloads; lossy formats (JPEG
+    magic) stay contained error rows — the honest codec boundary."""
+    import hashlib
+
+    from extractor.imagecodec import bmp_encode, png_encode
+
+    def px(n, seed):
+        h = hashlib.md5(seed.encode()).digest()
+        return (h * (n // len(h) + 1))[:n]
+
+    rows = [
+        (1, "image", bytearray(png_encode(8, 6, px(8 * 6 * 3, "rgb"), 2)),
+         {"width": 8, "height": 6, "format": "png", "n_bytes": 0}),
+        (2, "image", bytearray(png_encode(5, 5, px(25, "gray"), 0)),
+         {"width": 5, "height": 5, "format": "png", "n_bytes": 0}),
+        (3, "image", bytearray(bmp_encode(7, 3, px(7 * 3 * 3, "bmp"))),
+         {"width": 7, "height": 3, "format": "bmp", "n_bytes": 0}),
+        (4, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"),
+         {"width": 1, "height": 1, "format": "jpg", "n_bytes": 0}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert out[1]["error"] is None and (out[1]["width"], out[1]["height"]) == (8, 6)
+    assert out[2]["error"] is None and (out[2]["width"], out[2]["height"]) == (5, 5)
+    assert out[3]["error"] is None and (out[3]["width"], out[3]["height"]) == (7, 3)
+    assert len(out[1]["features"]) == mm.FEATURE_DIM
+    # decode is deterministic → features reproducible
+    again = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert again[1]["features"] == out[1]["features"]
+    # lossy codec: contained error row, not a batch failure
+    assert out[4]["error"] is not None and "codec" in out[4]["error"]
+    assert out[4]["features"] is None
+
+
+def test_imagecodec_roundtrips_and_foreign_fixture():
+    import base64
+    import random
+
+    import pytest
+
+    from extractor.imagecodec import (
+        bmp_decode,
+        bmp_encode,
+        png_decode,
+        png_encode,
+        sniff_image,
+    )
+
+    rnd = random.Random(5)
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for w, h in ((1, 1), (3, 2), (17, 9)):
+            px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+            for ft in (0, 2, 4):  # None / Up / Paeth row filters
+                blob = png_encode(w, h, px, color_type=ct, filter_type=ft)
+                assert sniff_image(blob) == "png"
+                assert png_decode(blob) == (w, h, ch, px)
+    # foreign writer: the widely-published 1x1 semi-transparent-red
+    # data-URI PNG — proves we read PNGs we didn't write
+    foreign = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    assert png_decode(foreign) == (1, 1, 4, b"\xff\x00\x00\x7f")
+    # BMP roundtrips across row-padding widths, incl. top-down storage
+    for w, h in ((1, 1), (2, 2), (5, 4), (33, 7)):
+        px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        blob = bmp_encode(w, h, px)
+        assert sniff_image(blob) == "bmp"
+        assert bmp_decode(blob) == (w, h, 3, px)
+    # corrupt bytes are ValueError (contained), unsupported shapes are
+    # NotImplementedError (honest scope) — never a silent wrong answer
+    good = png_encode(4, 4, bytes(48), 2)
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a bit inside IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad_crc))
+    with pytest.raises(ValueError):
+        png_decode(good[:20])
+    with pytest.raises(ValueError):
+        bmp_decode(b"BM short")
+    # 16-bit depth PNG: declared out of scope
+    deep = bytearray(good)
+    depth_at = deep.find(b"IHDR") + 4 + 8
+    deep[depth_at] = 16
+    import struct
+    import zlib as _z
+
+    body = bytes(deep[deep.find(b"IHDR") + 4 : deep.find(b"IHDR") + 17])
+    crc = struct.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    deep[deep.find(b"IHDR") + 17 : deep.find(b"IHDR") + 21] = crc
+    with pytest.raises(NotImplementedError, match="depth"):
+        png_decode(bytes(deep))
+
+
+def test_png_palette_expansion():
+    import struct
+    import zlib
+
+    from extractor.imagecodec import PNG_SIG, png_decode
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 paletted image: indices 0..3 → distinct RGB entries
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+    raw = b"\x00\x00\x01\x00\x02\x03"  # two rows, filter 0
+    blob = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(blob) == (
+        2, 2, 3,
+        bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9)),
+    )

@@ -106,9 +106,9 @@ def test_pdf_to_text_rejects_unsupported_filters():
     # lossy/image codecs stay out of scope
     with pytest.raises(NotImplementedError, match="DCTDecode"):
         pdf_to_text(_one_stream_pdf(b"/Filter /DCTDecode", b"BT x ET"))
-    with pytest.raises(NotImplementedError, match="ASCII85"):
+    with pytest.raises(NotImplementedError, match="CCITTFaxDecode"):
         pdf_to_text(
-            _one_stream_pdf(b"/Filter [/ASCII85Decode /FlateDecode]", b"BT ET")
+            _one_stream_pdf(b"/Filter [/ASCII85Decode /CCITTFaxDecode]", b"BT ET")
         )
     with pytest.raises(ValueError):
         pdf_to_text(b"not a pdf")
@@ -340,3 +340,89 @@ def test_layout_decodes_own_pdf_bytes():
     assert r.error is None
     assert r.n_pages == 1 and r.n_blocks == 3  # blank line emits no block
     assert r.text.split() == ["alpha", "beta", "gamma"]  # reading order
+
+
+def test_rle_codec_roundtrip_and_spec_shapes():
+    """RunLengthDecode (PDF 1.7 §7.4.5): literal chunks, ≥3-byte runs as
+    repeats, 128-byte chunk caps, EOD byte — plus random roundtrips."""
+    import random
+
+    from extractor.pdf import rle_decode, rle_encode
+
+    # spec framing: repeat of 130 zeros → two repeat chunks (128 + 2 → a
+    # 2-run is emitted literal), literal 'ab' → length byte 1
+    assert rle_encode(b"ab") == bytes([1]) + b"ab" + bytes([128])
+    assert rle_encode(b"A" * 3) == bytes([257 - 3, ord("A"), 128])
+    assert rle_decode(bytes([257 - 128]) + b"Z" + bytes([128])) == b"Z" * 128
+    for data in (b"", b"x", b"\x00" * 1000, b"A" * 129, b"AB" * 200):
+        assert rle_decode(rle_encode(data)) == data
+    rnd = random.Random(11)
+    for _ in range(100):
+        data = bytes(
+            rnd.choice((0, 255, rnd.randrange(256)))
+            for _ in range(rnd.randrange(0, 512))
+        )
+        assert rle_decode(rle_encode(data)) == data
+    import pytest
+
+    with pytest.raises(ValueError, match="corrupt"):
+        rle_decode(bytes([5]) + b"ab")  # short literal
+    with pytest.raises(ValueError, match="corrupt"):
+        rle_decode(bytes([200]))  # dangling repeat
+
+
+def test_a85_codec_roundtrip_and_leniency():
+    """ASCII85Decode: z shortcut, whitespace, missing ~> EOD tolerated."""
+    import random
+
+    from extractor.pdf import a85_decode, a85_encode
+
+    assert a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert a85_decode(b" z \n ") == b"\x00\x00\x00\x00"  # no EOD, spaces
+    rnd = random.Random(13)
+    for _ in range(100):
+        data = bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 256)))
+        assert a85_decode(a85_encode(data)) == data
+    import pytest
+
+    with pytest.raises(ValueError, match="corrupt"):
+        a85_decode(b"\x01\x02~>")
+
+
+def test_rle_a85_write_modes_roundtrip():
+    """The rle / a85 / chained a85-flate write modes all read back to the
+    identical line structure as the uncompressed render."""
+    from extractor.pdf import is_valid_pdf, pdf_to_text
+
+    t = "\n".join("line %d (%s) \\" % (i, "a" * (i % 120)) for i in range(300))
+    base = pdf_to_text(text_to_pdf_bytes(t))
+    for mode in ("rle", "a85", "a85-flate"):
+        b = text_to_pdf_bytes(t, stream_filter=mode)
+        assert is_valid_pdf(b)
+        assert b == text_to_pdf_bytes(t, stream_filter=mode)  # deterministic
+        assert pdf_to_text(b) == base
+
+
+def test_foreign_rle_a85_filter_streams_decode():
+    """Filter dicts our writer never emits: bare and chained forms."""
+    import zlib
+
+    from extractor.pdf import a85_encode, pdf_to_text, rle_encode
+
+    body = b"BT (mixed line) Tj ET"
+    pdf = _one_stream_pdf(b"/Filter /RunLengthDecode", rle_encode(body))
+    assert pdf_to_text(pdf) == [["mixed line"]]
+    pdf = _one_stream_pdf(b"/Filter /ASCII85Decode", a85_encode(body))
+    assert pdf_to_text(pdf) == [["mixed line"]]
+    # real-world chain: a85 wrapping flate
+    pdf = _one_stream_pdf(
+        b"/Filter [/ASCII85Decode /FlateDecode]",
+        a85_encode(zlib.compress(body)),
+    )
+    assert pdf_to_text(pdf) == [["mixed line"]]
+    # triple chain incl. RLE
+    pdf = _one_stream_pdf(
+        b"/Filter [/ASCII85Decode /RunLengthDecode /FlateDecode]",
+        a85_encode(rle_encode(zlib.compress(body))),
+    )
+    assert pdf_to_text(pdf) == [["mixed line"]]

@@ -25,7 +25,9 @@ from extractor.router import extract_any, route_payload, sniff_format
         (b"%PDF-1.4 junk", "pdf"),
         (text_to_pdf_bytes("hello"), "pdf"),
         (synth_docx_bytes(1), "docx"),
-        (b"\x89PNG\r\n\x1a\n\x00\x00", "binary"),
+        (b"\x89PNG\r\n\x1a\n\x00\x00", "image"),
+        (b"\xff\xd8\xff\xe0 jpeg-ish", "image"),
+        (b"GIF89a\x00\x00", "image"),
         (b"\xff\xfe\x00\x00 utf32-ish", "binary"),
         (b"<html><body>hi</body></html>", "html"),
         (b"  <!DOCTYPE html><p>x</p>", "html"),
@@ -137,3 +139,23 @@ def test_extract_any_map_only_plan_and_rows(spark):
     assert got[2]["extracted_text"] == "pdf body"
     assert got[3]["format"] == "text"
     assert got[4]["format"] == "empty" and got[4]["error"] == "empty_payload"
+
+
+def test_route_image_payloads():
+    """Lossless images decode for real and count as media; lossy codecs
+    become contained error rows; corrupt PNG bytes likewise."""
+    from extractor.imagecodec import bmp_encode, png_encode
+
+    out = route_payload(png_encode(4, 3, bytes(36), 2))
+    assert out["format"] == "image" and out["error"] is None
+    assert out["images_count"] == 1 and out["extracted_text"] is None
+    out = route_payload(bmp_encode(2, 2, bytes(12)))
+    assert out["format"] == "image" and out["error"] is None
+    assert out["images_count"] == 1
+    out = route_payload(b"\xff\xd8\xff\xe0 not a real jpeg")
+    assert out["format"] == "image"
+    assert out["error"] is not None and "codec" in out["error"]
+    good = bytearray(png_encode(4, 3, bytes(36), 2))
+    good[-5] ^= 0xFF  # corrupt a CRC
+    out = route_payload(bytes(good))
+    assert out["format"] == "image" and out["error"] is not None
