@@ -1,12 +1,14 @@
-"""Real image codecs, stdlib only: PNG (encode + decode) and BMP.
+"""Real image codecs, stdlib only: PNG, GIF, and BMP (encode + decode).
 
-Closes the lossless half of the multimodal decode boundary
+Closes the lossless image-decode boundary
 (``extractor/ops/multimodal.py``): PNG is zlib (stdlib) over per-row
 filters — the identical filter algorithm our PDF ``/Predictor`` codec
 already implements (``extractor.pdf.png_predict_decode``, PNG spec §6) —
-and BI_RGB BMP is plain pixel rows with 4-byte padding.  JPEG/WebP/AVIF
-stay out of scope (lossy DCT/entropy codecs need a real codec library)
-and keep raising ``NotImplementedError`` at the call site.
+GIF is palette + own LSB-first LZW (distinct from the MSB-first PDF/TIFF
+LZW in ``extractor/pdf.py``), and BI_RGB BMP is plain pixel rows with
+4-byte padding.  Only genuinely lossy codecs (JPEG/WebP/AVIF — DCT /
+entropy coding needing a real codec library) stay out of scope and keep
+raising ``NotImplementedError`` at the call site.
 
 Reference parity: the reference treats images as opaque files it copies
 and inventories (`app/core/html_processor.py:406-416`); decoding pixels
@@ -16,7 +18,8 @@ pure bytes→bytes function, so on Spark it rides inside the same Arrow
 
 Scope (honest): PNG bit depth 8, color types 0 (gray), 2 (RGB),
 3 (palette), 4 (gray+alpha), 6 (RGBA), interlace 0 (non-Adam7), ancillary
-chunks skipped, CRCs verified; BMP: uncompressed 24-bit BI_RGB,
+chunks skipped, CRCs verified; GIF 87a/89a first frame, global/local
+color tables, 4-pass interlace undone; BMP: uncompressed 24-bit BI_RGB,
 bottom-up or top-down.  Out-of-scope shapes raise ``NotImplementedError``
 (depths/interlace) or ``ValueError`` (corrupt bytes) — callers contain
 both as error rows (O4 semantics).
@@ -223,3 +226,206 @@ def sniff_image(payload: bytes) -> str | None:
     if head.startswith((b"GIF87a", b"GIF89a")):
         return "gif"
     return None
+
+
+# --- GIF (LZW, lossless) ----------------------------------------------------
+#
+# GIF87a/89a is palette + LZW — lossless and fully stdlib-decodable (the
+# LZW here is the LSB-first GIF convention, distinct from the MSB-first
+# PDF/TIFF codec in extractor/pdf.py).  First frame decoded; animation
+# frames beyond the first are out of scope (documented).
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Decode a GIF LZW stream (already de-sub-blocked): LSB-first bit
+    packing, initial width min_code_size+1, Clear=2^mcs, EOI=Clear+1,
+    width grows when the table fills 2^width, max code 4095."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt GIF LZW: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW: code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # missing EOI tolerated (seen in the wild)
+
+
+def _gif_lzw_encode_plain(indices: bytes, min_code_size: int) -> bytes:
+    """Deterministic 'uncompressed-style' GIF LZW encoder: every pixel is
+    emitted as its own literal code at fixed width min_code_size+1, with a
+    Clear code re-issued before the decoder's table would force a width
+    bump — the classic table-suppression technique (larger output, valid
+    stream, trivial to verify)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # decoder adds one table entry per data code after the first; reset
+    # before its table reaches 2^width so width never grows
+    budget = (1 << width) - (clear + 2) - 1
+    emit(clear)
+    since_clear = 0
+    for px in indices:
+        if px >= clear:
+            raise ValueError("pixel index %d exceeds palette" % px)
+        if since_clear >= budget:
+            emit(clear)
+            since_clear = 0
+        emit(px)
+        since_clear += 1
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Write a real single-frame GIF89a: *indices* are width×height
+    palette indices (top-down, non-interlaced), *palette* is RGB triples
+    (length a multiple of 3, ≤256 entries).  Byte-deterministic."""
+    n_colors = len(palette) // 3
+    if len(palette) % 3 or not 0 < n_colors <= 256:
+        raise ValueError("palette must be 1..256 RGB triples")
+    if len(indices) != width * height:
+        raise ValueError("index buffer size mismatch")
+    depth = max(1, (max(n_colors - 1, 1)).bit_length())  # GCT size exponent
+    gct_entries = 1 << depth
+    gct = palette + b"\x00" * ((gct_entries - n_colors) * 3)
+    mcs = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80 | ((depth - 1) & 7), 0, 0))  # GCT flag + size
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(mcs)
+    stream = _gif_lzw_encode_plain(indices, mcs)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame of a GIF87a/89a to ``(width, height, 3,
+    top-down RGB pixels)`` — own LSB-first LZW, local/global color
+    tables, Adam-style 4-pass interlace undone.  Multi-frame animations
+    decode to frame 1 (documented scope); structural damage raises
+    ``ValueError``."""
+    payload = bytes(payload)
+    if not payload.startswith((b"GIF87a", b"GIF89a")) or len(payload) < 13:
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (1 << ((packed & 7) + 1))
+        gct = payload[pos : pos + n]
+        if len(gct) != n:
+            raise ValueError("truncated GIF global color table")
+        pos += n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError("bad GIF block 0x%02x" % block)
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _l, _t, fw, fh = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        lct = gct
+        if ipacked & 0x80:
+            n = 3 * (1 << ((ipacked & 7) + 1))
+            lct = payload[pos : pos + n]
+            if len(lct) != n:
+                raise ValueError("truncated GIF local color table")
+            pos += n
+        if not lct:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF data")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError("bad GIF LZW min code size %d" % mcs)
+        stream = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            stream += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _gif_lzw_decode(bytes(stream), mcs)
+        if len(indices) < fw * fh:
+            raise ValueError(
+                "GIF frame decodes to %d px, want %d" % (len(indices), fw * fh)
+            )
+        indices = indices[: fw * fh]
+        if ipacked & 0x40:  # interlaced: undo the 4 passes (GIF89a §20)
+            rows = [b""] * fh
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, fh, step):
+                    rows[y] = indices[src : src + fw]
+                    src += fw
+            indices = b"".join(rows)
+        lut = [lct[i : i + 3] for i in range(0, len(lct), 3)]
+        try:
+            pixels = b"".join(lut[i] for i in indices)
+        except IndexError as exc:
+            raise ValueError("GIF index out of color-table range") from exc
+        return fw, fh, 3, pixels
+    raise ValueError("GIF contains no image frame")

@@ -97,13 +97,19 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload to ``(width, height, pixel_bytes)``.
 
     REAL for the lossless containers: PNG (all 8-bit color types, own
-    stdlib decoder — ``extractor.imagecodec.png_decode``) and 24-bit
-    BI_RGB BMP, byte-sniffed; also the self-describing synthetic
-    ``FAKEIMG|`` payloads used by the oracle-checked contract entries.
-    Lossy codecs (JPEG/GIF/WebP) remain the honest environment boundary —
-    they need a codec library (PIL/libjpeg) absent here and raise
-    ``NotImplementedError``; callers convert that to an error row."""
-    from extractor.imagecodec import bmp_decode, png_decode, sniff_image
+    stdlib decoder — ``extractor.imagecodec.png_decode``), GIF (own
+    LSB-first LZW, first frame), and 24-bit BI_RGB BMP, byte-sniffed;
+    also the self-describing synthetic ``FAKEIMG|`` payloads used by the
+    oracle-checked contract entries.  Lossy codecs (JPEG/WebP) remain the
+    honest environment boundary — they need a codec library (PIL/libjpeg)
+    absent here and raise ``NotImplementedError``; callers convert that
+    to an error row."""
+    from extractor.imagecodec import (
+        bmp_decode,
+        gif_decode,
+        png_decode,
+        sniff_image,
+    )
 
     if payload is None:
         raise ValueError("null payload")
@@ -115,12 +121,15 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     if kind == "png":
         w, h, _ch, pixels = png_decode(payload)
         return w, h, pixels
+    if kind == "gif":
+        w, h, _ch, pixels = gif_decode(payload)
+        return w, h, pixels
     if kind == "bmp":
         w, h, _ch, pixels = bmp_decode(payload)
         return w, h, pixels
     raise NotImplementedError(
         "image decoding for %r requires a codec library (PIL/libjpeg) "
-        "not available in this environment (PNG/BMP decode for real)"
+        "not available in this environment (PNG/GIF/BMP decode for real)"
         % (kind or "unrecognized bytes")
     )
 

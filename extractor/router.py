@@ -13,9 +13,9 @@ sniffs the *content*:
 * ``PK\\x03\\x04`` zip → DOCX      → stdlib OOXML reader
                                      (``extractor/docx.py``) → DOM kernel
 * JSON with "pages"  → layout doc → XY-cut linearizer
-* image magics       → image      → real stdlib PNG/BMP decode
+* image magics       → image      → real stdlib PNG/GIF/BMP decode
                                      (``extractor/imagecodec.py``);
-                                     JPEG/GIF → contained codec error
+                                     JPEG/WebP → contained codec error
 * markup tags        → HTML       → DOM kernel (``extractor/kernel.py``)
 * decodable utf-8    → plain text → passthrough (line-ending normalize)
 * anything else      → contained error row (never raises — the reference's
@@ -162,7 +162,12 @@ def route_payload(
             # lossless containers decode for real (own stdlib PNG/BMP
             # codecs); images carry no text — they route to the media
             # side table (S6), here counted + validated only
-            from extractor.imagecodec import bmp_decode, png_decode, sniff_image
+            from extractor.imagecodec import (
+                bmp_decode,
+                gif_decode,
+                png_decode,
+                sniff_image,
+            )
 
             raw = (
                 payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
@@ -170,9 +175,11 @@ def route_payload(
             kind = sniff_image(raw)
             if kind == "png":
                 png_decode(raw)  # raises on corrupt bytes → contained below
+            elif kind == "gif":
+                gif_decode(raw)
             elif kind == "bmp":
                 bmp_decode(raw)
-            else:  # jpeg/gif: lossy/LZW codecs absent — honest boundary
+            else:  # jpeg/webp: lossy codecs absent — honest boundary
                 raise NotImplementedError(
                     "image codec for %s not available in this environment"
                     % kind

@@ -185,3 +185,64 @@ def test_png_palette_expansion():
         2, 2, 3,
         bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9)),
     )
+
+
+def test_gif_codec_roundtrips_and_foreign_fixture():
+    import base64
+    import random
+
+    import pytest
+
+    from extractor.imagecodec import gif_decode, gif_encode, sniff_image
+
+    rnd = random.Random(3)
+    for w, h, nc in ((1, 1, 2), (3, 2, 4), (16, 16, 256), (40, 23, 17)):
+        pal = bytes(rnd.randrange(256) for _ in range(nc * 3))
+        idx = bytes(rnd.randrange(nc) for _ in range(w * h))
+        blob = gif_encode(w, h, idx, pal)
+        assert sniff_image(blob) == "gif"
+        assert blob == gif_encode(w, h, idx, pal)  # deterministic
+        want = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+        assert gif_decode(blob) == (w, h, 3, want)
+    # foreign writer: the famous 1x1 transparent-GIF data URI
+    g = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert gif_decode(g) == (1, 1, 3, b"\x00\x00\x00")
+    # interlaced frame: build one by reordering rows into the 4 passes
+    w, h, nc = 8, 11, 5
+    pal = bytes(range(nc * 3))
+    idx = bytes(rnd.randrange(nc) for _ in range(w * h))
+    plain = gif_encode(w, h, idx, pal)
+    rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+    passes = b"".join(
+        rows[y]
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for y in range(start, h, step)
+    )
+    inter = gif_encode(w, h, passes, pal)
+    # flip the interlace flag in the image descriptor (after 0x2C + 8)
+    at = inter.index(b"\x2c")
+    inter = inter[: at + 9] + bytes([inter[at + 9] | 0x40]) + inter[at + 10 :]
+    assert gif_decode(inter) == gif_decode(plain)
+    # containment
+    with pytest.raises(ValueError):
+        gif_decode(b"GIF89a\x00\x00")
+    with pytest.raises(ValueError):
+        gif_decode(gif_encode(2, 2, bytes(4), bytes(6))[:-6])
+
+
+def test_gif_payload_decodes_in_kernel(spark):
+    from extractor.imagecodec import gif_encode
+
+    pal = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    idx = bytes((0, 1, 2, 1, 0, 2) * 4)
+    rows = [
+        (10, "image", bytearray(gif_encode(6, 4, idx, pal)),
+         {"width": 6, "height": 4, "format": "gif", "n_bytes": 0}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.extract_features(media).collect()[0]
+    assert out["error"] is None
+    assert (out["width"], out["height"]) == (6, 4)
+    assert len(out["features"]) == mm.FEATURE_DIM
