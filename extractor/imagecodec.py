@@ -29,7 +29,7 @@ from __future__ import annotations
 import struct
 import zlib
 
-from extractor.pdf import png_predict_decode, png_predict_encode
+from extractor.pdf import png_predict_encode
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -79,18 +79,107 @@ def png_encode(
     )
 
 
+def _png_unfilter(raw: bytes, width: int, ch: int, depth: int) -> bytes:
+    """Undo PNG row filters for one sub-image at any legal bit depth.
+    Filtering operates on BYTES: bpp = max(1, ch*depth//8) (PNG spec
+    §6.2), so depths <8 unfilter with bpp=1 and depth 16 with bpp=2*ch.
+    Returns the raw (still bit-packed) scanline bytes, filter tags
+    stripped."""
+    rowbytes = (width * ch * depth + 7) // 8
+    bpp = max(1, (ch * depth) // 8)
+    out = bytearray()
+    prev = bytes(rowbytes)
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        ftype = raw[pos]
+        pos += 1
+        frow = raw[pos : pos + rowbytes]
+        pos += len(frow)
+        row = bytearray(len(frow))
+        for i, f in enumerate(frow):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i] if i < len(prev) else 0
+            c = prev[i - bpp] if i >= bpp and i - bpp < len(prev) else 0
+            if ftype == 0:
+                x = f
+            elif ftype == 1:
+                x = (f + a) & 0xFF
+            elif ftype == 2:
+                x = (f + b) & 0xFF
+            elif ftype == 3:
+                x = (f + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                x = (f + _png_paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError("bad PNG filter tag %d" % ftype)
+            row[i] = x
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_samples_to_bytes(
+    rows: bytes, width: int, height: int, ch: int, depth: int
+) -> bytes:
+    """Expand bit-packed scanlines to one byte per sample, scaled to the
+    8-bit range (spec sample scaling: replicate bits for <8; take the
+    high byte for 16 — the standard lossless-view downsample)."""
+    if depth == 8:
+        return rows
+    rowbytes = (width * ch * depth + 7) // 8
+    out = bytearray(width * height * ch)
+    di = 0
+    if depth == 16:
+        for y in range(height):
+            base = y * rowbytes
+            for s in range(width * ch):
+                out[di] = rows[base + 2 * s]  # high byte
+                di += 1
+        return bytes(out)
+    per_byte = 8 // depth
+    maxval = (1 << depth) - 1
+    for y in range(height):
+        base = y * rowbytes
+        for s in range(width * ch):
+            byte = rows[base + s // per_byte]
+            shift = 8 - depth * (s % per_byte + 1)
+            v = (byte >> shift) & maxval
+            out[di] = (v * 255) // maxval
+            di += 1
+    return bytes(out)
+
+
+# Adam7: (x_start, x_step, y_start, y_step) per pass (PNG spec §8)
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
 def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to ``(width, height, channels, pixels)`` — top-down
-    8-bit samples, palette rows expanded to RGB (channels=3).  CRCs are
-    verified; sub-8-bit depths, 16-bit depth, and Adam7 interlace raise
-    ``NotImplementedError`` (documented scope); structural damage raises
-    ``ValueError``."""
+    8-bit samples, palette rows expanded to RGB (channels=3).  Full
+    still-image spec: bit depths 1/2/4/8/16 (sub-8 bit-replicated to
+    8-bit, 16-bit high-byte), all five color types, Adam7 interlace,
+    CRCs verified, ancillary chunks skipped.  Structural damage raises
+    ``ValueError`` (callers contain it as an error row)."""
     payload = bytes(payload)
     if not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG payload")
     pos = len(PNG_SIG)
     n = len(payload)
-    width = height = color_type = None
+    width = height = color_type = depth = interlace = None
     idat = bytearray()
     palette = b""
     while pos + 8 <= n:
@@ -109,16 +198,16 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth != 8:
-                raise NotImplementedError(
-                    "png_decode: only bit depth 8 (got %d)" % depth
-                )
-            if interlace:
-                raise NotImplementedError("png_decode: Adam7 interlace")
-            if comp or filt:
-                raise ValueError("bad IHDR compression/filter method")
-            if color_type not in _PNG_CHANNELS:
+            legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+            if color_type not in legal:
                 raise ValueError("bad PNG color type %d" % color_type)
+            if depth not in legal[color_type]:
+                raise ValueError(
+                    "illegal depth %d for color type %d" % (depth, color_type)
+                )
+            if comp or filt or interlace not in (0, 1):
+                raise ValueError("bad IHDR compression/filter/interlace")
         elif tag == b"PLTE":
             palette = body
         elif tag == b"IDAT":
@@ -135,18 +224,47 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError("corrupt PNG IDAT: %s" % exc) from exc
-    if len(raw) != height * (1 + width * ch):
-        raise ValueError(
-            "PNG scanline data is %d bytes, want %d"
-            % (len(raw), height * (1 + width * ch))
-        )
-    pixels = png_predict_decode(raw, width, colors=ch)
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, reassembled
+        pixels = bytearray(width * height * ch)
+        at = 0
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            sub_len = ph * (1 + (pw * ch * depth + 7) // 8)
+            sub = raw[at : at + sub_len]
+            if len(sub) != sub_len:
+                raise ValueError("truncated Adam7 pass data")
+            at += sub_len
+            rows = _png_unfilter(sub, pw, ch, depth)
+            spx = _png_samples_to_bytes(rows, pw, ph, ch, depth)
+            for py in range(ph):
+                for px_ in range(pw):
+                    src = (py * pw + px_) * ch
+                    dst = ((y0 + py * ys) * width + (x0 + px_ * xs)) * ch
+                    pixels[dst : dst + ch] = spx[src : src + ch]
+        pixels = bytes(pixels)
+    else:
+        expected = height * (1 + (width * ch * depth + 7) // 8)
+        if len(raw) != expected:
+            raise ValueError(
+                "PNG scanline data is %d bytes, want %d" % (len(raw), expected)
+            )
+        rows = _png_unfilter(raw, width, ch, depth)
+        pixels = _png_samples_to_bytes(rows, width, height, ch, depth)
     if color_type == 3:
         if not palette or len(palette) % 3:
             raise ValueError("paletted PNG missing/odd PLTE")
         lut = [palette[i : i + 3] for i in range(0, len(palette), 3)]
+        # sub-8 palette indices were bit-replicated by the sample scaler;
+        # undo that scaling to recover the raw index
+        maxval = (1 << depth) - 1
         try:
-            pixels = b"".join(lut[i] for i in pixels)
+            pixels = b"".join(
+                lut[(v * maxval) // 255] for v in pixels
+            )
         except IndexError as exc:
             raise ValueError("palette index out of range") from exc
         ch = 3

@@ -142,17 +142,18 @@ def test_imagecodec_roundtrips_and_foreign_fixture():
         png_decode(good[:20])
     with pytest.raises(ValueError):
         bmp_decode(b"BM short")
-    # 16-bit depth PNG: declared out of scope
+    # spec-illegal depth/color-type combo (depth 3 doesn't exist):
+    # rejected as corrupt, with the CRC re-sealed so only the depth trips
     deep = bytearray(good)
     depth_at = deep.find(b"IHDR") + 4 + 8
-    deep[depth_at] = 16
+    deep[depth_at] = 3
     import struct
     import zlib as _z
 
     body = bytes(deep[deep.find(b"IHDR") + 4 : deep.find(b"IHDR") + 17])
     crc = struct.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
     deep[deep.find(b"IHDR") + 17 : deep.find(b"IHDR") + 21] = crc
-    with pytest.raises(NotImplementedError, match="depth"):
+    with pytest.raises(ValueError, match="illegal depth"):
         png_decode(bytes(deep))
 
 
@@ -246,3 +247,88 @@ def test_gif_payload_decodes_in_kernel(spark):
     assert out["error"] is None
     assert (out["width"], out["height"]) == (6, 4)
     assert len(out["features"]) == mm.FEATURE_DIM
+
+
+def test_png_full_spec_decode():
+    """Full still-image PNG spec: bit depths 1/4/16, sub-8 palette,
+    Adam7 interlace (incl. odd dims with empty passes) — hand-built
+    spec-conformant byte streams, decoded exactly."""
+    import random
+    import struct
+    import zlib
+
+    from extractor.imagecodec import _ADAM7, PNG_SIG, png_decode
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def blob(w, h, depth, ct, raw, extra=b"", interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+        return (
+            PNG_SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    rnd = random.Random(9)
+    # depth 1 grayscale, width 10 (crosses a byte boundary per row)
+    w, h = 10, 3
+    bits = [rnd.randrange(2) for _ in range(w * h)]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        row = bits[y * w : (y + 1) * w]
+        for b0 in range(0, w, 8):
+            byte = 0
+            for k, bit in enumerate(row[b0 : b0 + 8]):
+                byte |= bit << (7 - k)
+            raw.append(byte)
+    assert png_decode(blob(w, h, 1, 0, raw)) == (
+        w, h, 1, bytes(b * 255 for b in bits)
+    )
+    # depth-4 palette
+    w, h = 5, 2
+    idx = [rnd.randrange(16) for _ in range(w * h)]
+    pal = bytes(rnd.randrange(256) for _ in range(48))
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        row = idx[y * w : (y + 1) * w] + [0]
+        for s0 in range(0, w, 2):
+            raw.append((row[s0] << 4) | row[s0 + 1])
+    assert png_decode(blob(w, h, 4, 3, raw, extra=chunk(b"PLTE", pal))) == (
+        w, h, 3, b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    )
+    # depth 16 grayscale: high byte
+    w, h = 3, 2
+    samples = [rnd.randrange(65536) for _ in range(w * h)]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for s in samples[y * w : (y + 1) * w]:
+            raw += struct.pack(">H", s)
+    assert png_decode(blob(w, h, 16, 0, raw)) == (
+        w, h, 1, bytes(s >> 8 for s in samples)
+    )
+    # Adam7 RGB, square then odd dims (some passes empty)
+    for w, h, ch, ct in ((8, 8, 3, 2), (5, 3, 1, 0)):
+        full = [
+            [bytes(rnd.randrange(256) for _ in range(ch)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        raw = bytearray()
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            for py in range(ph):
+                raw.append(0)
+                for px_ in range(pw):
+                    raw += full[y0 + py * ys][x0 + px_ * xs]
+        assert png_decode(blob(w, h, 8, ct, raw, interlace=1)) == (
+            w, h, ch,
+            b"".join(full[y][x] for y in range(h) for x in range(w)),
+        )
