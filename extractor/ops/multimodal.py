@@ -171,6 +171,87 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio decode → fixed-dim RMS-energy profile, as an Arrow-batched
+    kernel — the audio twin of :func:`extract_features`.
+
+    REAL for PCM WAV (stdlib ``wave`` via ``extractor/audiocodec.py``,
+    8/16-bit, any channel layout — channels mixed down before binning);
+    the synthetic ``FAKEIMG|`` payloads decode through a deterministic
+    byte→sample view so the plumbing is exercised without codecs; MP3/
+    Ogg/FLAC raise into contained error rows (O4).  Same scale posture
+    as the image kernel: map-only, O(batch bytes), blob-heavy rows pair
+    with a low Arrow batch size."""
+
+    def kernel(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from extractor.audiocodec import wav_decode
+
+        for pdf in iterator:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    raw = bytes(payload)
+                    if raw.startswith(b"FAKEIMG|"):
+                        _, _w, _h, _fmt, body = raw.split(b"|", 4)
+                        arr = (
+                            np.frombuffer(body, dtype=np.uint8).astype(
+                                np.float32
+                            )
+                            - 128.0
+                        ) / 128.0
+                        nch, rate, nframes = 1, 16000, len(arr)
+                    else:
+                        nch, rate, nframes, arr = wav_decode(raw)
+                        if nch > 1:  # mono mixdown before binning
+                            arr = arr.reshape(-1, nch).mean(axis=1)
+                    pad = (-len(arr)) % FEATURE_DIM
+                    if pad:
+                        arr = np.pad(arr, (0, pad))
+                    rms = np.sqrt(
+                        (arr.reshape(FEATURE_DIM, -1) ** 2).mean(axis=1)
+                    )
+                    out.append(
+                        (
+                            media_id, nch, rate, nframes,
+                            [float(x) for x in rms], None,
+                        )
+                    )
+                except Exception as exc:
+                    out.append(
+                        (media_id, None, None, None, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_channels", "sample_rate", "n_frames",
+                    "features", "error",
+                ],
+            )
+
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+    )
+
+
 def resize_meta(media: DataFrame, max_side: int = 32) -> DataFrame:
     """Resize planning — pure metadata math, fully JVM-side: target dims
     preserving aspect ratio (the byte-level resample is the stubbed part)."""
