@@ -1,11 +1,14 @@
-"""Real image codecs, stdlib only: PNG, GIF, and BMP (encode + decode).
+"""Real image codecs, stdlib only: PNG, GIF, TIFF, and BMP (encode +
+decode).
 
 Closes the lossless image-decode boundary
 (``extractor/ops/multimodal.py``): PNG is zlib (stdlib) over per-row
 filters — the identical filter algorithm our PDF ``/Predictor`` codec
-already implements (``extractor.pdf.png_predict_decode``, PNG spec §6) —
-GIF is palette + own LSB-first LZW (distinct from the MSB-first PDF/TIFF
-LZW in ``extractor/pdf.py``), and BI_RGB BMP is plain pixel rows with
+already implements (``extractor.pdf``, PNG spec §6); GIF is palette +
+own LSB-first LZW (distinct from the MSB-first PDF/TIFF LZW in
+``extractor/pdf.py``); TIFF reuses the PDF machinery directly (TIFF LZW
+*is* ``/LZWDecode``, Predictor 2 is ``tiff_predict_decode``, PackBits is
+RunLength minus the EOD byte); BI_RGB BMP is plain pixel rows with
 4-byte padding.  Only genuinely lossy codecs (JPEG/WebP/AVIF — DCT /
 entropy coding needing a real codec library) stay out of scope and keep
 raising ``NotImplementedError`` at the call site.
@@ -16,13 +19,15 @@ is OUR extension (SURVEY §2 multimodal family).  Everything here is a
 pure bytes→bytes function, so on Spark it rides inside the same Arrow
 ``mapInPandas`` kernels as the fake-payload path — no new topology.
 
-Scope (honest): PNG bit depth 8, color types 0 (gray), 2 (RGB),
-3 (palette), 4 (gray+alpha), 6 (RGBA), interlace 0 (non-Adam7), ancillary
-chunks skipped, CRCs verified; GIF 87a/89a first frame, global/local
-color tables, 4-pass interlace undone; BMP: uncompressed 24-bit BI_RGB,
-bottom-up or top-down.  Out-of-scope shapes raise ``NotImplementedError``
-(depths/interlace) or ``ValueError`` (corrupt bytes) — callers contain
-both as error rows (O4 semantics).
+Scope (honest): PNG full still-image spec — bit depths 1/2/4/8/16, all
+five color types, Adam7 interlace, CRCs verified, ancillary chunks
+skipped; GIF 87a/89a first frame, global/local color tables, 4-pass
+interlace undone; TIFF baseline strips — none/PackBits/LZW (+Predictor
+2), gray/RGB/palette/WhiteIsZero, both byte orders, 8-bit samples
+(tiles, sub-8-bit, JPEG-in-TIFF raise); BMP: uncompressed 24-bit
+BI_RGB, bottom-up or top-down.  Out-of-scope shapes raise
+``NotImplementedError``; structural damage raises ``ValueError`` —
+callers contain both as error rows (O4 semantics).
 """
 from __future__ import annotations
 
@@ -331,18 +336,22 @@ def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def sniff_image(payload: bytes) -> str | None:
     """Byte-sniff the image container: 'png' | 'bmp' | 'jpeg' | 'gif' |
-    None (unrecognized)."""
+    'tiff' | 'webp' | None (unrecognized)."""
     if payload is None:
         return None
-    head = bytes(payload[:8])
+    head = bytes(payload[:12])
     if head.startswith(PNG_SIG):
         return "png"
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "webp"
     if head.startswith(b"BM"):
         return "bmp"
     if head.startswith(b"\xff\xd8\xff"):
         return "jpeg"
     if head.startswith((b"GIF87a", b"GIF89a")):
         return "gif"
+    if head.startswith((b"II*\x00", b"MM\x00*")):
+        return "tiff"
     return None
 
 
@@ -547,3 +556,236 @@ def gif_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("GIF index out of color-table range") from exc
         return fw, fh, 3, pixels
     raise ValueError("GIF contains no image frame")
+
+
+# --- TIFF (lossless subset) -------------------------------------------------
+#
+# TIFF 6.0 baseline is tag-directory plumbing over strips whose codecs we
+# ALREADY ship for PDF: TIFF LZW is byte-identical to /LZWDecode
+# (extractor.pdf.lzw_decode, MSB-first, EarlyChange) and Predictor 2 is
+# extractor.pdf.tiff_predict_decode.  PackBits differs from PDF RunLength
+# only in treating 0x80 as a no-op instead of EOD.
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (spec §9): n<128 → n+1 literals; n>128 → next byte
+    repeats 257-n times; n==128 → no-op.  Stops at *expected* bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            continue
+        if ln < 128:
+            chunk = data[i : i + ln + 1]
+            if len(chunk) != ln + 1:
+                raise ValueError("corrupt PackBits strip: short literal")
+            out += chunk
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("corrupt PackBits strip: dangling repeat")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out[:expected])
+
+
+def _tiff_read_ifd(payload: bytes, fmt: str, at: int) -> dict:
+    (count,) = struct.unpack_from(fmt + "H", payload, at)
+    entries = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    type_code = {1: "B", 3: "H", 4: "I"}
+    for k in range(count):
+        tag, typ, n = struct.unpack_from(fmt + "HHI", payload, at + 2 + 12 * k)
+        if typ not in type_size:
+            continue  # rationals etc. — not needed for the pixel path
+        total = type_size[typ] * n
+        if total <= 4:
+            off = at + 2 + 12 * k + 8
+        else:
+            (off,) = struct.unpack_from(fmt + "I", payload, at + 2 + 12 * k + 8)
+        if typ == 2:
+            entries[tag] = payload[off : off + n]
+        else:
+            entries[tag] = list(
+                struct.unpack_from(fmt + type_code[typ] * n, payload, off)
+            )
+    return entries
+
+
+def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline TIFF (first IFD) to ``(width, height, channels,
+    top-down 8-bit pixels)``.  Both byte orders; compressions none /
+    PackBits / LZW (+ horizontal Predictor 2); photometric WhiteIsZero /
+    BlackIsZero / RGB / palette (ColorMap expanded to RGB); 8-bit
+    samples, strip-organized.  Tiled, sub-8-bit, and JPEG-in-TIFF raise
+    ``NotImplementedError``; structural damage ``ValueError``."""
+    from extractor.pdf import lzw_decode, tiff_predict_decode
+
+    payload = bytes(payload)
+    if payload[:4] == b"II*\x00":
+        fmt = "<"
+    elif payload[:4] == b"MM\x00*":
+        fmt = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_at,) = struct.unpack_from(fmt + "I", payload, 4)
+    try:
+        tags = _tiff_read_ifd(payload, fmt, ifd_at)
+    except struct.error as exc:
+        raise ValueError("truncated TIFF IFD: %s" % exc) from exc
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    width = tags.get(256, [0])[0]
+    height = tags.get(257, [0])[0]
+    if not width or not height:
+        raise ValueError("TIFF missing dimensions")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("TIFF bits-per-sample %r" % bits)
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    rows_per_strip = tags.get(278, [height])[0] or height
+    rowlen = width * spp
+    data = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("truncated TIFF strip %d" % si)
+        nrows = min(rows_per_strip, height - si * rows_per_strip)
+        expected = nrows * rowlen
+        if comp == 1:
+            out = strip[:expected]
+            if len(out) != expected:
+                raise ValueError("short uncompressed TIFF strip %d" % si)
+        elif comp == 5:
+            out = lzw_decode(strip)[:expected]
+            if len(out) != expected:
+                raise ValueError("short LZW TIFF strip %d" % si)
+        elif comp == 32773:
+            out = _packbits_decode(strip, expected)
+            if len(out) != expected:
+                raise ValueError("short PackBits TIFF strip %d" % si)
+        else:
+            raise NotImplementedError("TIFF compression %d" % comp)
+        if predictor == 2:
+            out = tiff_predict_decode(out, width, colors=spp)
+        elif predictor != 1:
+            raise NotImplementedError("TIFF predictor %d" % predictor)
+        data += out
+    pixels = bytes(data)
+    if photo == 3:  # palette: ColorMap is 3 planes of 16-bit values
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("paletted TIFF missing 8-bit ColorMap")
+        lut = [
+            bytes((cmap[i] >> 8, cmap[256 + i] >> 8, cmap[512 + i] >> 8))
+            for i in range(256)
+        ]
+        return width, height, 3, b"".join(lut[v] for v in pixels)
+    if photo == 0:  # WhiteIsZero: invert to the BlackIsZero view
+        pixels = bytes(255 - v for v in pixels)
+    return width, height, spp, pixels
+
+
+def tiff_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    compression: str = "none",
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Write a baseline TIFF (8-bit gray or RGB; ``compression`` in
+    ``none|packbits|lzw``; either byte order; optional multi-strip
+    layout).  Deterministic — the roundtrip fixture for the decoder."""
+    from extractor.pdf import lzw_encode, rle_encode
+
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    fmt = "<" if byte_order == "II" else ">"
+    rps = rows_per_strip or height
+    rowlen = width * channels
+    strips = []
+    for y0 in range(0, height, rps):
+        chunk = pixels[y0 * rowlen : min(y0 + rps, height) * rowlen]
+        if compression == "none":
+            strips.append(chunk)
+        elif compression == "lzw":
+            strips.append(lzw_encode(chunk))
+        elif compression == "packbits":
+            enc = rle_encode(chunk)
+            strips.append(enc[:-1])  # PDF EOD byte is PackBits no-op; drop
+        else:
+            raise ValueError("unknown compression %r" % compression)
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    photo = 2 if channels == 3 else 1
+    n_strips = len(strips)
+
+    def entry(tag, typ, vals):
+        type_code = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        packed = struct.pack(fmt + type_code * len(vals), *vals)
+        return tag, typ, len(vals), packed, size
+
+    entries = [
+        entry(256, 4, [width]),
+        entry(257, 4, [height]),
+        entry(258, 3, [8] * channels),
+        entry(259, 3, [comp_tag]),
+        entry(262, 3, [photo]),
+        entry(273, 4, [0] * n_strips),  # offsets patched below
+        entry(277, 3, [channels]),
+        entry(278, 4, [rps]),
+        entry(279, 4, [len(s) for s in strips]),
+    ]
+    header = struct.pack(fmt + "2sHI", byte_order.encode(), 42, 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    # layout: header | IFD | overflow values | strips
+    overflow_at = 8 + ifd_size
+    overflow = bytearray()
+    fixed = []
+    for tag, typ, n, packed, size in entries:
+        if size <= 4:
+            fixed.append((tag, typ, n, packed.ljust(4, b"\x00")))
+        else:
+            fixed.append(
+                (tag, typ, n, struct.pack(fmt + "I", overflow_at + len(overflow)))
+            )
+            overflow += packed
+    strips_at = overflow_at + len(overflow)
+    strip_offsets = []
+    at = strips_at
+    for s in strips:
+        strip_offsets.append(at)
+        at += len(s)
+    # patch tag 273 (strip offsets) now that positions are known
+    for i, (tag, typ, n, val) in enumerate(fixed):
+        if tag == 273:
+            packed = struct.pack(fmt + "I" * n_strips, *strip_offsets)
+            if len(packed) <= 4:
+                fixed[i] = (tag, typ, n, packed.ljust(4, b"\x00"))
+            else:
+                # 273's overflow slot was reserved with the right size
+                off_entry = entries[5]
+                slot = struct.unpack(fmt + "I", val)[0]
+                overflow[
+                    slot - overflow_at : slot - overflow_at + len(packed)
+                ] = packed
+    out = bytearray(header)
+    out += struct.pack(fmt + "H", len(fixed))
+    for tag, typ, n, val in fixed:
+        out += struct.pack(fmt + "HHI", tag, typ, n) + val
+    out += struct.pack(fmt + "I", 0)  # next-IFD pointer
+    out += overflow
+    for s in strips:
+        out += s
+    return bytes(out)

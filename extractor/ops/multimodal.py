@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The *decode* step is REAL for lossless containers — PNG (own stdlib
-decoder, ``extractor/imagecodec.py``) and 24-bit BMP — and stubbed only
-for lossy codecs (JPEG/GIF/WebP need a codec library not present in this
-container; those raise ``NotImplementedError`` → contained error rows).
+The *decode* step is REAL for lossless containers — PNG/GIF/TIFF/BMP
+(own stdlib decoders, ``extractor/imagecodec.py``) and PCM WAV audio
+(``extractor/audiocodec.py``) — and stubbed only for lossy codecs
+(JPEG/WebP/MP3 need a codec library not present in this container;
+those raise ``NotImplementedError`` → contained error rows).
 Everything Spark-side is real and tested either way: the binary-column
 schema, the Arrow batch shape through ``mapInPandas`` (bytes round-trip),
 partition-size control for large blobs, and the feature-extraction output
@@ -98,7 +99,8 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
 
     REAL for the lossless containers: PNG (all 8-bit color types, own
     stdlib decoder — ``extractor.imagecodec.png_decode``), GIF (own
-    LSB-first LZW, first frame), and 24-bit BI_RGB BMP, byte-sniffed;
+    LSB-first LZW, first frame), baseline TIFF (none/PackBits/LZW
+    strips), and 24-bit BI_RGB BMP, byte-sniffed;
     also the self-describing synthetic ``FAKEIMG|`` payloads used by the
     oracle-checked contract entries.  Lossy codecs (JPEG/WebP) remain the
     honest environment boundary — they need a codec library (PIL/libjpeg)
@@ -109,6 +111,7 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
         gif_decode,
         png_decode,
         sniff_image,
+        tiff_decode,
     )
 
     if payload is None:
@@ -124,12 +127,15 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     if kind == "gif":
         w, h, _ch, pixels = gif_decode(payload)
         return w, h, pixels
+    if kind == "tiff":
+        w, h, _ch, pixels = tiff_decode(payload)
+        return w, h, pixels
     if kind == "bmp":
         w, h, _ch, pixels = bmp_decode(payload)
         return w, h, pixels
     raise NotImplementedError(
         "image decoding for %r requires a codec library (PIL/libjpeg) "
-        "not available in this environment (PNG/GIF/BMP decode for real)"
+        "not available in this environment (PNG/GIF/TIFF/BMP decode for real)"
         % (kind or "unrecognized bytes")
     )
 

@@ -13,7 +13,7 @@ sniffs the *content*:
 * ``PK\\x03\\x04`` zip → DOCX      → stdlib OOXML reader
                                      (``extractor/docx.py``) → DOM kernel
 * JSON with "pages"  → layout doc → XY-cut linearizer
-* image magics       → image      → real stdlib PNG/GIF/BMP decode
+* image magics       → image      → real stdlib PNG/GIF/TIFF/BMP decode
                                      (``extractor/imagecodec.py``);
                                      JPEG/WebP → contained codec error
 * markup tags        → HTML       → DOM kernel (``extractor/kernel.py``)
@@ -167,6 +167,7 @@ def route_payload(
                 gif_decode,
                 png_decode,
                 sniff_image,
+                tiff_decode,
             )
 
             raw = (
@@ -177,6 +178,8 @@ def route_payload(
                 png_decode(raw)  # raises on corrupt bytes → contained below
             elif kind == "gif":
                 gif_decode(raw)
+            elif kind == "tiff":
+                tiff_decode(raw)
             elif kind == "bmp":
                 bmp_decode(raw)
             else:  # jpeg/webp: lossy codecs absent — honest boundary

@@ -402,3 +402,85 @@ def test_extract_audio_features_kernel(spark):
     synth = mm.synth_media_df(spark, n=60)
     feats = mm.extract_audio_features(synth).collect()
     assert feats and all(r["error"] is None for r in feats)
+
+
+def test_tiff_codec_roundtrips_and_shapes():
+    import random
+
+    import pytest
+
+    from extractor.imagecodec import sniff_image, tiff_decode, tiff_encode
+
+    rnd = random.Random(21)
+    for ch in (1, 3):
+        for w, h in ((1, 1), (5, 4), (16, 11)):
+            px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+            for comp in ("none", "packbits", "lzw"):
+                for bo in ("II", "MM"):  # both byte orders
+                    for rps in (None, 3):  # single and multi strip
+                        blob = tiff_encode(w, h, px, ch, comp, bo, rps)
+                        assert sniff_image(blob) == "tiff"
+                        assert blob == tiff_encode(w, h, px, ch, comp, bo, rps)
+                        assert tiff_decode(blob) == (w, h, ch, px), (
+                            ch, w, h, comp, bo, rps,
+                        )
+    # containment + honest scope
+    with pytest.raises(ValueError):
+        tiff_decode(b"II*\x00\x08\x00\x00\x00")  # truncated IFD
+    with pytest.raises(ValueError):
+        tiff_decode(b"not tiff")
+    good = tiff_encode(4, 4, bytes(16), 1, "none")
+    with pytest.raises(NotImplementedError, match="compression"):
+        # patch the Compression SHORT (tag 259) to JPEG (7)
+        at = good.index(b"\x03\x01")  # tag 259 LE within the IFD
+        bad = good[: at + 8] + b"\x07\x00" + good[at + 10 :]
+        tiff_decode(bad)
+
+
+def test_tiff_palette_and_whiteiszero():
+    import struct
+
+    from extractor.imagecodec import tiff_decode, tiff_encode
+
+    # WhiteIsZero: flip photometric tag (262) on a grayscale image
+    px = bytes((0, 128, 255, 7))
+    blob = tiff_encode(2, 2, px, 1, "none")
+    at = blob.index(b"\x06\x01")  # tag 262 LE
+    wiz = blob[: at + 8] + b"\x00\x00" + blob[at + 10 :]
+    assert tiff_decode(wiz) == (2, 2, 1, bytes(255 - v for v in px))
+    # palette: photometric 3 + a ColorMap of 3x256 SHORTs appended
+    idx = bytes((0, 1, 2, 3))
+    base = tiff_encode(2, 2, idx, 1, "none")
+    # rebuild with an extra ColorMap tag is fiddly via the writer; decode
+    # path is exercised by hand-building the IFD in the foreign test below
+    cmap_vals = [(i * 257) for i in range(256)]  # identity map hi-byte=i
+    fmt = "<"
+    # hand-build: header | IFD(8 entries) | colormap | pixels
+    entries = []
+    def ent(tag, typ, vals, data_at=None):
+        code = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        if size <= 4:
+            val = struct.pack(fmt + code * len(vals), *vals).ljust(4, b"\x00")
+        else:
+            val = struct.pack(fmt + "I", data_at)
+        return struct.pack(fmt + "HHI", tag, typ, len(vals)) + val
+    n_entries = 9
+    ifd_at = 8
+    cmap_at = ifd_at + 2 + 12 * n_entries + 4
+    px_at = cmap_at + 2 * 3 * 256
+    ifd = b"".join([
+        ent(256, 4, [2]), ent(257, 4, [2]), ent(258, 3, [8]),
+        ent(259, 3, [1]), ent(262, 3, [3]), ent(273, 4, [px_at]),
+        ent(277, 3, [1]), ent(279, 4, [4]),
+        ent(320, 3, cmap_vals * 3, data_at=cmap_at),
+    ])
+    blob = (
+        struct.pack(fmt + "2sHI", b"II", 42, ifd_at)
+        + struct.pack(fmt + "H", n_entries) + ifd + struct.pack(fmt + "I", 0)
+        + struct.pack(fmt + "H" * 768, *(cmap_vals * 3))
+        + idx
+    )
+    w, h, ch, out = tiff_decode(blob)
+    assert (w, h, ch) == (2, 2, 3)
+    assert out == bytes(b for i in idx for b in (i, i, i))
