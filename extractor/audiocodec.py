@@ -73,6 +73,9 @@ def wav_decode(payload: bytes):
                 "environment" % exc
             ) from exc
         raise ValueError("corrupt WAV: %s" % exc) from exc
+    except (struct.error, EOFError, RuntimeError) as exc:
+        # stdlib wave leaks these on truncated/garbage RIFF chunk tables
+        raise ValueError("corrupt WAV: %s" % exc) from exc
     if comp != "NONE":
         raise NotImplementedError("compressed WAV (%s)" % comp)
     if width == 2:

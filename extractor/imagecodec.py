@@ -38,6 +38,28 @@ from extractor.pdf import png_predict_encode
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+
+def _contained(fn):
+    """Map low-level parse crashes (struct/zlib/index arithmetic on
+    garbage bytes) to ``ValueError`` so decoders keep the documented O4
+    contract: structural damage raises ``ValueError``, out-of-scope
+    shapes ``NotImplementedError``, nothing else escapes."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload, *args, **kwargs):
+        try:
+            return fn(payload, *args, **kwargs)
+        except (ValueError, NotImplementedError):
+            raise
+        except (struct.error, zlib.error, IndexError, OverflowError,
+                EOFError, KeyError) as exc:
+            raise ValueError(
+                "%s: corrupt payload: %s" % (fn.__name__, exc)
+            ) from exc
+
+    return wrapped
+
 # channels per PNG color type at bit depth 8
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -172,6 +194,7 @@ _ADAM7 = (
 )
 
 
+@_contained
 def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to ``(width, height, channels, pixels)`` — top-down
     8-bit samples, palette rows expanded to RGB (channels=3).  Full
@@ -297,6 +320,7 @@ def bmp_encode(width: int, height: int, pixels: bytes) -> bytes:
     return header + dib + data
 
 
+@_contained
 def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an uncompressed 24-bit BI_RGB BMP to ``(width, height, 3,
     top-down RGB pixels)``.  Negative height (top-down storage) handled;
@@ -478,6 +502,7 @@ def gif_encode(
     return bytes(out)
 
 
+@_contained
 def gif_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode the FIRST frame of a GIF87a/89a to ``(width, height, 3,
     top-down RGB pixels)`` — own LSB-first LZW, local/global color
@@ -614,6 +639,7 @@ def _tiff_read_ifd(payload: bytes, fmt: str, at: int) -> dict:
     return entries
 
 
+@_contained
 def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline TIFF (first IFD) to ``(width, height, channels,
     top-down 8-bit pixels)``.  Both byte orders; compressions none /
