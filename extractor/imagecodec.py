@@ -9,9 +9,10 @@ own LSB-first LZW (distinct from the MSB-first PDF/TIFF LZW in
 ``extractor/pdf.py``); TIFF reuses the PDF machinery directly (TIFF LZW
 *is* ``/LZWDecode``, Predictor 2 is ``tiff_predict_decode``, PackBits is
 RunLength minus the EOD byte); BI_RGB BMP is plain pixel rows with
-4-byte padding.  Only genuinely lossy codecs (JPEG/WebP/AVIF — DCT /
-entropy coding needing a real codec library) stay out of scope and keep
-raising ``NotImplementedError`` at the call site.
+4-byte padding.  Baseline-sequential JPEG lives in its own module
+(``extractor/jpegcodec.py`` — DCT + Huffman, stdlib + numpy); only
+WebP/AVIF and progressive JPEG stay out of scope and keep raising
+``NotImplementedError`` at the call site.
 
 Reference parity: the reference treats images as opaque files it copies
 and inventories (`app/core/html_processor.py:406-416`); decoding pixels

@@ -1,0 +1,615 @@
+"""Real baseline JPEG codec, stdlib + numpy only (encode + decode).
+
+Closes the last closable image-decode boundary: JPEG needs no external
+codec library — baseline sequential DCT (ITU T.81) is Huffman entropy
+coding over quantized 8x8 DCT blocks, all implementable with ``struct``
+bit-twiddling plus numpy for the transform math.  The DCT/IDCT, color
+transforms, and quantization are numpy-vectorized over ALL blocks at
+once; only the inherently serial Huffman bit stream is a Python loop.
+On Spark these are pure bytes->pixels functions riding the same Arrow
+``mapInPandas`` kernels as the lossless codecs (`extractor/imagecodec.py`)
+— no new topology, same O4 containment contract.
+
+Reference parity: the reference inventories images as opaque files
+(`app/core/html_processor.py:406-416`); pixel decode is OUR extension
+(SURVEY §2 multimodal family).
+
+Scope (honest): ENCODE — baseline sequential, 8-bit, grayscale or YCbCr
+4:4:4, Annex K quantization (IJG quality scaling) and Huffman tables,
+optional restart intervals.  DECODE — baseline/extended sequential
+(SOF0/SOF1), 8-bit, 1- or 3-component, ANY sampling factors (4:4:4,
+4:2:0, 4:2:2, 4:1:1, ...), custom DQT/DHT tables, restart markers,
+APPn/COM skipped.  Progressive (SOF2), arithmetic coding, hierarchical,
+12-bit, and CMYK stay out of scope and raise ``NotImplementedError``;
+structural damage raises ``ValueError`` — callers contain both as error
+rows (O4 semantics).
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from extractor.imagecodec import _contained
+
+# --- constants (ITU T.81 Annex K) -------------------------------------------
+
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# (BITS[1..16], HUFFVAL) — standard tables, T.81 Annex K.3
+_DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_LUMA_VALS = tuple(range(12))
+_DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_CHROMA_VALS = tuple(range(12))
+_AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_LUMA_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+_AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_AC_CHROMA_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+# orthonormal 8-point DCT-II matrix: block spectrum = M @ block @ M.T
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = np.sqrt(0.125) if _u == 0 else 0.5
+        _DCT_M[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+del _u, _x, _c
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (libjpeg convention)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _huff_encode_table(bits, vals):
+    """symbol -> (code, length) via canonical code assignment (T.81 C.2)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits, vals):
+    """Canonical decode tables: per length, (mincode, maxcode, val_index)."""
+    spans = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        spans.append((code, code + n - 1, k) if n else None)
+        code = (code + n) << 1
+        k += n
+    return spans, tuple(vals)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, appended bits) for a DC diff / AC coefficient (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def jpeg_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 90,
+    restart_interval: int = 0,
+) -> bytes:
+    """Write a real baseline-sequential JFIF JPEG.  *pixels* is top-down
+    ``height`` rows x ``width`` px x ``channels`` bytes (RGB or gray);
+    4:4:4 (no subsampling), Annex K quantization scaled to *quality*,
+    standard Huffman tables.  Deterministic."""
+    if channels not in (1, 3):
+        raise ValueError("jpeg_encode: channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            "pixel buffer is %d bytes, want %d (%dx%dx%d)"
+            % (len(pixels), width * height * channels, width, height, channels)
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError("bad dimensions")
+    ql, qc = _quality_tables(quality)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qtabs = [ql, qc, qc]
+    else:
+        planes = [img[..., 0]]
+        qtabs = [ql]
+
+    # pad to 8-multiples by edge replication, block-split, batch DCT
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    comp_coefs = []
+    for plane, qt in zip(planes, qtabs):
+        p = np.pad(
+            plane, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+        ) - 128.0
+        blocks = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        spec = np.einsum("ux,nxy,vy->nuv", _DCT_M, blocks, _DCT_M)
+        qmat = qt.reshape(8, 8).astype(np.float64)
+        comp_coefs.append(
+            np.round(spec / qmat).astype(np.int32).reshape(-1, 64)
+        )
+
+    dc_tabs = [_huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    ac_tabs = [_huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if channels == 3:
+        dc_tabs.append(_huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        ac_tabs.append(_huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    zz = np.array(ZIGZAG)
+
+    w = _BitWriter()
+    preds = [0] * channels
+    n_blocks = bw * bh
+    ri = int(restart_interval)
+    rst = 0
+    for bi in range(n_blocks):
+        if ri and bi and bi % ri == 0:
+            w.pad_to_byte()
+            w.out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            preds = [0] * channels
+        for ci in range(channels):
+            ti = 0 if ci == 0 else 1
+            dct, act = dc_tabs[ti], ac_tabs[ti]
+            coefs = comp_coefs[ci][bi][zz]
+            diff = int(coefs[0]) - preds[ci]
+            preds[ci] = int(coefs[0])
+            size, bits = _magnitude(diff)
+            code, length = dct[size]
+            w.write(code, length)
+            if size:
+                w.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(
+                coefs[1:]
+            ) else 0
+            for k in range(1, 64):
+                v = int(coefs[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = act[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = act[(run << 4) | size]
+                w.write(code, length)
+                w.write(bits, size)
+                run = 0
+                if k == last_nz:
+                    break
+            if last_nz < 63:
+                code, length = act[0x00]  # EOB
+                w.write(code, length)
+    w.pad_to_byte()
+
+    # --- marker framing ---
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_l = bytes(int(ql[i]) for i in ZIGZAG)
+    out += seg(0xFFDB, b"\x00" + zz_l)
+    if channels == 3:
+        zz_c = bytes(int(qc[i]) for i in ZIGZAG)
+        out += seg(0xFFDB, b"\x01" + zz_c)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        sof += bytes((ci + 1, 0x11, 0 if ci == 0 else 1))
+    out += seg(0xFFC0, sof)
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    )[: 2 * channels if channels == 3 else 2]:
+        out += seg(
+            0xFFC4, bytes(((cls << 4) | tid,)) + bytes(bits) + bytes(vals)
+        )
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
+    sos = bytes((channels,))
+    for ci in range(channels):
+        tid = 0 if ci == 0 else 1
+        sos += bytes((ci + 1, (tid << 4) | tid))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decode ------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-coded-segment reader: 0xFF00 unstuffing, RSTn awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # marker that ended the segment (0xD0-D7, D9...)
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG entropy data truncated at marker")
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated after 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                self.pos += 1
+                # spec: pad with 1-bits at segment end
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, spans_vals) -> int:
+        spans, vals = spans_vals
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sp = spans[length - 1]
+            if sp is not None and sp[0] <= code <= sp[1]:
+                return vals[sp[2] + code - sp[0]]
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Consume an expected RSTn boundary and resynchronize."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # marker not yet hit while filling: it must be next in stream
+            while self.pos + 1 < len(self.data):
+                if (
+                    self.data[self.pos] == 0xFF
+                    and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+                ):
+                    self.pos += 2
+                    return
+                self.pos += 1
+            raise ValueError("missing JPEG restart marker")
+        if not 0xD0 <= self.marker <= 0xD7:
+            raise ValueError("unexpected marker %#x in scan" % self.marker)
+        self.marker = None
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline/extended-sequential JPEG to ``(width, height,
+    channels, top-down 8-bit pixels)`` — RGB for 3-component YCbCr
+    (JFIF BT.601), gray for 1-component.  Any sampling factors; restart
+    markers; custom quant/Huffman tables.  Progressive / arithmetic /
+    12-bit raise ``NotImplementedError``; structural damage
+    ``ValueError``."""
+    payload = bytes(payload)
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple] = {}
+    comps = None  # list of (cid, h, v, tq)
+    width = height = None
+    restart = 0
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment at %d" % pos)
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI with no scan
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment %#x" % marker)
+        if marker == 0xDB:  # DQT
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0xF
+                at += 1
+                cnt = 64 * (2 if pq else 1)
+                raw = body[at : at + cnt]
+                if len(raw) != cnt:
+                    raise ValueError("truncated DQT")
+                vals = (
+                    np.frombuffer(raw, dtype=">u2")
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8)
+                ).astype(np.int32)
+                t = np.zeros(64, dtype=np.int32)
+                t[list(ZIGZAG)] = vals
+                qtabs[tq] = t
+                at += cnt
+        elif marker == 0xC4:  # DHT
+            at = 0
+            while at < len(body):
+                cls, tid = body[at] >> 4, body[at] & 0xF
+                bits = tuple(body[at + 1 : at + 17])
+                if len(bits) < 16:
+                    raise ValueError("truncated DHT")
+                cnt = sum(bits)
+                vals = tuple(body[at + 17 : at + 17 + cnt])
+                if len(vals) != cnt:
+                    raise ValueError("truncated DHT values")
+                htabs[(cls, tid)] = _huff_decode_table(bits, vals)
+                at += 17 + cnt
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
+            prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG precision %d" % prec)
+            if nc not in (1, 3):
+                raise NotImplementedError("JPEG with %d components" % nc)
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("JPEG SOF %#x variant" % marker)
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            pos += 2 + seglen
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if comps is None or scan is None or width is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan JPEG")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad JPEG sampling factors")
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    by_id = {c[0]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("scan references unknown component %d" % cs)
+        cid, h, v, tq = by_id[cs]
+        if tq not in qtabs:
+            raise ValueError("missing quant table %d" % tq)
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError("missing Huffman table")
+        order.append((cid, h, v, qtabs[tq], htabs[(0, td)], htabs[(1, ta)]))
+
+    # per-component coefficient stores (block grid covers all MCUs)
+    stores = [
+        np.zeros((mcus_y * v * mcus_x * h, 64), dtype=np.int32)
+        for (_cid, h, v, _q, _d, _a) in order
+    ]
+    grid_w = [mcus_x * h for (_cid, h, _v, _q, _d, _a) in order]
+
+    reader = _BitReader(payload, pos)
+    preds = [0] * len(order)
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_i and mcu_i % restart == 0:
+                reader.restart()
+                preds = [0] * len(order)
+            for ci, (_cid, h, v, _q, dtab, atab) in enumerate(order):
+                for bv in range(v):
+                    for bh_ in range(h):
+                        coefs = np.zeros(64, dtype=np.int32)
+                        size = reader.huff(dtab)
+                        if size > 11:
+                            raise ValueError("bad DC size %d" % size)
+                        diff = _extend(reader.bits(size), size)
+                        preds[ci] += diff
+                        coefs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(atab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            coefs[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        row = my * v + bv
+                        col = mx * h + bh_
+                        stores[ci][row * grid_w[ci] + col] = coefs
+            mcu_i += 1
+
+    # batch dequantize + IDCT + reassemble planes, then upsample
+    planes = []
+    for ci, (_cid, h, v, qt, _d, _a) in enumerate(order):
+        # de-zigzag then dequantize in natural order
+        nat = np.zeros((len(stores[ci]), 64), dtype=np.float64)
+        nat[:, list(ZIGZAG)] = stores[ci]
+        nat *= qt[np.newaxis, :].astype(np.float64)
+        blocks = nat.reshape(-1, 8, 8)
+        pix = np.einsum("xu,nuv,yv->nxy", _DCT_M.T, blocks, _DCT_M.T)
+        gh = mcus_y * v
+        gw = grid_w[ci]
+        plane = (
+            pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(
+                gh * 8, gw * 8
+            )
+            + 128.0
+        )
+        # upsample to full MCU-padded resolution then crop
+        ry, rx = vmax // v, hmax // h
+        if vmax % v or hmax % h:
+            raise ValueError("non-integer JPEG sampling ratio")
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, out.tobytes()
+
+
+jpeg_decode = _contained(jpeg_decode)

@@ -100,12 +100,13 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     REAL for the lossless containers: PNG (all 8-bit color types, own
     stdlib decoder — ``extractor.imagecodec.png_decode``), GIF (own
     LSB-first LZW, first frame), baseline TIFF (none/PackBits/LZW
-    strips), and 24-bit BI_RGB BMP, byte-sniffed;
-    also the self-describing synthetic ``FAKEIMG|`` payloads used by the
-    oracle-checked contract entries.  Lossy codecs (JPEG/WebP) remain the
-    honest environment boundary — they need a codec library (PIL/libjpeg)
-    absent here and raise ``NotImplementedError``; callers convert that
-    to an error row."""
+    strips), and 24-bit BI_RGB BMP — and for baseline-sequential JPEG
+    (own DCT+Huffman decoder, ``extractor.jpegcodec``, any sampling
+    factors incl. 4:2:0, validated against real libjpeg-encoded files),
+    all byte-sniffed; also the self-describing synthetic ``FAKEIMG|``
+    payloads used by the oracle-checked contract entries.  Progressive
+    JPEG and WebP/AVIF remain the honest boundary — they raise
+    ``NotImplementedError``; callers convert that to an error row."""
     from extractor.imagecodec import (
         bmp_decode,
         gif_decode,
@@ -113,6 +114,7 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
         sniff_image,
         tiff_decode,
     )
+    from extractor.jpegcodec import jpeg_decode
 
     if payload is None:
         raise ValueError("null payload")
@@ -133,9 +135,12 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     if kind == "bmp":
         w, h, _ch, pixels = bmp_decode(payload)
         return w, h, pixels
+    if kind == "jpeg":
+        w, h, _ch, pixels = jpeg_decode(payload)
+        return w, h, pixels
     raise NotImplementedError(
-        "image decoding for %r requires a codec library (PIL/libjpeg) "
-        "not available in this environment (PNG/GIF/TIFF/BMP decode for real)"
+        "image decoding for %r requires a codec library not available in "
+        "this environment (PNG/GIF/TIFF/BMP/baseline-JPEG decode for real)"
         % (kind or "unrecognized bytes")
     )
 

@@ -14,8 +14,9 @@ sniffs the *content*:
                                      (``extractor/docx.py``) → DOM kernel
 * JSON with "pages"  → layout doc → XY-cut linearizer
 * image magics       → image      → real stdlib PNG/GIF/TIFF/BMP decode
-                                     (``extractor/imagecodec.py``);
-                                     JPEG/WebP → contained codec error
+                                     (``extractor/imagecodec.py``) +
+                                     baseline JPEG (``jpegcodec.py``);
+                                     WebP/progressive → contained error
 * markup tags        → HTML       → DOM kernel (``extractor/kernel.py``)
 * decodable utf-8    → plain text → passthrough (line-ending normalize)
 * anything else      → contained error row (never raises — the reference's
@@ -182,7 +183,11 @@ def route_payload(
                 tiff_decode(raw)
             elif kind == "bmp":
                 bmp_decode(raw)
-            else:  # jpeg/webp: lossy codecs absent — honest boundary
+            elif kind == "jpeg":
+                from extractor.jpegcodec import jpeg_decode
+
+                jpeg_decode(raw)
+            else:  # webp/avif: codecs absent — honest boundary
                 raise NotImplementedError(
                     "image codec for %s not available in this environment"
                     % kind

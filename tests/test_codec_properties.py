@@ -201,6 +201,7 @@ def test_codec_decoders_never_crash_on_garbage(data):
         png_decode,
         tiff_decode,
     )
+    from extractor.jpegcodec import jpeg_decode
 
     for decode, magic in (
         (png_decode, PNG_SIG),
@@ -208,6 +209,7 @@ def test_codec_decoders_never_crash_on_garbage(data):
         (tiff_decode, b"II*\x00"),
         (tiff_decode, b"MM\x00*"),
         (bmp_decode, b"BM"),
+        (jpeg_decode, b"\xff\xd8\xff\xe0"),
         (wav_decode, b"RIFF\x24\x00\x00\x00WAVE"),
     ):
         for payload in (data, magic + data):

@@ -1,0 +1,121 @@
+"""Baseline JPEG codec: roundtrip bounds, real-encoder files, containment.
+
+The codec is LOSSY, so roundtrips assert error BOUNDS (tight at high
+quality on smooth content, exact on constant blocks), not equality.
+Real-world files written by libjpeg (shipped inside the Python and
+Spark installs in this container) pin spec compliance — sampling
+factors, custom tables, APPn skipping — independent of our encoder.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from extractor.jpegcodec import jpeg_decode, jpeg_encode
+
+
+def _err(a: bytes, b: bytes) -> int:
+    return int(
+        np.abs(
+            np.frombuffer(a, np.uint8).astype(int)
+            - np.frombuffer(b, np.uint8).astype(int)
+        ).max()
+    )
+
+
+def test_constant_color_roundtrips_exactly():
+    px = bytes([120, 60, 200]) * (16 * 16)
+    w, h, c, out = jpeg_decode(jpeg_encode(16, 16, px, 3, quality=95))
+    assert (w, h, c) == (16, 16, 3)
+    assert _err(px, out) == 0
+
+
+def test_gray_constant_roundtrips_exactly():
+    px = bytes([77]) * (24 * 8)
+    w, h, c, out = jpeg_decode(jpeg_encode(24, 8, px, 1, quality=90))
+    assert (w, h, c) == (24, 8, 1)
+    assert _err(px, out) == 0
+
+
+def test_smooth_gradient_tight_bound():
+    w, h = 40, 24
+    img = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (x * 6, y * 10, (x + y) * 3)
+    _, _, _, out = jpeg_decode(jpeg_encode(w, h, img.tobytes(), 3, 95))
+    assert _err(img.tobytes(), out) <= 4
+
+
+def test_restart_interval_roundtrip():
+    w, h = 33, 17  # 5x3 blocks -> restarts mid-row and mid-image
+    px = bytes((x * 13 + y * 7) % 256 for y in range(h) for x in range(w))
+    blob = jpeg_encode(w, h, px, 1, quality=92, restart_interval=2)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+    W, H, C, out = jpeg_decode(blob)
+    assert (W, H, C) == (w, h, 1)
+    assert _err(px, out) <= 24  # noisy content at q92, bounded
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.sampled_from([1, 3]),
+    st.integers(min_value=0, max_value=255),
+)
+def test_any_shape_constant_named_quality(w, h, ch, v):
+    """Constant images roundtrip near-exactly at ANY non-multiple-of-8
+    shape (edge-replication padding never bleeds into the crop)."""
+    px = bytes([v]) * (w * h * ch)
+    W, H, C, out = jpeg_decode(jpeg_encode(w, h, px, ch, quality=95))
+    assert (W, H, C) == (w, h, ch)
+    assert _err(px, out) <= 1
+
+
+_REAL_FILES = [
+    # (path, w, h, channels) — written by real encoders (libjpeg)
+    (
+        "/root/.pyenv/versions/3.11.7/lib/python3.11/test/imghdrdata/"
+        "python.jpg",
+        16, 16, 3,
+    ),
+    (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/chr30.4.184.jpg",  # 4:2:0 subsampled
+        300, 215, 3,
+    ),
+]
+
+
+@pytest.mark.parametrize("path,w,h,c", _REAL_FILES)
+def test_decodes_real_libjpeg_files(path, w, h, c):
+    if not os.path.exists(path):
+        pytest.skip("container fixture not present")
+    W, H, C, px = jpeg_decode(open(path, "rb").read())
+    assert (W, H, C) == (w, h, c)
+    arr = np.frombuffer(px, np.uint8)
+    assert len(arr) == w * h * c
+    assert arr.std() > 5  # real image content, not a flat artifact
+
+
+def test_progressive_raises_not_implemented():
+    # minimal SOF2 frame header after SOI
+    blob = (
+        b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(blob)
+
+
+def test_roundtrip_through_multimodal_dispatch():
+    from extractor.ops.multimodal import decode_payload
+
+    px = bytes([10, 200, 30]) * (8 * 8)
+    w, h, body = decode_payload(jpeg_encode(8, 8, px, 3, quality=95))
+    assert (w, h) == (8, 8)
+    assert _err(px, body) <= 1

@@ -61,12 +61,14 @@ def test_frame_stride_plan(spark):
 
 
 def test_real_png_bmp_payloads_decode_in_kernel(spark):
-    """REAL image bytes (own stdlib PNG/BMP codecs) flow through the same
-    Arrow feature kernel as the synthetic payloads; lossy formats (JPEG
-    magic) stay contained error rows — the honest codec boundary."""
+    """REAL image bytes (own stdlib PNG/BMP/JPEG codecs) flow through the
+    same Arrow feature kernel as the synthetic payloads; corrupt bytes
+    stay contained error rows — per-row containment, never batch
+    failure."""
     import hashlib
 
     from extractor.imagecodec import bmp_encode, png_encode
+    from extractor.jpegcodec import jpeg_encode
 
     def px(n, seed):
         h = hashlib.md5(seed.encode()).digest()
@@ -81,6 +83,9 @@ def test_real_png_bmp_payloads_decode_in_kernel(spark):
          {"width": 7, "height": 3, "format": "bmp", "n_bytes": 0}),
         (4, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"),
          {"width": 1, "height": 1, "format": "jpg", "n_bytes": 0}),
+        (5, "image",
+         bytearray(jpeg_encode(6, 4, bytes([90, 150, 30]) * 24, 3, 95)),
+         {"width": 6, "height": 4, "format": "jpg", "n_bytes": 0}),
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in mm.extract_features(media).collect()}
@@ -91,9 +96,12 @@ def test_real_png_bmp_payloads_decode_in_kernel(spark):
     # decode is deterministic → features reproducible
     again = {r["media_id"]: r for r in mm.extract_features(media).collect()}
     assert again[1]["features"] == out[1]["features"]
-    # lossy codec: contained error row, not a batch failure
-    assert out[4]["error"] is not None and "codec" in out[4]["error"]
+    # corrupt bytes: contained error row, not a batch failure
+    assert out[4]["error"] is not None and "JPEG" in out[4]["error"]
     assert out[4]["features"] is None
+    # real baseline JPEG decodes in-kernel
+    assert out[5]["error"] is None
+    assert (out[5]["width"], out[5]["height"]) == (6, 4)
 
 
 def test_imagecodec_roundtrips_and_foreign_fixture():

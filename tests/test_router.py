@@ -142,9 +142,10 @@ def test_extract_any_map_only_plan_and_rows(spark):
 
 
 def test_route_image_payloads():
-    """Lossless images decode for real and count as media; lossy codecs
-    become contained error rows; corrupt PNG bytes likewise."""
+    """Images decode for real (PNG/BMP/baseline JPEG) and count as
+    media; corrupt bytes become contained error rows."""
     from extractor.imagecodec import bmp_encode, png_encode
+    from extractor.jpegcodec import jpeg_encode
 
     out = route_payload(png_encode(4, 3, bytes(36), 2))
     assert out["format"] == "image" and out["error"] is None
@@ -152,9 +153,12 @@ def test_route_image_payloads():
     out = route_payload(bmp_encode(2, 2, bytes(12)))
     assert out["format"] == "image" and out["error"] is None
     assert out["images_count"] == 1
+    out = route_payload(jpeg_encode(4, 3, bytes(36), 3, 90))
+    assert out["format"] == "image" and out["error"] is None
+    assert out["images_count"] == 1
     out = route_payload(b"\xff\xd8\xff\xe0 not a real jpeg")
     assert out["format"] == "image"
-    assert out["error"] is not None and "codec" in out["error"]
+    assert out["error"] is not None and "JPEG" in out["error"]
     good = bytearray(png_encode(4, 3, bytes(36), 2))
     good[-5] ^= 0xFF  # corrupt a CRC
     out = route_payload(bytes(good))
