@@ -11,7 +11,7 @@ own LSB-first LZW (distinct from the MSB-first PDF/TIFF LZW in
 RunLength minus the EOD byte); BI_RGB BMP is plain pixel rows with
 4-byte padding.  Baseline-sequential JPEG lives in its own module
 (``extractor/jpegcodec.py`` — DCT + Huffman, stdlib + numpy); only
-WebP/AVIF and progressive JPEG stay out of scope and keep raising
+WebP/AVIF and arithmetic-coded JPEG stay out of scope and keep raising
 ``NotImplementedError`` at the call site.
 
 Reference parity: the reference treats images as opaque files it copies

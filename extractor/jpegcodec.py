@@ -1,10 +1,10 @@
-"""Real baseline JPEG codec, stdlib + numpy only (encode + decode).
+"""Real JPEG codec, stdlib + numpy only (encode + full decode).
 
 Closes the last closable image-decode boundary: JPEG needs no external
-codec library — baseline sequential DCT (ITU T.81) is Huffman entropy
-coding over quantized 8x8 DCT blocks, all implementable with ``struct``
+codec library — DCT-mode JPEG (ITU T.81) is Huffman entropy coding over
+quantized 8x8 DCT blocks, all implementable with ``struct``
 bit-twiddling plus numpy for the transform math.  The DCT/IDCT, color
-transforms, and quantization are numpy-vectorized over ALL blocks at
+transforms, and dequantization are numpy-vectorized over ALL blocks at
 once; only the inherently serial Huffman bit stream is a Python loop.
 On Spark these are pure bytes->pixels functions riding the same Arrow
 ``mapInPandas`` kernels as the lossless codecs (`extractor/imagecodec.py`)
@@ -16,13 +16,16 @@ Reference parity: the reference inventories images as opaque files
 
 Scope (honest): ENCODE — baseline sequential, 8-bit, grayscale or YCbCr
 4:4:4, Annex K quantization (IJG quality scaling) and Huffman tables,
-optional restart intervals.  DECODE — baseline/extended sequential
-(SOF0/SOF1), 8-bit, 1- or 3-component, ANY sampling factors (4:4:4,
-4:2:0, 4:2:2, 4:1:1, ...), custom DQT/DHT tables, restart markers,
-APPn/COM skipped.  Progressive (SOF2), arithmetic coding, hierarchical,
-12-bit, and CMYK stay out of scope and raise ``NotImplementedError``;
-structural damage raises ``ValueError`` — callers contain both as error
-rows (O4 semantics).
+optional restart intervals.  DECODE — baseline, extended sequential,
+AND progressive (SOF0/SOF1/SOF2; multi-scan spectral selection +
+successive approximation with EOB runs, T.81 §G), 8-bit, 1- or
+3-component, ANY sampling factors (4:4:4, 4:2:0, 4:2:2, 4:1:1, ...),
+non-interleaved sequential multi-scan, custom DQT/DHT tables, restart
+markers, APPn/COM skipped — validated against real libjpeg-encoded
+files (both sequential and progressive).  Arithmetic coding,
+hierarchical, lossless-mode, 12-bit, and CMYK stay out of scope and
+raise ``NotImplementedError``; structural damage raises ``ValueError``
+— callers contain both as error rows (O4 semantics).
 """
 from __future__ import annotations
 
@@ -350,6 +353,7 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         self.marker = None  # marker that ended the segment (0xD0-D7, D9...)
+        self.marker_at = None  # byte offset of that marker's 0xFF
 
     def _fill(self) -> None:
         if self.marker is not None:
@@ -366,6 +370,7 @@ class _BitReader:
                 self.pos += 1
             else:
                 self.marker = nxt
+                self.marker_at = self.pos - 1
                 self.pos += 1
                 # spec: pad with 1-bits at segment end
                 self.acc = (self.acc << 8) | 0xFF
@@ -410,6 +415,22 @@ class _BitReader:
         if not 0xD0 <= self.marker <= 0xD7:
             raise ValueError("unexpected marker %#x in scan" % self.marker)
         self.marker = None
+        self.marker_at = None
+
+    def resume_pos(self) -> int:
+        """Byte offset where segment parsing resumes after this scan."""
+        if self.marker is not None:
+            return self.marker_at
+        # scan forward for the next marker (skipping stuffed FF00 pairs
+        # and FF fill bytes)
+        p = self.pos
+        data = self.data
+        n = len(data)
+        while p + 1 < n:
+            if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+                return p
+            p += 1
+        raise ValueError("JPEG scan not followed by a marker")
 
 
 def _extend(bits: int, size: int) -> int:
@@ -418,13 +439,211 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _decode_block_sequential(reader, coefs, dtab, atab, preds, ci):
+    """One full-precision 8x8 block (baseline/extended sequential):
+    DC diff + AC run-length, all 64 coefficients in one scan."""
+    size = reader.huff(dtab)
+    if size > 15:
+        raise ValueError("bad DC size %d" % size)
+    preds[ci] += _extend(reader.bits(size), size)
+    coefs[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = reader.huff(atab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        coefs[k] = _extend(reader.bits(s), s)
+        k += 1
+
+
+class _ScanState:
+    """Mutable entropy state shared across one scan's blocks."""
+
+    __slots__ = ("preds", "eobrun")
+
+    def __init__(self, ncomp):
+        self.preds = [0] * ncomp
+        self.eobrun = 0
+
+    def reset(self):
+        self.preds = [0] * len(self.preds)
+        self.eobrun = 0
+
+
+def _decode_block_progressive(reader, coefs, dtab, atab, st, ci,
+                              ss, se, ah, al):
+    """One block of ONE progressive scan (T.81 G.1.2): DC first /
+    DC refine / AC first / AC refine, selected by (ss, ah)."""
+    if ss == 0:  # DC scan
+        if ah == 0:
+            size = reader.huff(dtab)
+            if size > 15:
+                raise ValueError("bad DC size %d" % size)
+            st.preds[ci] += _extend(reader.bits(size), size)
+            coefs[0] = st.preds[ci] << al
+        else:  # refinement: append one magnitude bit
+            if reader.bits(1):
+                coefs[0] |= 1 << al
+        return
+    # AC scans (single component, enforced by caller)
+    if ah == 0:  # AC first
+        if st.eobrun > 0:
+            st.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.huff(atab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    st.eobrun = (1 << r) - 1
+                    if r:
+                        st.eobrun += reader.bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows spectral band")
+            coefs[k] = _extend(reader.bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (T.81 G.1.2.3 / the classic correction-bit walk)
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if st.eobrun == 0:
+        while k <= se:
+            rs = reader.huff(atab)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += reader.bits(r)
+                    break
+                # r == 15: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement size %d" % s)
+                newval = p1 if reader.bits(1) else m1
+            while k <= se:
+                c = int(coefs[k])
+                if c != 0:
+                    if reader.bits(1) and (c & p1) == 0:
+                        coefs[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refinement overflows band")
+                coefs[k] = newval
+            k += 1
+    if st.eobrun > 0:
+        while k <= se:
+            c = int(coefs[k])
+            if c != 0:
+                if reader.bits(1) and (c & p1) == 0:
+                    coefs[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        st.eobrun -= 1
+
+
+def _decode_scan(payload, pos, frame, geom, htabs, scan_comps,
+                 ss, se, ah, al, restart):
+    """Entropy-decode one scan into the per-component coefficient
+    stores; returns the byte offset of the next marker."""
+    progressive = frame["progressive"]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("interleaved progressive AC scan")
+    mcus_x, mcus_y, hmax, vmax = geom["mcus"]
+    by_id = {c[0]: c for c in frame["comps"]}
+    order = []
+    for cs, td, ta in scan_comps:
+        if cs not in by_id:
+            raise ValueError("scan references unknown component %d" % cs)
+        cid, h, v, _tq = by_id[cs]
+        dtab = htabs.get((0, td))
+        atab = htabs.get((1, ta))
+        need_dc = not progressive or ss == 0
+        need_ac = not progressive or ss > 0 or se > 0
+        if progressive and ah > 0 and ss == 0:
+            need_dc = False  # DC refinement reads raw bits only
+        if (need_dc and dtab is None) or (need_ac and atab is None):
+            raise ValueError("missing Huffman table")
+        order.append((cid, h, v, dtab, atab))
+
+    interleaved = len(order) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        _cid, h, v, _d, _a = order[0]
+        nb_w = (-(-frame["width"] * h // hmax) + 7) // 8
+        nb_h = (-(-frame["height"] * v // vmax) + 7) // 8
+        n_units = nb_w * nb_h
+
+    reader = _BitReader(payload, pos)
+    st = _ScanState(len(order))
+    stores = geom["stores"]
+    grid_w = geom["grid_w"]
+    for ui in range(n_units):
+        if restart and ui and ui % restart == 0:
+            reader.restart()
+            st.reset()
+        if interleaved:
+            my, mx = divmod(ui, mcus_x)
+            for ci, (cid, h, v, dtab, atab) in enumerate(order):
+                for bv in range(v):
+                    for bh_ in range(h):
+                        row = my * v + bv
+                        col = mx * h + bh_
+                        coefs = stores[cid][row * grid_w[cid] + col]
+                        if progressive:
+                            _decode_block_progressive(
+                                reader, coefs, dtab, atab, st, ci,
+                                ss, se, ah, al,
+                            )
+                        else:
+                            _decode_block_sequential(
+                                reader, coefs, dtab, atab, st.preds, ci
+                            )
+        else:
+            cid, h, v, dtab, atab = order[0]
+            row, col = divmod(ui, nb_w)
+            coefs = stores[cid][row * grid_w[cid] + col]
+            if progressive:
+                _decode_block_progressive(
+                    reader, coefs, dtab, atab, st, 0, ss, se, ah, al
+                )
+            else:
+                _decode_block_sequential(
+                    reader, coefs, dtab, atab, st.preds, 0
+                )
+    return reader.resume_pos()
+
+
 def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline/extended-sequential JPEG to ``(width, height,
-    channels, top-down 8-bit pixels)`` — RGB for 3-component YCbCr
-    (JFIF BT.601), gray for 1-component.  Any sampling factors; restart
-    markers; custom quant/Huffman tables.  Progressive / arithmetic /
-    12-bit raise ``NotImplementedError``; structural damage
-    ``ValueError``."""
+    """Decode a JPEG to ``(width, height, channels, top-down 8-bit
+    pixels)`` — RGB for 3-component YCbCr (JFIF BT.601), gray for
+    1-component.  Baseline, extended sequential, AND progressive
+    (SOF0/1/2): any sampling factors, multi-scan spectral selection +
+    successive approximation, EOB runs, restart markers, custom
+    quant/Huffman tables.  Arithmetic coding / hierarchical / 12-bit
+    raise ``NotImplementedError``; structural damage ``ValueError``."""
     payload = bytes(payload)
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
@@ -432,19 +651,24 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     n = len(payload)
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple] = {}
-    comps = None  # list of (cid, h, v, tq)
-    width = height = None
+    frame = None
+    geom = None
     restart = 0
-    scan = None
-    while pos + 4 <= n:
+    saw_scan = False
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment at %d" % pos)
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI with no scan
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
             break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -463,9 +687,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                     if pq
                     else np.frombuffer(raw, dtype=np.uint8)
                 ).astype(np.int32)
-                t = np.zeros(64, dtype=np.int32)
-                t[list(ZIGZAG)] = vals
-                qtabs[tq] = t
+                qtabs[tq] = vals.copy()  # zigzag order, like the stores
                 at += cnt
         elif marker == 0xC4:  # DHT
             at = 0
@@ -480,119 +702,92 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("truncated DHT values")
                 htabs[(cls, tid)] = _huff_decode_table(bits, vals)
                 at += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            if frame is not None:
+                raise ValueError("multiple JPEG frames")
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG precision %d" % prec)
             if nc not in (1, 3):
                 raise NotImplementedError("JPEG with %d components" % nc)
+            if width == 0 or height == 0:
+                raise ValueError("bad JPEG dimensions")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+                h, v = hv >> 4, hv & 0xF
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError("bad JPEG sampling factors")
+                comps.append((cid, h, v, tq))
+            frame = {
+                "width": width, "height": height, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            geom = {
+                "mcus": (mcus_x, mcus_y, hmax, vmax),
+                "stores": {
+                    cid: np.zeros((mcus_y * v * mcus_x * h, 64),
+                                  dtype=np.int32)
+                    for cid, h, v, _tq in comps
+                },
+                "grid_w": {cid: mcus_x * h for cid, h, _v, _tq in comps},
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("JPEG SOF %#x variant" % marker)
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan = []
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS header")
+            scan_comps = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
-                scan.append((cs, tt >> 4, tt & 0xF))
-            pos += 2 + seglen
-            break
-        # APPn / COM / others: skip
+                scan_comps.append((cs, tt >> 4, tt & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if se > 63 or ss > 63:
+                raise ValueError("bad spectral selection")
+            pos = _decode_scan(
+                payload, pos + 2 + seglen, frame, geom, htabs,
+                scan_comps, ss, se, ah, al, restart,
+            )
+            saw_scan = True
+            continue
+        # APPn / COM / DNL / others: skip
         pos += 2 + seglen
-    if comps is None or scan is None or width is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
-    if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan JPEG")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("bad JPEG sampling factors")
-    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-
-    by_id = {c[0]: c for c in comps}
-    order = []
-    for cs, td, ta in scan:
-        if cs not in by_id:
-            raise ValueError("scan references unknown component %d" % cs)
-        cid, h, v, tq = by_id[cs]
+    # batch dequantize (zigzag order) + de-zigzag + IDCT + reassemble
+    width, height = frame["width"], frame["height"]
+    mcus_x, mcus_y, hmax, vmax = geom["mcus"]
+    planes = []
+    for cid, h, v, tq in frame["comps"]:
         if tq not in qtabs:
             raise ValueError("missing quant table %d" % tq)
-        if (0, td) not in htabs or (1, ta) not in htabs:
-            raise ValueError("missing Huffman table")
-        order.append((cid, h, v, qtabs[tq], htabs[(0, td)], htabs[(1, ta)]))
-
-    # per-component coefficient stores (block grid covers all MCUs)
-    stores = [
-        np.zeros((mcus_y * v * mcus_x * h, 64), dtype=np.int32)
-        for (_cid, h, v, _q, _d, _a) in order
-    ]
-    grid_w = [mcus_x * h for (_cid, h, _v, _q, _d, _a) in order]
-
-    reader = _BitReader(payload, pos)
-    preds = [0] * len(order)
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_i and mcu_i % restart == 0:
-                reader.restart()
-                preds = [0] * len(order)
-            for ci, (_cid, h, v, _q, dtab, atab) in enumerate(order):
-                for bv in range(v):
-                    for bh_ in range(h):
-                        coefs = np.zeros(64, dtype=np.int32)
-                        size = reader.huff(dtab)
-                        if size > 11:
-                            raise ValueError("bad DC size %d" % size)
-                        diff = _extend(reader.bits(size), size)
-                        preds[ci] += diff
-                        coefs[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(atab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflows block")
-                            coefs[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        row = my * v + bv
-                        col = mx * h + bh_
-                        stores[ci][row * grid_w[ci] + col] = coefs
-            mcu_i += 1
-
-    # batch dequantize + IDCT + reassemble planes, then upsample
-    planes = []
-    for ci, (_cid, h, v, qt, _d, _a) in enumerate(order):
-        # de-zigzag then dequantize in natural order
-        nat = np.zeros((len(stores[ci]), 64), dtype=np.float64)
-        nat[:, list(ZIGZAG)] = stores[ci]
-        nat *= qt[np.newaxis, :].astype(np.float64)
+        zzstore = geom["stores"][cid].astype(np.float64)
+        zzstore *= qtabs[tq][np.newaxis, :].astype(np.float64)
+        nat = np.zeros_like(zzstore)
+        nat[:, list(ZIGZAG)] = zzstore
         blocks = nat.reshape(-1, 8, 8)
         pix = np.einsum("xu,nuv,yv->nxy", _DCT_M.T, blocks, _DCT_M.T)
         gh = mcus_y * v
-        gw = grid_w[ci]
+        gw = geom["grid_w"][cid]
         plane = (
             pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(
                 gh * 8, gw * 8
             )
             + 128.0
         )
-        # upsample to full MCU-padded resolution then crop
         ry, rx = vmax // v, hmax // h
         if vmax % v or hmax % h:
             raise ValueError("non-integer JPEG sampling ratio")

@@ -104,9 +104,11 @@ def decode_payload(payload: bytes) -> tuple[int, int, bytes]:
     (own DCT+Huffman decoder, ``extractor.jpegcodec``, any sampling
     factors incl. 4:2:0, validated against real libjpeg-encoded files),
     all byte-sniffed; also the self-describing synthetic ``FAKEIMG|``
-    payloads used by the oracle-checked contract entries.  Progressive
-    JPEG and WebP/AVIF remain the honest boundary — they raise
-    ``NotImplementedError``; callers convert that to an error row."""
+    payloads used by the oracle-checked contract entries.  JPEG decode
+    covers baseline, extended sequential, AND progressive; only
+    WebP/AVIF (and arithmetic-coded JPEG) remain the honest boundary —
+    they raise ``NotImplementedError``; callers convert that to an
+    error row."""
     from extractor.imagecodec import (
         bmp_decode,
         gif_decode,

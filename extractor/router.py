@@ -16,7 +16,7 @@ sniffs the *content*:
 * image magics       → image      → real stdlib PNG/GIF/TIFF/BMP decode
                                      (``extractor/imagecodec.py``) +
                                      baseline JPEG (``jpegcodec.py``);
-                                     WebP/progressive → contained error
+                                     WebP/arith-coded → contained error
 * markup tags        → HTML       → DOM kernel (``extractor/kernel.py``)
 * decodable utf-8    → plain text → passthrough (line-ending normalize)
 * anything else      → contained error row (never raises — the reference's

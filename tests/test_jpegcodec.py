@@ -89,6 +89,16 @@ _REAL_FILES = [
         "multi-channel/chr30.4.184.jpg",  # 4:2:0 subsampled
         300, 215, 3,
     ),
+    (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg",  # PROGRESSIVE, 1-component
+        300, 215, 1,
+    ),
+    (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+        "doc/rust/html/embedded-book/assets/f3.jpg",  # PROGRESSIVE, 2x1
+        720, 477, 3,
+    ),
 ]
 
 
@@ -103,10 +113,35 @@ def test_decodes_real_libjpeg_files(path, w, h, c):
     assert arr.std() > 5  # real image content, not a flat artifact
 
 
-def test_progressive_raises_not_implemented():
-    # minimal SOF2 frame header after SOI
+def test_progressive_vs_sequential_same_image():
+    """The rust embedded-book assets ship two encodes of the same scene
+    — verify.jpeg (sequential 4:4:4) and f3.jpg (progressive, 2x1
+    subsampled), shot at different exposure: decoding both through the
+    two codec paths must produce strongly correlated pixels (a broken
+    progressive path would decorrelate or garble)."""
+    seq = (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+        "doc/rust/html/embedded-book/assets/verify.jpeg"
+    )
+    prog = (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+        "doc/rust/html/embedded-book/assets/f3.jpg"
+    )
+    if not (os.path.exists(seq) and os.path.exists(prog)):
+        pytest.skip("container fixtures not present")
+    _, _, _, a = jpeg_decode(open(seq, "rb").read())
+    _, _, _, b = jpeg_decode(open(prog, "rb").read())
+    xa = np.frombuffer(a, np.uint8).astype(float)
+    xb = np.frombuffer(b, np.uint8).astype(float)
+    assert len(xa) == len(xb)
+    # same scene, different encodes/exposure: strong pixel correlation
+    assert np.corrcoef(xa, xb)[0, 1] > 0.9
+
+
+def test_arithmetic_coding_raises_not_implemented():
+    # minimal SOF9 (arithmetic sequential) frame header after SOI
     blob = (
-        b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     )
     with pytest.raises(NotImplementedError):
         jpeg_decode(blob)
