@@ -27,9 +27,14 @@ framing, ``z`` shortcut), ``RunLengthDecode`` (PDF 1.7 §7.4.5 packbits-style
 RLE), chains thereof, and ``/Predictor`` post-steps (TIFF 2 horizontal
 differencing; PNG 10-15 per-row None/Sub/Up/Average/Paeth with
 ``/Columns``/``/Colors``/``/BitsPerComponent``, 8-bit components).  That is
-the complete lossless-filter family; still out of scope (raise
-``NotImplementedError``): lossy / image codecs (DCT/JPX/CCITT/JBIG2), crypt
-filters, and sub-8-bit predictor components.
+the complete lossless-filter family.  Image XObjects (``/Subtype /Image``)
+are SKIPPED by ``pdf_to_text`` (they carry no text; a real-world document
+with an embedded photo must not fail text extraction) and extracted by
+:func:`pdf_extract_images` instead — ``DCTDecode`` decodes for real via the
+own JPEG codec (``extractor/jpegcodec.py``), Flate/LZW-coded raw bitmaps
+via the lossless chain.  Still out of scope (raise
+``NotImplementedError``): JPX/CCITT/JBIG2 image codecs, crypt filters, and
+sub-8-bit predictor components.
 """
 from __future__ import annotations
 
@@ -773,6 +778,8 @@ def pdf_to_text(payload: bytes) -> list[list[str]]:
     pages: list[list[str]] = []
     found_text = False
     for dict_bytes, raw in _iter_streams(payload):
+        if re.search(rb"/Subtype\s*/Image\b", dict_bytes):
+            continue  # image XObject: no text; see pdf_extract_images
         body = _decode_stream(dict_bytes, raw)
         if b"BT" not in body:
             continue
@@ -781,6 +788,77 @@ def pdf_to_text(payload: bytes) -> list[list[str]]:
     if not found_text:
         raise ValueError("no text content streams found in PDF")
     return pages
+
+
+def pdf_extract_images(payload: bytes) -> list[dict]:
+    """Extract embedded raster images (``/Subtype /Image`` XObjects).
+
+    Returns one dict per image stream: ``{"width", "height", "channels",
+    "pixels", "error"}`` — ``pixels`` is top-down 8-bit samples on
+    success, ``error`` a contained message for out-of-scope codecs
+    (JPX/CCITT/JBIG2) or corrupt data (O4 semantics: one bad image never
+    fails the document).  ``DCTDecode`` payloads decode through the own
+    JPEG codec (baseline + progressive, ``extractor/jpegcodec.py``);
+    lossless-filtered raw bitmaps through the standard chain with
+    dimensions from the image dict."""
+    if payload is None:
+        raise ValueError("null payload")
+    payload = bytes(payload)
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    out: list[dict] = []
+    for dict_bytes, raw in _iter_streams(payload):
+        if not re.search(rb"/Subtype\s*/Image\b", dict_bytes):
+            continue
+        rec = {
+            "width": None, "height": None, "channels": None,
+            "pixels": None, "error": None,
+        }
+        try:
+            names = re.findall(
+                rb"/Filter\s*(?:\[\s*((?:/\w+\s*)+)\]|/(\w+))", dict_bytes
+            )
+            flat: list[bytes] = []
+            for arr, single in names:
+                flat.append(single) if single else flat.extend(
+                    re.findall(rb"/(\w+)", arr)
+                )
+            if flat and flat[-1] == b"DCTDecode":
+                # any preceding filters (rare: e.g. A85-wrapped JPEG)
+                body = raw
+                if len(flat) > 1:
+                    pre = re.sub(
+                        rb"/Filter\s*(?:\[[^\]]*\]|/\w+)",
+                        b"/Filter [%s]" % b" ".join(
+                            b"/" + f for f in flat[:-1]
+                        ),
+                        dict_bytes,
+                        count=1,
+                    )
+                    body = _decode_stream(pre, raw)
+                from extractor.jpegcodec import jpeg_decode
+
+                w, h, ch, px = jpeg_decode(body)
+                rec.update(width=w, height=h, channels=ch, pixels=px)
+            else:
+                body = _decode_stream(dict_bytes, raw)
+                wm = re.search(rb"/Width\s+(\d+)", dict_bytes)
+                hm = re.search(rb"/Height\s+(\d+)", dict_bytes)
+                if not (wm and hm):
+                    raise ValueError("image XObject missing /Width|/Height")
+                w, h = int(wm.group(1)), int(hm.group(1))
+                if w * h == 0 or len(body) % (w * h):
+                    raise ValueError(
+                        "image data is %d bytes for %dx%d" % (len(body), w, h)
+                    )
+                rec.update(
+                    width=w, height=h, channels=len(body) // (w * h),
+                    pixels=body,
+                )
+        except (NotImplementedError, ValueError) as exc:
+            rec["error"] = "%s: %s" % (type(exc).__name__, str(exc)[:160])
+        out.append(rec)
+    return out
 
 
 def is_valid_pdf(payload: bytes) -> bool:
