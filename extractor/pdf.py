@@ -26,15 +26,14 @@ honored), ``ASCIIHexDecode``, ``ASCII85Decode`` (stdlib ``base64``, Adobe
 framing, ``z`` shortcut), ``RunLengthDecode`` (PDF 1.7 §7.4.5 packbits-style
 RLE), chains thereof, and ``/Predictor`` post-steps (TIFF 2 horizontal
 differencing; PNG 10-15 per-row None/Sub/Up/Average/Paeth with
-``/Columns``/``/Colors``/``/BitsPerComponent``, 8-bit components).  That is
-the complete lossless-filter family.  Image XObjects (``/Subtype /Image``)
+``/Columns``/``/Colors``/``/BitsPerComponent`` at 1/2/4/8/16-bit
+components).  That is the complete lossless-filter family.  Image XObjects (``/Subtype /Image``)
 are SKIPPED by ``pdf_to_text`` (they carry no text; a real-world document
 with an embedded photo must not fail text extraction) and extracted by
 :func:`pdf_extract_images` instead — ``DCTDecode`` decodes for real via the
 own JPEG codec (``extractor/jpegcodec.py``), Flate/LZW-coded raw bitmaps
 via the lossless chain.  Still out of scope (raise
-``NotImplementedError``): JPX/CCITT/JBIG2 image codecs, crypt filters, and
-sub-8-bit predictor components.
+``NotImplementedError``): JPX/CCITT/JBIG2 image codecs and crypt filters.
 """
 from __future__ import annotations
 
@@ -267,11 +266,13 @@ def png_predict_encode(
     laid out as rows of ``columns`` samples — the encode side of PDF
     ``/Predictor 10-15`` streams (PNG spec §6, public).  A short final
     row is filtered as-is (both sides of this module agree on that
-    framing).  8-bit components only."""
-    if bpc != 8:
-        raise NotImplementedError("png predictor: only 8-bit components")
-    bpp = colors  # bytes per pixel at bpc=8
-    rowlen = columns * colors
+    framing).  Any ``bpc`` in 1/2/4/8/16: PNG filters act on BYTES at
+    every depth, with step ``bpp = max(1, colors*bpc/8)`` and rows of
+    ``ceil(columns*colors*bpc/8)`` bytes (sub-byte samples stay packed)."""
+    if bpc not in (1, 2, 4, 8, 16):
+        raise ValueError("png predictor: bpc must be 1/2/4/8/16")
+    bpp = max(1, colors * bpc // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
     out = bytearray()
     prev = bytes(rowlen)
     for r0 in range(0, len(data), rowlen):
@@ -313,11 +314,12 @@ def png_predict_decode(
 ) -> bytes:
     """Undo PNG per-row filters (types 0-4, tag byte leading each row) —
     the decode side of PDF ``/Predictor >= 10``.  Handles a short final
-    row.  8-bit components only."""
-    if bpc != 8:
-        raise NotImplementedError("png predictor: only 8-bit components")
-    bpp = colors
-    rowlen = columns * colors
+    row.  Any ``bpc`` in 1/2/4/8/16 (bytewise filtering per PNG spec;
+    see :func:`png_predict_encode` for the framing)."""
+    if bpc not in (1, 2, 4, 8, 16):
+        raise ValueError("png predictor: bpc must be 1/2/4/8/16")
+    bpp = max(1, colors * bpc // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
     out = bytearray()
     prev = bytes(rowlen)
     pos = 0
@@ -352,16 +354,52 @@ def png_predict_decode(
 
 def tiff_predict_decode(data: bytes, columns: int, colors: int = 1,
                         bpc: int = 8) -> bytes:
-    """Undo TIFF ``/Predictor 2`` horizontal differencing (8-bit)."""
-    if bpc != 8:
-        raise NotImplementedError("tiff predictor: only 8-bit components")
-    bpp = colors
-    rowlen = columns * colors
+    """Undo TIFF ``/Predictor 2`` horizontal differencing.  Unlike the
+    PNG filters (bytewise at every depth), TIFF differencing is per
+    SAMPLE: 8-bit adds bytes, 16-bit adds big-endian words mod 2^16,
+    and 1/2/4-bit unpacks each row's packed samples, prefix-sums per
+    color channel mod 2^bpc, and repacks (TIFF 6.0 §14, public)."""
+    if bpc not in (1, 2, 4, 8, 16):
+        raise ValueError("tiff predictor: bpc must be 1/2/4/8/16")
+    rowlen = (columns * colors * bpc + 7) // 8
     out = bytearray(data)
+    if bpc == 8:
+        bpp = colors
+        for r0 in range(0, len(out), rowlen):
+            end = min(r0 + rowlen, len(out))
+            for i in range(r0 + bpp, end):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if bpc == 16:
+        step = colors * 2
+        for r0 in range(0, len(out), rowlen):
+            end = min(r0 + rowlen, len(out))
+            for i in range(r0 + step, end - 1, 2):
+                v = (out[i] << 8 | out[i + 1]) + (
+                    out[i - step] << 8 | out[i - step + 1]
+                )
+                out[i], out[i + 1] = (v >> 8) & 0xFF, v & 0xFF
+        return bytes(out)
+    # sub-byte: unpack → per-channel cumulative sum → repack
+    mask = (1 << bpc) - 1
+    per_byte = 8 // bpc
     for r0 in range(0, len(out), rowlen):
-        end = min(r0 + rowlen, len(out))
-        for i in range(r0 + bpp, end):
-            out[i] = (out[i] + out[i - bpp]) & 0xFF
+        row = out[r0 : r0 + rowlen]
+        samples = [
+            (b >> (8 - bpc * (j + 1))) & mask
+            for b in row
+            for j in range(per_byte)
+        ][: columns * colors]
+        for i in range(colors, len(samples)):
+            samples[i] = (samples[i] + samples[i - colors]) & mask
+        for bi in range(len(row)):
+            acc = 0
+            for j in range(per_byte):
+                si = bi * per_byte + j
+                acc = (acc << bpc) | (
+                    samples[si] if si < len(samples) else 0
+                )
+            out[r0 + bi] = acc
     return bytes(out)
 
 

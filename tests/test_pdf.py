@@ -549,3 +549,117 @@ def test_pdf_extract_images_rejects_non_pdf():
         pdf_extract_images(None)
     # a PDF with no images: empty list, not an error
     assert pdf_extract_images(text_to_pdf_bytes("t")) == []
+
+
+def test_predictors_all_bit_depths():
+    """PNG filters act bytewise at 1/2/4/8/16-bit components (PNG spec
+    §6: step = max(1, colors*bpc/8)); TIFF differencing is per SAMPLE
+    (TIFF 6.0 §14) — roundtrip both against reference encoders."""
+    import random
+
+    from extractor.pdf import (
+        png_predict_decode,
+        png_predict_encode,
+        tiff_predict_decode,
+    )
+
+    rng = random.Random(3)
+
+    def unpack(row, bpc, n):
+        mask, pb = (1 << bpc) - 1, 8 // bpc
+        return [
+            (b >> (8 - bpc * (j + 1))) & mask
+            for b in row
+            for j in range(pb)
+        ][:n]
+
+    def pack(samples, bpc, nbytes):
+        mask, pb = (1 << bpc) - 1, 8 // bpc
+        out = bytearray()
+        for bi in range(nbytes):
+            acc = 0
+            for j in range(pb):
+                si = bi * pb + j
+                acc = (acc << bpc) | (
+                    samples[si] if si < len(samples) else 0
+                )
+            out.append(acc)
+        return bytes(out)
+
+    for bpc in (1, 2, 4, 8, 16):
+        for colors in (1, 3):
+            cols = 11
+            rowlen = (cols * colors * bpc + 7) // 8
+            data = bytes(rng.randrange(256) for _ in range(rowlen * 7))
+            for ft in range(5):
+                enc = png_predict_encode(
+                    data, cols, colors=colors, bpc=bpc, filter_type=ft
+                )
+                assert (
+                    png_predict_decode(enc, cols, colors=colors, bpc=bpc)
+                    == data
+                ), (bpc, colors, ft)
+
+            # TIFF: sample-wise forward differencing as the reference
+            if bpc < 8:  # zero the row padding bits so repack is exact
+                data = b"".join(
+                    pack(
+                        unpack(data[r : r + rowlen], bpc, cols * colors),
+                        bpc,
+                        rowlen,
+                    )
+                    for r in range(0, len(data), rowlen)
+                )
+            diff = bytearray()
+            for r in range(0, len(data), rowlen):
+                row = data[r : r + rowlen]
+                if bpc == 16:
+                    ws = [
+                        row[i] << 8 | row[i + 1]
+                        for i in range(0, len(row), 2)
+                    ]
+                    ds = list(ws)
+                    for i in range(colors, len(ws)):
+                        ds[i] = (ws[i] - ws[i - colors]) & 0xFFFF
+                    for w in ds:
+                        diff += bytes([(w >> 8) & 0xFF, w & 0xFF])
+                elif bpc == 8:
+                    rb = list(row)
+                    for i in range(len(rb) - 1, colors - 1, -1):
+                        rb[i] = (rb[i] - rb[i - colors]) & 0xFF
+                    diff += bytes(rb)
+                else:
+                    s = unpack(row, bpc, cols * colors)
+                    d = list(s)
+                    mask = (1 << bpc) - 1
+                    for i in range(colors, len(s)):
+                        d[i] = (s[i] - s[i - colors]) & mask
+                    diff += pack(d, bpc, rowlen)
+            assert (
+                tiff_predict_decode(
+                    bytes(diff), cols, colors=colors, bpc=bpc
+                )
+                == data
+            ), (bpc, colors)
+
+
+def test_sub8bit_predictor_stream_decodes():
+    """End-to-end: a flate+PNG-predictor stream with /BitsPerComponent 4
+    decodes through _decode_stream's parameter plumbing."""
+    import zlib
+
+    from extractor.pdf import _decode_stream, png_predict_encode
+
+    body = b"BT (4bit pred) Tj ET pad"  # arbitrary bytes, 6 cols x 4bit
+    cols = 6
+    rowlen = (cols * 4 + 7) // 8
+    body = body[: (len(body) // rowlen) * rowlen]
+    enc = zlib.compress(
+        png_predict_encode(body, cols, colors=1, bpc=4, filter_type=4)
+    )
+    dict_bytes = (
+        b"<< /Filter /FlateDecode /DecodeParms << /Predictor 15"
+        b" /Columns 6 /Colors 1 /BitsPerComponent 4 >> /Length %d >>"
+        % len(enc)
+    )
+    assert _decode_stream(dict_bytes, enc) == body
