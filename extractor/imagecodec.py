@@ -644,9 +644,11 @@ def _tiff_read_ifd(payload: bytes, fmt: str, at: int) -> dict:
 def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline TIFF (first IFD) to ``(width, height, channels,
     top-down 8-bit pixels)``.  Both byte orders; compressions none /
-    PackBits / LZW (+ horizontal Predictor 2); photometric WhiteIsZero /
-    BlackIsZero / RGB / palette (ColorMap expanded to RGB); 8-bit
-    samples, strip-organized.  Tiled, sub-8-bit, and JPEG-in-TIFF raise
+    PackBits / LZW (+ horizontal Predictor 2) and CCITT fax 2/3/4 (MH /
+    T.4 G3 / T.6 G4, own codec ``extractor/ccittcodec.py``, bilevel
+    expanded to 8-bit gray); photometric WhiteIsZero / BlackIsZero /
+    RGB / palette (ColorMap expanded to RGB); 8-bit or 1-bit samples,
+    strip-organized.  Tiled and JPEG-in-TIFF raise
     ``NotImplementedError``; structural damage ``ValueError``."""
     from extractor.pdf import lzw_decode, tiff_predict_decode
 
@@ -670,7 +672,8 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("TIFF missing dimensions")
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bits):
+    bilevel = list(bits) == [1]
+    if not bilevel and any(b != 8 for b in bits):
         raise NotImplementedError("TIFF bits-per-sample %r" % bits)
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
@@ -680,7 +683,7 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip layout")
     rows_per_strip = tags.get(278, [height])[0] or height
-    rowlen = width * spp
+    rowlen = (width + 7) // 8 if bilevel else width * spp
     data = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         strip = payload[off : off + cnt]
@@ -700,14 +703,46 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             out = _packbits_decode(strip, expected)
             if len(out) != expected:
                 raise ValueError("short PackBits TIFF strip %d" % si)
+        elif comp in (2, 3, 4):
+            # CCITT fax (own T.4/T.6 codec): 2 = MH with byte-aligned
+            # rows and no EOLs, 3 = T.4 G3 (T4Options bit 0 selects the
+            # mixed 1-D/2-D mode), 4 = T.6 G4 MMR.  Output is packed
+            # rows with 1 = black (photometric 0 by fax convention).
+            if not bilevel:
+                raise ValueError("CCITT TIFF requires 1 bit/sample")
+            from extractor.ccittcodec import ccitt_decode
+
+            if comp == 2:
+                out = ccitt_decode(strip, width, rows=nrows, k=0,
+                                   encoded_byte_align=True)
+            elif comp == 3:
+                t4 = tags.get(292, [0])[0]
+                out = ccitt_decode(strip, width, rows=nrows,
+                                   k=1 if t4 & 1 else 0)
+            else:
+                out = ccitt_decode(strip, width, rows=nrows, k=-1)
         else:
             raise NotImplementedError("TIFF compression %d" % comp)
-        if predictor == 2:
-            out = tiff_predict_decode(out, width, colors=spp)
+        if comp in (2, 3, 4):
+            pass  # predictor never combines with CCITT coding
+        elif predictor == 2:
+            out = tiff_predict_decode(out, width, colors=spp,
+                                      bpc=1 if bilevel else 8)
         elif predictor != 1:
             raise NotImplementedError("TIFF predictor %d" % predictor)
         data += out
-    pixels = bytes(data)
+    if bilevel:
+        # expand packed rows to 8-bit samples (bit -> 0x00/0xFF); the
+        # photometric step below then fixes the black/white polarity
+        exp = bytearray(width * height)
+        for y in range(height):
+            base = y * rowlen
+            for x in range(width):
+                if (data[base + (x >> 3)] >> (7 - (x & 7))) & 1:
+                    exp[y * width + x] = 0xFF
+        pixels = bytes(exp)
+    else:
+        pixels = bytes(data)
     if photo == 3:  # palette: ColorMap is 3 planes of 16-bit values
         cmap = tags.get(320)
         if not cmap or len(cmap) != 3 * 256:
@@ -732,17 +767,35 @@ def tiff_encode(
     rows_per_strip: int | None = None,
 ) -> bytes:
     """Write a baseline TIFF (8-bit gray or RGB; ``compression`` in
-    ``none|packbits|lzw``; either byte order; optional multi-strip
-    layout).  Deterministic — the roundtrip fixture for the decoder."""
+    ``none|packbits|lzw|g3mh|g4``; either byte order; optional
+    multi-strip layout).  Deterministic — the roundtrip fixture for the
+    decoder.  ``g3mh`` (compression 2, MH byte-aligned rows) and ``g4``
+    (compression 4, T.6 MMR) are bilevel: ``channels`` must be 1 and
+    pixels are thresholded at 128 (< 128 = black), written with
+    photometric 0 (WhiteIsZero) per fax convention."""
+    from extractor.ccittcodec import ccitt_encode
     from extractor.pdf import lzw_encode, rle_encode
 
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
+    bilevel = compression in ("g3mh", "g4")
+    if bilevel and channels != 1:
+        raise ValueError("CCITT TIFF is single-channel")
     fmt = "<" if byte_order == "II" else ">"
     rps = rows_per_strip or height
     rowlen = width * channels
+    if bilevel:
+        packed = bytearray()
+        prowlen = (width + 7) // 8
+        for y in range(height):
+            row = bytearray(prowlen)
+            for x in range(width):
+                if pixels[y * width + x] < 128:  # black
+                    row[x >> 3] |= 0x80 >> (x & 7)
+            packed += row
     strips = []
     for y0 in range(0, height, rps):
+        nrows = min(y0 + rps, height) - y0
         chunk = pixels[y0 * rowlen : min(y0 + rps, height) * rowlen]
         if compression == "none":
             strips.append(chunk)
@@ -751,10 +804,22 @@ def tiff_encode(
         elif compression == "packbits":
             enc = rle_encode(chunk)
             strips.append(enc[:-1])  # PDF EOD byte is PackBits no-op; drop
+        elif compression == "g3mh":
+            strips.append(ccitt_encode(
+                bytes(packed[y0 * prowlen : (y0 + nrows) * prowlen]),
+                width, nrows, k=0, encoded_byte_align=True,
+                with_eofb=False, with_eols=False,
+            ))
+        elif compression == "g4":
+            strips.append(ccitt_encode(
+                bytes(packed[y0 * prowlen : (y0 + nrows) * prowlen]),
+                width, nrows, k=-1,
+            ))
         else:
             raise ValueError("unknown compression %r" % compression)
-    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
-    photo = 2 if channels == 3 else 1
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773,
+                "g3mh": 2, "g4": 4}[compression]
+    photo = 0 if bilevel else (2 if channels == 3 else 1)
     n_strips = len(strips)
 
     def entry(tag, typ, vals):
@@ -766,7 +831,7 @@ def tiff_encode(
     entries = [
         entry(256, 4, [width]),
         entry(257, 4, [height]),
-        entry(258, 3, [8] * channels),
+        entry(258, 3, [1] if bilevel else [8] * channels),
         entry(259, 3, [comp_tag]),
         entry(262, 3, [photo]),
         entry(273, 4, [0] * n_strips),  # offsets patched below

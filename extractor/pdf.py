@@ -31,9 +31,10 @@ components).  That is the complete lossless-filter family.  Image XObjects (``/S
 are SKIPPED by ``pdf_to_text`` (they carry no text; a real-world document
 with an embedded photo must not fail text extraction) and extracted by
 :func:`pdf_extract_images` instead — ``DCTDecode`` decodes for real via the
-own JPEG codec (``extractor/jpegcodec.py``), Flate/LZW-coded raw bitmaps
-via the lossless chain.  Still out of scope (raise
-``NotImplementedError``): JPX/CCITT/JBIG2 image codecs and crypt filters.
+own JPEG codec (``extractor/jpegcodec.py``), ``CCITTFaxDecode`` via the own
+T.4/T.6 fax codec (``extractor/ccittcodec.py``), Flate/LZW-coded raw
+bitmaps via the lossless chain.  Still out of scope (raise
+``NotImplementedError``): JPX/JBIG2 image codecs and crypt filters.
 """
 from __future__ import annotations
 
@@ -834,9 +835,12 @@ def pdf_extract_images(payload: bytes) -> list[dict]:
     Returns one dict per image stream: ``{"width", "height", "channels",
     "pixels", "error"}`` — ``pixels`` is top-down 8-bit samples on
     success, ``error`` a contained message for out-of-scope codecs
-    (JPX/CCITT/JBIG2) or corrupt data (O4 semantics: one bad image never
+    (JPX/JBIG2) or corrupt data (O4 semantics: one bad image never
     fails the document).  ``DCTDecode`` payloads decode through the own
     JPEG codec (baseline + progressive, ``extractor/jpegcodec.py``);
+    ``CCITTFaxDecode`` (G3 1-D, G3 mixed K>0, G4 MMR — honoring ``/K``
+    ``/Columns`` ``/Rows`` ``/EncodedByteAlign``) through the own T.4/
+    T.6 codec (``extractor/ccittcodec.py``), expanded to 8-bit gray;
     lossless-filtered raw bitmaps through the standard chain with
     dimensions from the image dict."""
     if payload is None:
@@ -878,6 +882,56 @@ def pdf_extract_images(payload: bytes) -> list[dict]:
 
                 w, h, ch, px = jpeg_decode(body)
                 rec.update(width=w, height=h, channels=ch, pixels=px)
+            elif flat and flat[-1] == b"CCITTFaxDecode":
+                from extractor.ccittcodec import ccitt_decode
+
+                body = raw
+                if len(flat) > 1:
+                    pre = re.sub(
+                        rb"/Filter\s*(?:\[[^\]]*\]|/\w+)",
+                        b"/Filter [%s]" % b" ".join(
+                            b"/" + f for f in flat[:-1]
+                        ),
+                        dict_bytes,
+                        count=1,
+                    )
+                    body = _decode_stream(pre, raw)
+
+                def _parm(key: bytes, default: int) -> int:
+                    m = re.search(
+                        rb"/%s\s+(-?\d+|true|false)\b" % key, dict_bytes
+                    )
+                    if not m:
+                        return default
+                    v = m.group(1)
+                    return (
+                        {b"true": 1, b"false": 0}[v]
+                        if v in (b"true", b"false")
+                        else int(v)
+                    )
+
+                cols = _parm(b"Columns", 1728)
+                kk = _parm(b"K", 0)
+                nrows = _parm(b"Rows", 0) or _parm(b"Height", 0) or None
+                eba = bool(_parm(b"EncodedByteAlign", 0))
+                packed = ccitt_decode(
+                    body, cols, rows=nrows, k=kk, encoded_byte_align=eba
+                )
+                # expand 1-bit (1 = black per T.4) to 8-bit gray;
+                # /BlackIs1 only flips the SAMPLE convention, not which
+                # pixels are black, so the gray image is the same
+                rowlen = (cols + 7) // 8
+                h = len(packed) // rowlen
+                px = bytearray(cols * h)
+                for y in range(h):
+                    base = y * rowlen
+                    for x in range(cols):
+                        if not (packed[base + (x >> 3)]
+                                >> (7 - (x & 7))) & 1:
+                            px[y * cols + x] = 0xFF
+                rec.update(
+                    width=cols, height=h, channels=1, pixels=bytes(px)
+                )
             else:
                 body = _decode_stream(dict_bytes, raw)
                 wm = re.search(rb"/Width\s+(\d+)", dict_bytes)

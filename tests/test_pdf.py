@@ -516,7 +516,7 @@ def test_pdf_extract_images_chained_and_contained():
                 a85_encode(jpg),
             ),
             (b"/Width 4 /Height 4 /Filter /JPXDecode", b"\x00" * 8),
-            (b"/Width 4 /Height 4 /Filter /CCITTFaxDecode", b"\x00" * 8),
+            (b"/Width 4 /Height 4 /Filter /JBIG2Decode", b"\x00" * 8),
             (b"/Width 3 /Height 3 /Filter /DCTDecode", b"\xff\xd8torn"),
             # raw bitmap whose byte count is not a multiple of w*h
             (b"/Width 4 /Height 4", b"\x00" * 9),
@@ -532,7 +532,7 @@ def test_pdf_extract_images_chained_and_contained():
     for r in recs[1:]:
         assert r["pixels"] is None and r["error"]
     assert "JPXDecode" in recs[1]["error"]
-    assert "CCITTFaxDecode" in recs[2]["error"]
+    assert "JBIG2Decode" in recs[2]["error"]
     assert recs[3]["error"].startswith("ValueError")
     assert "bytes for" in recs[4]["error"]
     assert "Width" in recs[5]["error"]
