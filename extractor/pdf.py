@@ -33,8 +33,11 @@ with an embedded photo must not fail text extraction) and extracted by
 :func:`pdf_extract_images` instead — ``DCTDecode`` decodes for real via the
 own JPEG codec (``extractor/jpegcodec.py``), ``CCITTFaxDecode`` via the own
 T.4/T.6 fax codec (``extractor/ccittcodec.py``), Flate/LZW-coded raw
-bitmaps via the lossless chain.  Still out of scope (raise
-``NotImplementedError``): JPX/JBIG2 image codecs and crypt filters.
+bitmaps via the lossless chain.  RC4-encrypted documents (standard
+security handler R2/R3, empty user password) decrypt for real via
+``extractor/pdfcrypt.py``.  Still out of scope (raise
+``NotImplementedError``): JPX/JBIG2 image codecs and AES (V4+) crypt
+filters.
 """
 from __future__ import annotations
 
@@ -760,11 +763,14 @@ def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
 
 
 def _iter_streams(payload: bytes):
-    """Yield ``(dict_bytes, raw_body)`` for every stream object.  The body
-    is delimited by the dict's direct ``/Length N`` when present and
-    consistent (binary-safe — compressed data may contain ``endstream`` as
-    a byte pattern), falling back to an ``endstream`` scan for indirect or
-    absent lengths."""
+    """Yield ``(dict_bytes, raw_body, obj_num, gen, body_at)`` for every
+    stream object.  The body is delimited by the dict's direct
+    ``/Length N`` when present and consistent (binary-safe — compressed
+    data may contain ``endstream`` as a byte pattern), falling back to
+    an ``endstream`` scan for indirect or absent lengths.  ``obj_num``/
+    ``gen`` come from the owning ``N G obj`` header (0/0 if absent) —
+    the crypt layer needs them for per-object keys; ``body_at`` is the
+    body's byte offset (the encrypt fixture rewrites in place)."""
     pos = 0
     n = len(payload)
     while True:
@@ -783,6 +789,14 @@ def _iter_streams(payload: bytes):
         # the stream's own dict: from the owning "N 0 obj" (bounded lookback)
         d0 = payload.rfind(b"obj", max(0, s - 4096), s)
         dict_bytes = payload[d0 if d0 >= 0 else max(0, s - 512) : s]
+        num = gen = 0
+        if d0 >= 0:
+            hm = re.search(
+                rb"(\d+)\s+(\d+)\s+$",
+                payload[max(0, d0 - 24) : d0],
+            )
+            if hm:
+                num, gen = int(hm.group(1)), int(hm.group(2))
         body = None
         m = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", dict_bytes)
         if m:
@@ -798,7 +812,7 @@ def _iter_streams(payload: bytes):
                 return  # torn stream: stop rather than loop
             body = payload[b0:e].rstrip(b"\r\n")
             pos = e
-        yield dict_bytes, body
+        yield dict_bytes, body, num, gen, b0
 
 
 def pdf_to_text(payload: bytes) -> list[list[str]]:
@@ -814,11 +828,16 @@ def pdf_to_text(payload: bytes) -> list[list[str]]:
     payload = bytes(payload)
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
+    from extractor.pdfcrypt import decryption_key, object_key, rc4
+
+    fkey = decryption_key(payload)  # None = unencrypted
     pages: list[list[str]] = []
     found_text = False
-    for dict_bytes, raw in _iter_streams(payload):
+    for dict_bytes, raw, onum, ogen, _at in _iter_streams(payload):
         if re.search(rb"/Subtype\s*/Image\b", dict_bytes):
             continue  # image XObject: no text; see pdf_extract_images
+        if fkey is not None:
+            raw = rc4(object_key(fkey, onum, ogen), raw)
         body = _decode_stream(dict_bytes, raw)
         if b"BT" not in body:
             continue
@@ -848,10 +867,15 @@ def pdf_extract_images(payload: bytes) -> list[dict]:
     payload = bytes(payload)
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
+    from extractor.pdfcrypt import decryption_key, object_key, rc4
+
+    fkey = decryption_key(payload)  # None = unencrypted
     out: list[dict] = []
-    for dict_bytes, raw in _iter_streams(payload):
+    for dict_bytes, raw, onum, ogen, _at in _iter_streams(payload):
         if not re.search(rb"/Subtype\s*/Image\b", dict_bytes):
             continue
+        if fkey is not None:
+            raw = rc4(object_key(fkey, onum, ogen), raw)
         rec = {
             "width": None, "height": None, "channels": None,
             "pixels": None, "error": None,

@@ -1,0 +1,253 @@
+"""PDF standard security handler (RC4 crypt filter) — pure stdlib.
+
+Implements the public PDF 1.7 §7.6 standard security handler for
+revisions 2 and 3 (V1 = RC4/40-bit, V2 = RC4 up to 128-bit): file-key
+derivation (Algorithm 2), /O and /U computation (Algorithms 3-5),
+per-object keys, and RC4 itself — so ``pdf_to_text`` /
+``pdf_extract_images`` can read the common "owner-locked, empty user
+password" encrypted documents.  V4+ (AESV2/AESV3 crypt filters) stays
+out of scope and raises ``NotImplementedError``.
+
+The encrypt side (:func:`encrypt_pdf`) exists as the deterministic
+roundtrip fixture for the decrypt side: it RC4-encrypts every stream
+body of a writer-produced PDF in place (RC4 preserves length, so all
+offsets and /Length values stay valid), appends the /Encrypt dict
+before the xref, and patches the trailer and startxref.  The appended
+object is intentionally absent from the xref table — the in-repo
+decoder iterates streams without the xref (documented fixture scope).
+
+Reference analogue: the reference's pandoc path
+(app/core/pandoc_converter.py) accepts arbitrary real-world PDFs,
+which include RC4-encrypted ones.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+__all__ = ["rc4", "file_key", "object_key", "encrypt_pdf",
+           "parse_encrypt_dict", "verify_user_password"]
+
+# PDF 1.7 §7.6.3.3 — the 32-byte password padding string
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public since 1994; PDF's V1/V2 stream cipher)."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad(password: bytes) -> bytes:
+    return (password + _PAD)[:32]
+
+
+def file_key(o_entry: bytes, p: int, doc_id: bytes,
+             user_password: bytes = b"", revision: int = 3,
+             length_bits: int = 128) -> bytes:
+    """Algorithm 2: the file encryption key from the user password."""
+    n = 5 if revision == 2 else length_bits // 8
+    h = hashlib.md5(
+        _pad(user_password) + o_entry[:32]
+        + struct.pack("<i", p) + doc_id
+    ).digest()
+    if revision >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def compute_o(owner_password: bytes, user_password: bytes,
+              revision: int = 3, length_bits: int = 128) -> bytes:
+    """Algorithm 3: the /O entry."""
+    n = 5 if revision == 2 else length_bits // 8
+    h = hashlib.md5(_pad(owner_password or user_password)).digest()
+    if revision >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:n]
+    o = rc4(key, _pad(user_password))
+    if revision >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def compute_u(fkey: bytes, doc_id: bytes, revision: int = 3) -> bytes:
+    """Algorithms 4 (R2) / 5 (R3): the /U entry (32 bytes)."""
+    if revision == 2:
+        return rc4(fkey, _PAD)
+    u = rc4(fkey, hashlib.md5(_PAD + doc_id).digest())
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in fkey), u)
+    return u + b"\x00" * 16  # last 16 bytes are arbitrary per spec
+
+
+def verify_user_password(fkey: bytes, u_entry: bytes, doc_id: bytes,
+                         revision: int) -> bool:
+    want = compute_u(fkey, doc_id, revision)
+    cmp_len = 16 if revision >= 3 else 32
+    return u_entry[:cmp_len] == want[:cmp_len]
+
+
+def object_key(fkey: bytes, num: int, gen: int) -> bytes:
+    """Per-object RC4 key: md5(file key + obj num (3 LE bytes) + gen
+    (2 LE bytes)), truncated to min(len(key)+5, 16)."""
+    h = hashlib.md5(
+        fkey + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+    ).digest()
+    return h[: min(len(fkey) + 5, 16)]
+
+
+def _parse_crypt_string(src: bytes, key: bytes) -> bytes | None:
+    """A hex ``<...>`` or literal ``(...)`` value after /key."""
+    m = re.search(rb"/%s\s*(<[0-9A-Fa-f\s]*>|\()" % key, src)
+    if not m:
+        return None
+    if m.group(1).startswith(b"<"):
+        hx = re.sub(rb"\s", b"", m.group(1)[1:-1])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    # literal string: reuse the content-stream literal parser
+    from extractor.pdf import _parse_literal
+
+    body, _ = _parse_literal(src, m.end() - 1)
+    return body
+
+
+def parse_encrypt_dict(payload: bytes):
+    """Locate and parse the standard-security-handler /Encrypt dict.
+
+    Returns ``None`` for an unencrypted document, else a dict with
+    ``v, r, length, o, u, p, doc_id``.  Raises ``NotImplementedError``
+    for non-Standard filters or V >= 4 (AES crypt filters), and
+    ``ValueError`` for a structurally broken Encrypt dict."""
+    m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload)
+    if not m:
+        return None
+    num, gen = int(m.group(1)), int(m.group(2))
+    om = re.search(
+        rb"(?m)^%d\s+%d\s+obj\b" % (num, gen), payload
+    )
+    if not om:
+        raise ValueError("dangling /Encrypt reference")
+    end = payload.find(b"endobj", om.end())
+    src = payload[om.end() : end if end >= 0 else len(payload)]
+    fm = re.search(rb"/Filter\s*/(\w+)", src)
+    if not fm or fm.group(1) != b"Standard":
+        raise NotImplementedError(
+            "unsupported security handler %r"
+            % (fm.group(1).decode("latin1") if fm else None)
+        )
+    v = int(re.search(rb"/V\s+(\d+)", src).group(1)) if re.search(
+        rb"/V\s+(\d+)", src) else 0
+    if v not in (1, 2):
+        raise NotImplementedError(
+            "encryption V=%d (AES crypt filters) unsupported" % v
+        )
+    r = int(re.search(rb"/R\s+(\d+)", src).group(1))
+    if r not in (2, 3):
+        raise NotImplementedError("security handler revision %d" % r)
+    lm = re.search(rb"/Length\s+(\d+)", src)
+    length = int(lm.group(1)) if lm else 40
+    pm = re.search(rb"/P\s+(-?\d+)", src)
+    if not pm:
+        raise ValueError("Encrypt dict missing /P")
+    o = _parse_crypt_string(src, b"O")
+    u = _parse_crypt_string(src, b"U")
+    if o is None or u is None:
+        raise ValueError("Encrypt dict missing /O or /U")
+    idm = re.search(
+        rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", payload[m.start() - 512 :]
+    ) or re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", payload)
+    if not idm:
+        raise ValueError("encrypted PDF missing /ID")
+    return {
+        "v": v, "r": r, "length": length, "o": o, "u": u,
+        "p": int(pm.group(1)),
+        "doc_id": bytes.fromhex(idm.group(1).decode("ascii")),
+    }
+
+
+def decryption_key(payload: bytes, user_password: bytes = b""):
+    """File key for an encrypted document, or ``None`` if the document
+    is not encrypted.  Raises ``ValueError`` if the (default: empty)
+    user password does not verify against /U."""
+    enc = parse_encrypt_dict(payload)
+    if enc is None:
+        return None
+    fkey = file_key(enc["o"], enc["p"], enc["doc_id"],
+                    user_password, enc["r"], enc["length"])
+    if not verify_user_password(fkey, enc["u"], enc["doc_id"], enc["r"]):
+        raise ValueError("encrypted PDF: password required")
+    return fkey
+
+
+def encrypt_pdf(payload: bytes, owner_password: bytes = b"owner",
+                user_password: bytes = b"", revision: int = 3,
+                length_bits: int = 128) -> bytes:
+    """RC4-encrypt every stream body of *payload* under the standard
+    security handler (empty user password readable).  Deterministic:
+    /ID is the md5 of the input bytes."""
+    from extractor.pdf import _iter_streams
+
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    p_flags = -3904  # print+copy denied bits cleared; typical value
+    doc_id = hashlib.md5(payload).digest()
+    o = compute_o(owner_password, user_password, revision, length_bits)
+    fkey = file_key(o, p_flags, doc_id, user_password, revision,
+                    length_bits)
+    u = compute_u(fkey, doc_id, revision)
+    out = bytearray(payload)
+    for dict_bytes, body, num, gen, at in _iter_streams(payload):
+        enc = rc4(object_key(fkey, num, gen), body)
+        out[at : at + len(body)] = enc
+    # append the Encrypt object ahead of the xref; same-length stream
+    # rewrites left every offset valid, so only startxref shifts
+    xref_at = bytes(out).rfind(b"\nxref\n")
+    sm = re.search(rb"/Size\s+(\d+)", bytes(out))
+    enc_num = int(sm.group(1)) if sm else 1000
+    v = 1 if length_bits == 40 else 2
+    obj = (
+        b"%d 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d"
+        b" /P %d /O <%s> /U <%s> >>\nendobj\n"
+        % (enc_num, v, revision, length_bits, p_flags,
+           o.hex().encode(), u.hex().encode())
+    )
+    if xref_at < 0:
+        raise ValueError("no xref to anchor the Encrypt object")
+    out[xref_at + 1 : xref_at + 1] = obj
+    # trailer additions + startxref fixup
+    blob = bytes(out)
+    tm = re.search(rb"trailer\s*<<", blob)
+    if not tm:
+        raise ValueError("no trailer dict")
+    extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+        enc_num, doc_id.hex().encode(), doc_id.hex().encode()
+    )
+    out[tm.end() : tm.end()] = extra
+    blob = bytes(out)
+    sx = re.search(rb"startxref\s*\n(\d+)", blob)
+    if sx:
+        fixed = str(int(sx.group(1)) + len(obj)).encode()
+        out[sx.start(1) : sx.end(1)] = fixed
+    return bytes(out)

@@ -1,0 +1,120 @@
+"""PDF standard security handler (extractor/pdfcrypt.py): RC4 crypt
+filter, key derivation, and the decrypt path in pdf_to_text /
+pdf_extract_images.
+
+Reference analogue: app/core/pandoc_converter.py accepts arbitrary
+real-world PDFs, which include RC4-encrypted (owner-locked) ones.
+"""
+import pytest
+
+from extractor.pdf import (
+    pdf_extract_images,
+    pdf_to_text,
+    text_to_pdf_bytes,
+)
+from extractor.pdfcrypt import (
+    decryption_key,
+    encrypt_pdf,
+    file_key,
+    object_key,
+    parse_encrypt_dict,
+    rc4,
+)
+
+TEXT = "encrypted page one\n" + "\n".join(f"line {i}" for i in range(60))
+
+
+def test_rc4_public_vectors():
+    """The three canonical published RC4 test vectors."""
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    assert (
+        rc4(b"Secret", b"Attack at dawn").hex()
+        == "45a01f645fc35b383552544b9bf5"
+    )
+    # involution: encrypt == decrypt
+    assert rc4(b"k", rc4(b"k", b"data")) == b"data"
+
+
+@pytest.mark.parametrize("rev,bits", [(3, 128), (2, 40), (3, 40)])
+def test_encrypt_decrypt_roundtrip(rev, bits):
+    plain = text_to_pdf_bytes(TEXT)
+    enc = encrypt_pdf(plain, revision=rev, length_bits=bits)
+    assert b"/Encrypt" in enc and enc != plain
+    # stream bytes actually changed (not a no-op "encryption")
+    assert b"(encrypted page one)" not in enc
+    assert pdf_to_text(enc) == pdf_to_text(plain)
+    # deterministic
+    assert enc == encrypt_pdf(plain, revision=rev, length_bits=bits)
+
+
+@pytest.mark.parametrize("filt", ["flate", "lzw-png", "a85-flate"])
+def test_encrypted_and_filtered_streams(filt):
+    """Crypt applies to raw stream bytes BEFORE the filter chain."""
+    plain = text_to_pdf_bytes(TEXT, stream_filter=filt)
+    assert pdf_to_text(encrypt_pdf(plain)) == pdf_to_text(
+        text_to_pdf_bytes(TEXT)
+    )
+
+
+def test_wrong_password_raises_right_password_verifies():
+    enc = encrypt_pdf(text_to_pdf_bytes(TEXT), user_password=b"hunter2")
+    with pytest.raises(ValueError, match="password"):
+        pdf_to_text(enc)
+    with pytest.raises(ValueError, match="password"):
+        pdf_extract_images(enc)
+    assert decryption_key(enc, b"hunter2") is not None
+
+
+def test_encrypted_images_decode():
+    from extractor.ccittcodec import ccitt_encode, pack_row
+    from extractor.jpegcodec import jpeg_encode
+
+    jpg = jpeg_encode(8, 8, bytes(range(64)), 1, quality=92)
+    bm = b"".join(pack_row([2, 7], 10) for _ in range(4))
+    base = text_to_pdf_bytes("crypt with images")
+    objs = b""
+    for i, (d, b) in enumerate([
+        (b"/Width 8 /Height 8 /BitsPerComponent 8 /Filter /DCTDecode",
+         jpg),
+        (b"/Width 10 /Height 4 /BitsPerComponent 1 /Filter"
+         b" /CCITTFaxDecode /DecodeParms << /K -1 /Columns 10"
+         b" /Rows 4 >>", ccitt_encode(bm, 10, 4, k=-1)),
+    ]):
+        objs += (
+            b"%d 0 obj\n<< /Type /XObject /Subtype /Image %s"
+            b" /Length %d >>\nstream\n" % (900 + i, d, len(b))
+        ) + b + b"\nendstream\nendobj\n"
+    pdf = base.replace(b"%%EOF", objs + b"%%EOF")
+    ref = pdf_extract_images(pdf)
+    assert [r["error"] for r in ref] == [None, None]
+    assert pdf_extract_images(encrypt_pdf(pdf)) == ref
+
+
+def test_parse_encrypt_dict_guards():
+    plain = text_to_pdf_bytes("t")
+    assert parse_encrypt_dict(plain) is None
+    assert decryption_key(plain) is None
+    # V4 (AES) is an honest NotImplementedError, not a wrong decode
+    enc = encrypt_pdf(plain)
+    broken = enc.replace(b"/V 2", b"/V 4")
+    with pytest.raises(NotImplementedError, match="AES"):
+        pdf_to_text(broken)
+    # non-standard handler
+    broken = enc.replace(b"/Filter /Standard", b"/Filter /Custom00")
+    with pytest.raises(NotImplementedError):
+        pdf_to_text(broken)
+
+
+def test_key_derivation_shapes():
+    """Algorithm 2/per-object-key structural properties: R2 keys are
+    5 bytes, R3/128 are 16; object keys extend by 5 capped at 16 and
+    differ per object."""
+    o = bytes(32)
+    k2 = file_key(o, -3904, b"\x01" * 16, b"", 2, 40)
+    k3 = file_key(o, -3904, b"\x01" * 16, b"", 3, 128)
+    assert len(k2) == 5 and len(k3) == 16
+    assert len(object_key(k2, 5, 0)) == 10
+    assert len(object_key(k3, 5, 0)) == 16
+    assert object_key(k3, 5, 0) != object_key(k3, 6, 0)
+    assert object_key(k3, 5, 0) != object_key(k3, 5, 1)
