@@ -33,11 +33,11 @@ with an embedded photo must not fail text extraction) and extracted by
 :func:`pdf_extract_images` instead — ``DCTDecode`` decodes for real via the
 own JPEG codec (``extractor/jpegcodec.py``), ``CCITTFaxDecode`` via the own
 T.4/T.6 fax codec (``extractor/ccittcodec.py``), Flate/LZW-coded raw
-bitmaps via the lossless chain.  RC4-encrypted documents (standard
-security handler R2/R3, empty user password) decrypt for real via
-``extractor/pdfcrypt.py``.  Still out of scope (raise
-``NotImplementedError``): JPX/JBIG2 image codecs and AES (V4+) crypt
-filters.
+bitmaps via the lossless chain.  Encrypted documents (standard security
+handler R2-R4: RC4 and AESV2, empty user password) decrypt for real via
+``extractor/pdfcrypt.py`` + ``extractor/aescodec.py``.  Still out of
+scope (raise ``NotImplementedError``): JPX/JBIG2 image codecs and the
+PDF 2.0 AESV3 (V5/R6) handler.
 """
 from __future__ import annotations
 
@@ -828,16 +828,16 @@ def pdf_to_text(payload: bytes) -> list[list[str]]:
     payload = bytes(payload)
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    from extractor.pdfcrypt import decryption_key, object_key, rc4
+    from extractor.pdfcrypt import decrypt_stream, decryption_key
 
-    fkey = decryption_key(payload)  # None = unencrypted
+    crypt = decryption_key(payload)  # None = unencrypted
     pages: list[list[str]] = []
     found_text = False
     for dict_bytes, raw, onum, ogen, _at in _iter_streams(payload):
         if re.search(rb"/Subtype\s*/Image\b", dict_bytes):
             continue  # image XObject: no text; see pdf_extract_images
-        if fkey is not None:
-            raw = rc4(object_key(fkey, onum, ogen), raw)
+        if crypt is not None:
+            raw = decrypt_stream(crypt[0], crypt[1], onum, ogen, raw)
         body = _decode_stream(dict_bytes, raw)
         if b"BT" not in body:
             continue
@@ -867,15 +867,15 @@ def pdf_extract_images(payload: bytes) -> list[dict]:
     payload = bytes(payload)
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    from extractor.pdfcrypt import decryption_key, object_key, rc4
+    from extractor.pdfcrypt import decrypt_stream, decryption_key
 
-    fkey = decryption_key(payload)  # None = unencrypted
+    crypt = decryption_key(payload)  # None = unencrypted
     out: list[dict] = []
     for dict_bytes, raw, onum, ogen, _at in _iter_streams(payload):
         if not re.search(rb"/Subtype\s*/Image\b", dict_bytes):
             continue
-        if fkey is not None:
-            raw = rc4(object_key(fkey, onum, ogen), raw)
+        if crypt is not None:
+            raw = decrypt_stream(crypt[0], crypt[1], onum, ogen, raw)
         rec = {
             "width": None, "height": None, "channels": None,
             "pixels": None, "error": None,

@@ -1,12 +1,14 @@
-"""PDF standard security handler (RC4 crypt filter) — pure stdlib.
+"""PDF standard security handler (RC4 + AESV2 crypt filters) — stdlib.
 
 Implements the public PDF 1.7 §7.6 standard security handler for
-revisions 2 and 3 (V1 = RC4/40-bit, V2 = RC4 up to 128-bit): file-key
-derivation (Algorithm 2), /O and /U computation (Algorithms 3-5),
-per-object keys, and RC4 itself — so ``pdf_to_text`` /
+revisions 2-4 (V1 = RC4/40-bit, V2 = RC4 up to 128-bit, V4 = AESV2
+crypt filters via the own FIPS-197 AES in ``extractor/aescodec.py``):
+file-key derivation (Algorithm 2), /O and /U computation (Algorithms
+3-5), per-object keys (md5 + the ``sAlT`` suffix for AES), and RC4
+itself (pinned to the published test vectors) — so ``pdf_to_text`` /
 ``pdf_extract_images`` can read the common "owner-locked, empty user
-password" encrypted documents.  V4+ (AESV2/AESV3 crypt filters) stays
-out of scope and raises ``NotImplementedError``.
+password" encrypted documents.  V5/R6 (AESV3, the PDF 2.0 SHA-2
+handler) stays out of scope and raises ``NotImplementedError``.
 
 The encrypt side (:func:`encrypt_pdf`) exists as the deterministic
 roundtrip fixture for the decrypt side: it RC4-encrypts every stream
@@ -107,13 +109,30 @@ def verify_user_password(fkey: bytes, u_entry: bytes, doc_id: bytes,
     return u_entry[:cmp_len] == want[:cmp_len]
 
 
-def object_key(fkey: bytes, num: int, gen: int) -> bytes:
-    """Per-object RC4 key: md5(file key + obj num (3 LE bytes) + gen
-    (2 LE bytes)), truncated to min(len(key)+5, 16)."""
+def object_key(fkey: bytes, num: int, gen: int,
+               aes: bool = False) -> bytes:
+    """Per-object key: md5(file key + obj num (3 LE bytes) + gen (2 LE
+    bytes) [+ the AESV2 salt ``sAlT``]), truncated to
+    min(len(key)+5, 16)."""
     h = hashlib.md5(
         fkey + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(fkey) + 5, 16)]
+
+
+def decrypt_stream(fkey: bytes, method: str, num: int, gen: int,
+                   raw: bytes) -> bytes:
+    """Decrypt one stream body under the document's crypt method."""
+    if method == "aes":
+        from extractor.aescodec import aes_cbc_decrypt
+
+        if len(raw) < 16:
+            raise ValueError("AESV2 stream shorter than its IV")
+        return aes_cbc_decrypt(
+            object_key(fkey, num, gen, aes=True), raw[:16], raw[16:]
+        )
+    return rc4(object_key(fkey, num, gen), raw)
 
 
 def _parse_crypt_string(src: bytes, key: bytes) -> bytes | None:
@@ -159,13 +178,24 @@ def parse_encrypt_dict(payload: bytes):
         )
     v = int(re.search(rb"/V\s+(\d+)", src).group(1)) if re.search(
         rb"/V\s+(\d+)", src) else 0
-    if v not in (1, 2):
+    method = "rc4"
+    if v == 4:
+        cfm = re.search(rb"/CFM\s*/(\w+)", src)
+        if not cfm or cfm.group(1) not in (b"AESV2", b"V2"):
+            raise NotImplementedError(
+                "V4 crypt filter method %r"
+                % (cfm.group(1).decode("latin1") if cfm else None)
+            )
+        method = "aes" if cfm.group(1) == b"AESV2" else "rc4"
+    elif v not in (1, 2):
         raise NotImplementedError(
-            "encryption V=%d (AES crypt filters) unsupported" % v
+            "encryption V=%d (AESV3/PDF-2.0 handler) unsupported" % v
         )
     r = int(re.search(rb"/R\s+(\d+)", src).group(1))
-    if r not in (2, 3):
+    if r not in (2, 3, 4):
         raise NotImplementedError("security handler revision %d" % r)
+    if re.search(rb"/EncryptMetadata\s+false", src):
+        raise NotImplementedError("EncryptMetadata false key variant")
     lm = re.search(rb"/Length\s+(\d+)", src)
     length = int(lm.group(1)) if lm else 40
     pm = re.search(rb"/P\s+(-?\d+)", src)
@@ -182,15 +212,16 @@ def parse_encrypt_dict(payload: bytes):
         raise ValueError("encrypted PDF missing /ID")
     return {
         "v": v, "r": r, "length": length, "o": o, "u": u,
-        "p": int(pm.group(1)),
+        "p": int(pm.group(1)), "method": method,
         "doc_id": bytes.fromhex(idm.group(1).decode("ascii")),
     }
 
 
 def decryption_key(payload: bytes, user_password: bytes = b""):
-    """File key for an encrypted document, or ``None`` if the document
-    is not encrypted.  Raises ``ValueError`` if the (default: empty)
-    user password does not verify against /U."""
+    """``(file_key, method)`` for an encrypted document — method is
+    ``"rc4"`` or ``"aes"`` — or ``None`` if the document is not
+    encrypted.  Raises ``ValueError`` if the (default: empty) user
+    password does not verify against /U."""
     enc = parse_encrypt_dict(payload)
     if enc is None:
         return None
@@ -198,19 +229,26 @@ def decryption_key(payload: bytes, user_password: bytes = b""):
                     user_password, enc["r"], enc["length"])
     if not verify_user_password(fkey, enc["u"], enc["doc_id"], enc["r"]):
         raise ValueError("encrypted PDF: password required")
-    return fkey
+    return fkey, enc["method"]
 
 
 def encrypt_pdf(payload: bytes, owner_password: bytes = b"owner",
                 user_password: bytes = b"", revision: int = 3,
-                length_bits: int = 128) -> bytes:
-    """RC4-encrypt every stream body of *payload* under the standard
-    security handler (empty user password readable).  Deterministic:
-    /ID is the md5 of the input bytes."""
+                length_bits: int = 128, method: str = "rc4") -> bytes:
+    """Encrypt every stream body of *payload* under the standard
+    security handler (empty user password readable).  ``method``:
+    ``"rc4"`` (V1/V2, in-place — RC4 preserves length) or ``"aes"``
+    (V4/R4 AESV2 — streams grow by IV + padding, so bodies are spliced
+    back-to-front and each direct /Length patched).  Deterministic:
+    /ID is the md5 of the input bytes; AES IVs are md5-derived per
+    object (the spec asks for unpredictable IVs; fixtures want
+    reproducible ones)."""
     from extractor.pdf import _iter_streams
 
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
+    if method == "aes":
+        revision, length_bits = 4, 128
     p_flags = -3904  # print+copy denied bits cleared; typical value
     doc_id = hashlib.md5(payload).digest()
     o = compute_o(owner_password, user_password, revision, length_bits)
@@ -218,19 +256,51 @@ def encrypt_pdf(payload: bytes, owner_password: bytes = b"owner",
                     length_bits)
     u = compute_u(fkey, doc_id, revision)
     out = bytearray(payload)
-    for dict_bytes, body, num, gen, at in _iter_streams(payload):
-        enc = rc4(object_key(fkey, num, gen), body)
-        out[at : at + len(body)] = enc
-    # append the Encrypt object ahead of the xref; same-length stream
-    # rewrites left every offset valid, so only startxref shifts
+    for dict_bytes, body, num, gen, at in reversed(
+        list(_iter_streams(payload))
+    ):
+        if method == "aes":
+            from extractor.aescodec import aes_cbc_encrypt
+
+            iv = hashlib.md5(
+                b"iv" + struct.pack("<II", num, gen) + doc_id
+            ).digest()
+            enc = iv + aes_cbc_encrypt(
+                object_key(fkey, num, gen, aes=True), iv, body
+            )
+            out[at : at + len(body)] = enc
+            # patch this stream's direct /Length (before `at`, so the
+            # body splice above did not move it)
+            ls = bytes(out).rfind(b"/Length", max(0, at - 4096), at)
+            lm = re.match(rb"/Length\s+(\d+)", bytes(out)[ls : ls + 24])
+            if ls < 0 or not lm:
+                raise ValueError("stream without a direct /Length")
+            out[ls + lm.start(1) : ls + lm.end(1)] = (
+                str(len(enc)).encode()
+            )
+        else:
+            out[at : at + len(body)] = rc4(
+                object_key(fkey, num, gen), body
+            )
+    # append the Encrypt object ahead of the xref (back-to-front AES
+    # splices kept earlier offsets valid; RC4 is length-preserving)
     xref_at = bytes(out).rfind(b"\nxref\n")
     sm = re.search(rb"/Size\s+(\d+)", bytes(out))
     enc_num = int(sm.group(1)) if sm else 1000
-    v = 1 if length_bits == 40 else 2
+    if method == "aes":
+        handler = (
+            b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2"
+            b" /AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF"
+            b" /StrF /StdCF"
+        )
+    else:
+        handler = b"/V %d /R %d /Length %d" % (
+            1 if length_bits == 40 else 2, revision, length_bits,
+        )
     obj = (
-        b"%d 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d"
+        b"%d 0 obj\n<< /Filter /Standard %s"
         b" /P %d /O <%s> /U <%s> >>\nendobj\n"
-        % (enc_num, v, revision, length_bits, p_flags,
+        % (enc_num, handler, p_flags,
            o.hex().encode(), u.hex().encode())
     )
     if xref_at < 0:

@@ -95,10 +95,13 @@ def test_parse_encrypt_dict_guards():
     plain = text_to_pdf_bytes("t")
     assert parse_encrypt_dict(plain) is None
     assert decryption_key(plain) is None
-    # V4 (AES) is an honest NotImplementedError, not a wrong decode
+    # V4 without a /CFM, and V5, are honest NotImplementedErrors
     enc = encrypt_pdf(plain)
     broken = enc.replace(b"/V 2", b"/V 4")
-    with pytest.raises(NotImplementedError, match="AES"):
+    with pytest.raises(NotImplementedError, match="V4 crypt filter"):
+        pdf_to_text(broken)
+    broken = enc.replace(b"/V 2", b"/V 5")
+    with pytest.raises(NotImplementedError, match="AESV3"):
         pdf_to_text(broken)
     # non-standard handler
     broken = enc.replace(b"/Filter /Standard", b"/Filter /Custom00")
@@ -118,3 +121,75 @@ def test_key_derivation_shapes():
     assert len(object_key(k3, 5, 0)) == 16
     assert object_key(k3, 5, 0) != object_key(k3, 6, 0)
     assert object_key(k3, 5, 0) != object_key(k3, 5, 1)
+
+
+def test_aes_fips197_known_answer():
+    """FIPS-197 Appendix C.1 — the canonical AES-128 vector, decode
+    direction included; tables are computed, this pins them."""
+    from extractor.aescodec import (
+        _decrypt_block,
+        _encrypt_block_public,
+        _expand_key,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert _encrypt_block_public(key, pt) == ct
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+    iv = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(256))[:n]
+        assert aes_cbc_decrypt(
+            key, iv, aes_cbc_encrypt(key, iv, data)
+        ) == data
+    with pytest.raises(ValueError):
+        aes_cbc_decrypt(key, iv, b"\x00" * 15)  # ragged
+    with pytest.raises(ValueError):
+        aes_cbc_decrypt(key, iv, bytes(16))  # garbage padding byte
+
+
+def test_aesv2_roundtrip():
+    plain = text_to_pdf_bytes(TEXT)
+    enc = encrypt_pdf(plain, method="aes")
+    assert b"/CFM /AESV2" in enc and b"(encrypted page one)" not in enc
+    assert pdf_to_text(enc) == pdf_to_text(plain)
+    assert enc == encrypt_pdf(plain, method="aes")  # deterministic
+    # filtered streams: decrypt precedes the filter chain
+    pl = text_to_pdf_bytes(TEXT, stream_filter="flate")
+    assert pdf_to_text(encrypt_pdf(pl, method="aes")) == pdf_to_text(
+        plain
+    )
+    # /StmF /Length patched: streams grew by IV + padding
+    assert len(enc) > len(plain)
+
+
+def test_aesv2_password_and_images():
+    from extractor.jpegcodec import jpeg_encode
+
+    plain = text_to_pdf_bytes(TEXT)
+    locked = encrypt_pdf(plain, user_password=b"pw", method="aes")
+    with pytest.raises(ValueError, match="password"):
+        pdf_to_text(locked)
+    assert decryption_key(locked, b"pw")[1] == "aes"
+
+    jpg = jpeg_encode(8, 8, bytes(range(64)), 1, quality=92)
+    base = text_to_pdf_bytes("imgs")
+    obj = (
+        b"900 0 obj\n<< /Type /XObject /Subtype /Image /Width 8"
+        b" /Height 8 /BitsPerComponent 8 /Filter /DCTDecode"
+        b" /Length %d >>\nstream\n" % len(jpg)
+    ) + jpg + b"\nendstream\nendobj\n"
+    pdf = base.replace(b"%%EOF", obj + b"%%EOF")
+    assert pdf_extract_images(
+        encrypt_pdf(pdf, method="aes")
+    ) == pdf_extract_images(pdf)
+
+
+def test_aesv3_still_honest():
+    enc = encrypt_pdf(text_to_pdf_bytes("t"), method="aes")
+    broken = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6")
+    with pytest.raises(NotImplementedError):
+        pdf_to_text(broken)
