@@ -1,15 +1,16 @@
-"""AES-128 (FIPS-197) + CBC mode — pure stdlib, tables computed.
+"""AES-128/256 (FIPS-197) + CBC mode — pure stdlib, tables computed.
 
-Exists for PDF's ``AESV2`` crypt filter (V4/R4 standard security
-handler).  Every table is DERIVED at import time from the public
-algebraic definitions — the S-box as the affine transform of the
-GF(2^8) multiplicative inverse, Rcon by doubling — so there is no
-hand-transcribed constant to get wrong; correctness is pinned by the
-FIPS-197 Appendix C known-answer test in ``tests/test_pdfcrypt.py``.
+Exists for PDF's ``AESV2`` (V4/R4, AES-128) and ``AESV3`` (V5/R6,
+AES-256) crypt filters.  Every table is DERIVED at import time from
+the public algebraic definitions — the S-box as the affine transform
+of the GF(2^8) multiplicative inverse, Rcon by doubling — so there is
+no hand-transcribed constant to get wrong; correctness is pinned by
+the FIPS-197 Appendix C known-answer tests (both key sizes) and the
+NIST SP 800-38A CBC vector in ``tests/test_pdfcrypt.py``.
 
-Scope: AES-128 encrypt/decrypt block ops + CBC with PKCS#7 padding,
-which is exactly what AESV2 needs (16-byte keys after the md5+sAlT
-per-object derivation).  Not a general crypto library.
+Scope: AES-128/256 block ops + CBC with optional PKCS#7 padding,
+which is exactly what the PDF crypt filters need.  Not a general
+crypto library.
 """
 from __future__ import annotations
 
@@ -59,20 +60,25 @@ _SBOX, _INV_SBOX, _RCON = _build_tables()
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule: 11 round keys of 16 bytes."""
-    if len(key) != 16:
-        raise ValueError("AES-128 needs a 16-byte key")
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 key schedule for AES-128 (11 round keys) or AES-256
+    (15 round keys, with the extra SubWord at ``i % Nk == 4``)."""
+    if len(key) not in (16, 32):
+        raise ValueError("AES needs a 16- or 32-byte key")
+    nk = len(key) // 4
+    nr = 10 if nk == 4 else 14
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
     return [
         [b for word in w[r : r + 4] for b in word]
-        for r in range(0, 44, 4)
+        for r in range(0, 4 * (nr + 1), 4)
     ]
 
 
@@ -86,12 +92,13 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
 def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    nr = len(rks) - 1
     s = list(block)
     _add_rk(s, rks[0])
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = [_SBOX[b] for b in s]
         s = [s[_SHIFT[i]] for i in range(16)]
-        if rnd < 10:
+        if rnd < nr:
             t = []
             for c in range(0, 16, 4):
                 a = s[c : c + 4]
@@ -107,9 +114,10 @@ def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
 
 
 def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    nr = len(rks) - 1
     s = list(block)
-    _add_rk(s, rks[10])
-    for rnd in range(9, -1, -1):
+    _add_rk(s, rks[nr])
+    for rnd in range(nr - 1, -1, -1):
         s = [s[_INV_SHIFT[i]] for i in range(16)]
         s = [_INV_SBOX[b] for b in s]
         _add_rk(s, rks[rnd])
@@ -131,14 +139,22 @@ def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
     return bytes(s)
 
 
-def aes_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
-    """CBC encrypt with PKCS#7 padding; returns ciphertext WITHOUT the
-    IV prepended (the PDF layer frames iv + ciphertext itself)."""
+def aes_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes,
+                    pad: bool = True) -> bytes:
+    """CBC encrypt, PKCS#7-padded by default (``pad=False`` for
+    block-aligned raw mode, e.g. the AESV3 file-key wrap and the
+    hardened-hash loop); returns ciphertext WITHOUT the IV prepended
+    (the PDF layer frames iv + ciphertext itself)."""
     if len(iv) != 16:
         raise ValueError("IV must be 16 bytes")
     rks = _expand_key(key)
-    pad = 16 - len(plaintext) % 16
-    data = plaintext + bytes([pad]) * pad
+    if pad:
+        n = 16 - len(plaintext) % 16
+        data = plaintext + bytes([n]) * n
+    else:
+        if len(plaintext) % 16:
+            raise ValueError("unpadded CBC needs block-aligned input")
+        data = plaintext
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
@@ -148,9 +164,11 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     return bytes(out)
 
 
-def aes_cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
-    """CBC decrypt + PKCS#7 unpad.  Raises ``ValueError`` on ragged
-    input or corrupt padding (contained-error semantics upstream)."""
+def aes_cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes,
+                    pad: bool = True) -> bytes:
+    """CBC decrypt (+ PKCS#7 unpad unless ``pad=False``).  Raises
+    ``ValueError`` on ragged input or corrupt padding
+    (contained-error semantics upstream)."""
     if len(iv) != 16:
         raise ValueError("IV must be 16 bytes")
     if not ciphertext or len(ciphertext) % 16:
@@ -164,10 +182,12 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
             a ^ b for a, b in zip(_decrypt_block(c, rks), prev)
         )
         prev = c
-    pad = out[-1]
-    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+    if not pad:
+        return bytes(out)
+    n = out[-1]
+    if not 1 <= n <= 16 or out[-n:] != bytes([n]) * n:
         raise ValueError("bad AES-CBC padding")
-    return bytes(out[:-pad])
+    return bytes(out[:-n])
 
 
 def _encrypt_block_public(key: bytes, block: bytes) -> bytes:

@@ -34,10 +34,10 @@ with an embedded photo must not fail text extraction) and extracted by
 own JPEG codec (``extractor/jpegcodec.py``), ``CCITTFaxDecode`` via the own
 T.4/T.6 fax codec (``extractor/ccittcodec.py``), Flate/LZW-coded raw
 bitmaps via the lossless chain.  Encrypted documents (standard security
-handler R2-R4: RC4 and AESV2, empty user password) decrypt for real via
+handler, every generation: RC4 R2/R3, AESV2 R4, and the PDF 2.0 AESV3
+R6 hardened handler; empty user password) decrypt for real via
 ``extractor/pdfcrypt.py`` + ``extractor/aescodec.py``.  Still out of
-scope (raise ``NotImplementedError``): JPX/JBIG2 image codecs and the
-PDF 2.0 AESV3 (V5/R6) handler.
+scope (raise ``NotImplementedError``): JPX/JBIG2 image codecs.
 """
 from __future__ import annotations
 

@@ -1,14 +1,17 @@
-"""PDF standard security handler (RC4 + AESV2 crypt filters) — stdlib.
+"""PDF standard security handler (RC4 / AESV2 / AESV3) — stdlib.
 
-Implements the public PDF 1.7 §7.6 standard security handler for
-revisions 2-4 (V1 = RC4/40-bit, V2 = RC4 up to 128-bit, V4 = AESV2
-crypt filters via the own FIPS-197 AES in ``extractor/aescodec.py``):
+Implements the public standard security handler across PDF 1.7 §7.6
+revisions 2-4 (V1 = RC4/40-bit, V2 = RC4 up to 128-bit, V4 = AESV2)
+AND the ISO 32000-2 (PDF 2.0) revision 6 AESV3 handler: legacy
 file-key derivation (Algorithm 2), /O and /U computation (Algorithms
-3-5), per-object keys (md5 + the ``sAlT`` suffix for AES), and RC4
-itself (pinned to the published test vectors) — so ``pdf_to_text`` /
+3-5), per-object keys (md5 + the ``sAlT`` suffix for AESV2), the R6
+hardened hash (Algorithm 2.B: SHA-256/384/512 rounds keyed by
+AES-128-CBC output) with /U validation-salt checks and /UE file-key
+unwrap, and RC4/AES themselves (pinned to the published RC4,
+FIPS-197, and NIST SP 800-38A test vectors via
+``extractor/aescodec.py``) — so ``pdf_to_text`` /
 ``pdf_extract_images`` can read the common "owner-locked, empty user
-password" encrypted documents.  V5/R6 (AESV3, the PDF 2.0 SHA-2
-handler) stays out of scope and raises ``NotImplementedError``.
+password" encrypted documents of every standard-handler generation.
 
 The encrypt side (:func:`encrypt_pdf`) exists as the deterministic
 roundtrip fixture for the decrypt side: it RC4-encrypts every stream
@@ -109,6 +112,30 @@ def verify_user_password(fkey: bytes, u_entry: bytes, doc_id: bytes,
     return u_entry[:cmp_len] == want[:cmp_len]
 
 
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 "hardened" password hash:
+    SHA-256 seed, then rounds of AES-128-CBC over 64 repetitions of
+    (password + K + udata) with the digest algorithm for the next
+    round chosen by the first 16 cipher bytes mod 3, until at least 64
+    rounds AND the last cipher byte <= round - 32.  The AES/SHA
+    primitives underneath are known-answer-pinned; the loop structure
+    itself follows the published spec text and is verified by
+    encrypt/decrypt roundtrip (no offline KAT exists for 2.B)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    from extractor.aescodec import aes_cbc_encrypt
+
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = (
+            hashlib.sha256, hashlib.sha384, hashlib.sha512
+        )[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def object_key(fkey: bytes, num: int, gen: int,
                aes: bool = False) -> bytes:
     """Per-object key: md5(file key + obj num (3 LE bytes) + gen (2 LE
@@ -124,14 +151,14 @@ def object_key(fkey: bytes, num: int, gen: int,
 def decrypt_stream(fkey: bytes, method: str, num: int, gen: int,
                    raw: bytes) -> bytes:
     """Decrypt one stream body under the document's crypt method."""
-    if method == "aes":
+    if method in ("aes", "aes3"):
         from extractor.aescodec import aes_cbc_decrypt
 
         if len(raw) < 16:
-            raise ValueError("AESV2 stream shorter than its IV")
-        return aes_cbc_decrypt(
-            object_key(fkey, num, gen, aes=True), raw[:16], raw[16:]
-        )
+            raise ValueError("AES stream shorter than its IV")
+        key = (fkey if method == "aes3"  # V5 uses the file key directly
+               else object_key(fkey, num, gen, aes=True))
+        return aes_cbc_decrypt(key, raw[:16], raw[16:])
     return rc4(object_key(fkey, num, gen), raw)
 
 
@@ -187,13 +214,21 @@ def parse_encrypt_dict(payload: bytes):
                 % (cfm.group(1).decode("latin1") if cfm else None)
             )
         method = "aes" if cfm.group(1) == b"AESV2" else "rc4"
+    elif v == 5:
+        cfm = re.search(rb"/CFM\s*/(\w+)", src)
+        if not cfm or cfm.group(1) != b"AESV3":
+            raise NotImplementedError(
+                "V5 crypt filter method %r"
+                % (cfm.group(1).decode("latin1") if cfm else None)
+            )
+        method = "aes3"
     elif v not in (1, 2):
-        raise NotImplementedError(
-            "encryption V=%d (AESV3/PDF-2.0 handler) unsupported" % v
-        )
+        raise NotImplementedError("encryption V=%d unsupported" % v)
     r = int(re.search(rb"/R\s+(\d+)", src).group(1))
-    if r not in (2, 3, 4):
+    if r not in (2, 3, 4, 6):
         raise NotImplementedError("security handler revision %d" % r)
+    if (r == 6) != (v == 5):
+        raise ValueError("inconsistent /V %d with /R %d" % (v, r))
     if re.search(rb"/EncryptMetadata\s+false", src):
         raise NotImplementedError("EncryptMetadata false key variant")
     lm = re.search(rb"/Length\s+(\d+)", src)
@@ -205,15 +240,20 @@ def parse_encrypt_dict(payload: bytes):
     u = _parse_crypt_string(src, b"U")
     if o is None or u is None:
         raise ValueError("Encrypt dict missing /O or /U")
+    ue = _parse_crypt_string(src, b"UE") if r == 6 else None
+    if r == 6 and (ue is None or len(u) < 48 or len(ue) != 32):
+        raise ValueError("R6 Encrypt dict missing/short /U or /UE")
     idm = re.search(
         rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", payload[m.start() - 512 :]
     ) or re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", payload)
-    if not idm:
+    if not idm and r != 6:  # R6 key derivation does not use /ID
         raise ValueError("encrypted PDF missing /ID")
     return {
-        "v": v, "r": r, "length": length, "o": o, "u": u,
+        "v": v, "r": r, "length": length, "o": o, "u": u, "ue": ue,
         "p": int(pm.group(1)), "method": method,
-        "doc_id": bytes.fromhex(idm.group(1).decode("ascii")),
+        "doc_id": (
+            bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+        ),
     }
 
 
@@ -225,6 +265,17 @@ def decryption_key(payload: bytes, user_password: bytes = b""):
     enc = parse_encrypt_dict(payload)
     if enc is None:
         return None
+    if enc["r"] == 6:
+        u = enc["u"]
+        if hash_2b(user_password, u[32:40]) != u[:32]:
+            raise ValueError("encrypted PDF: password required")
+        from extractor.aescodec import aes_cbc_decrypt
+
+        fkey = aes_cbc_decrypt(
+            hash_2b(user_password, u[40:48]), bytes(16), enc["ue"],
+            pad=False,
+        )
+        return fkey, enc["method"]
     fkey = file_key(enc["o"], enc["p"], enc["doc_id"],
                     user_password, enc["r"], enc["length"])
     if not verify_user_password(fkey, enc["u"], enc["doc_id"], enc["r"]):
@@ -251,23 +302,51 @@ def encrypt_pdf(payload: bytes, owner_password: bytes = b"owner",
         revision, length_bits = 4, 128
     p_flags = -3904  # print+copy denied bits cleared; typical value
     doc_id = hashlib.md5(payload).digest()
-    o = compute_o(owner_password, user_password, revision, length_bits)
-    fkey = file_key(o, p_flags, doc_id, user_password, revision,
-                    length_bits)
-    u = compute_u(fkey, doc_id, revision)
+    if method == "aes3":
+        from extractor.aescodec import aes_cbc_encrypt
+
+        revision, length_bits = 6, 256
+        # deterministic salts + file key for the fixture (the spec asks
+        # for random ones; reproducibility wins here)
+        vs_u, ks_u, vs_o, ks_o = (
+            hashlib.md5(tag + doc_id).digest()[:8]
+            for tag in (b"vu", b"ku", b"vo", b"ko")
+        )
+        fkey = hashlib.sha256(b"filekey" + doc_id).digest()
+        u = hash_2b(user_password, vs_u) + vs_u + ks_u
+        ue = aes_cbc_encrypt(
+            hash_2b(user_password, ks_u), bytes(16), fkey, pad=False
+        )
+        o = hash_2b(owner_password, vs_o, u) + vs_o + ks_o
+        oe = aes_cbc_encrypt(
+            hash_2b(owner_password, ks_o, u), bytes(16), fkey,
+            pad=False,
+        )
+        perms = aes_cbc_encrypt(
+            fkey, bytes(16),
+            struct.pack("<i", p_flags) + b"\xff\xff\xff\xffTadb"
+            + hashlib.md5(b"perms" + doc_id).digest()[:4],
+            pad=False,
+        )
+    else:
+        o = compute_o(owner_password, user_password, revision,
+                      length_bits)
+        fkey = file_key(o, p_flags, doc_id, user_password, revision,
+                        length_bits)
+        u = compute_u(fkey, doc_id, revision)
     out = bytearray(payload)
     for dict_bytes, body, num, gen, at in reversed(
         list(_iter_streams(payload))
     ):
-        if method == "aes":
+        if method in ("aes", "aes3"):
             from extractor.aescodec import aes_cbc_encrypt
 
             iv = hashlib.md5(
                 b"iv" + struct.pack("<II", num, gen) + doc_id
             ).digest()
-            enc = iv + aes_cbc_encrypt(
-                object_key(fkey, num, gen, aes=True), iv, body
-            )
+            key = (fkey if method == "aes3"
+                   else object_key(fkey, num, gen, aes=True))
+            enc = iv + aes_cbc_encrypt(key, iv, body)
             out[at : at + len(body)] = enc
             # patch this stream's direct /Length (before `at`, so the
             # body splice above did not move it)
@@ -287,11 +366,21 @@ def encrypt_pdf(payload: bytes, owner_password: bytes = b"owner",
     xref_at = bytes(out).rfind(b"\nxref\n")
     sm = re.search(rb"/Size\s+(\d+)", bytes(out))
     enc_num = int(sm.group(1)) if sm else 1000
+    extra_entries = b""
     if method == "aes":
         handler = (
             b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2"
             b" /AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF"
             b" /StrF /StdCF"
+        )
+    elif method == "aes3":
+        handler = (
+            b"/V 5 /R 6 /Length 256 /CF << /StdCF << /CFM /AESV3"
+            b" /AuthEvent /DocOpen /Length 32 >> >> /StmF /StdCF"
+            b" /StrF /StdCF"
+        )
+        extra_entries = b" /UE <%s> /OE <%s> /Perms <%s>" % (
+            ue.hex().encode(), oe.hex().encode(), perms.hex().encode()
         )
     else:
         handler = b"/V %d /R %d /Length %d" % (
@@ -299,9 +388,9 @@ def encrypt_pdf(payload: bytes, owner_password: bytes = b"owner",
         )
     obj = (
         b"%d 0 obj\n<< /Filter /Standard %s"
-        b" /P %d /O <%s> /U <%s> >>\nendobj\n"
+        b" /P %d /O <%s> /U <%s>%s >>\nendobj\n"
         % (enc_num, handler, p_flags,
-           o.hex().encode(), u.hex().encode())
+           o.hex().encode(), u.hex().encode(), extra_entries)
     )
     if xref_at < 0:
         raise ValueError("no xref to anchor the Encrypt object")

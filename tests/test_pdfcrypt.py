@@ -101,7 +101,7 @@ def test_parse_encrypt_dict_guards():
     with pytest.raises(NotImplementedError, match="V4 crypt filter"):
         pdf_to_text(broken)
     broken = enc.replace(b"/V 2", b"/V 5")
-    with pytest.raises(NotImplementedError, match="AESV3"):
+    with pytest.raises(NotImplementedError, match="V5 crypt filter"):
         pdf_to_text(broken)
     # non-standard handler
     broken = enc.replace(b"/Filter /Standard", b"/Filter /Custom00")
@@ -188,8 +188,81 @@ def test_aesv2_password_and_images():
     ) == pdf_extract_images(pdf)
 
 
-def test_aesv3_still_honest():
+def test_mismatched_v5_cfm_is_honest():
+    """V5 with a non-AESV3 crypt filter method must refuse, not
+    mis-decrypt."""
     enc = encrypt_pdf(text_to_pdf_bytes("t"), method="aes")
     broken = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6")
     with pytest.raises(NotImplementedError):
         pdf_to_text(broken)
+
+
+def test_aes256_vectors():
+    """FIPS-197 C.3 block vector + NIST SP 800-38A F.2.5 CBC vector."""
+    from extractor.aescodec import (
+        _decrypt_block,
+        _encrypt_block_public,
+        _expand_key,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+
+    k = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert _encrypt_block_public(k, pt) == ct
+    assert _decrypt_block(ct, _expand_key(k)) == pt
+    key = bytes.fromhex(
+        "603deb1015ca71be2b73aef0857d7781"
+        "1f352c073b6108d72d9810a30914dff4"
+    )
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    c1 = aes_cbc_encrypt(key, iv, p1, pad=False)
+    assert c1.hex() == "f58c4c04d6e5f1ba779eabfb5f7bfbd6"
+    assert aes_cbc_decrypt(key, iv, c1, pad=False) == p1
+
+
+def test_aesv3_roundtrip_and_password():
+    from extractor.pdfcrypt import hash_2b
+
+    plain = text_to_pdf_bytes(TEXT)
+    enc = encrypt_pdf(plain, method="aes3")
+    assert b"/CFM /AESV3" in enc and b"/UE <" in enc
+    assert b"(encrypted page one)" not in enc
+    assert pdf_to_text(enc) == pdf_to_text(plain)
+    assert enc == encrypt_pdf(plain, method="aes3")  # deterministic
+    pl = text_to_pdf_bytes(TEXT, stream_filter="flate")
+    assert pdf_to_text(encrypt_pdf(pl, method="aes3")) == pdf_to_text(
+        plain
+    )
+    locked = encrypt_pdf(plain, user_password=b"s3cret", method="aes3")
+    with pytest.raises(ValueError, match="password"):
+        pdf_to_text(locked)
+    fk, m = decryption_key(locked, b"s3cret")
+    assert m == "aes3" and len(fk) == 32
+    # Algorithm 2.B structural properties: 32 bytes, deterministic,
+    # salt- and password-sensitive
+    h = hash_2b(b"", b"\x01" * 8)
+    assert len(h) == 32 and h == hash_2b(b"", b"\x01" * 8)
+    assert h != hash_2b(b"", b"\x02" * 8)
+    assert h != hash_2b(b"x", b"\x01" * 8)
+
+
+def test_aesv3_images():
+    from extractor.jpegcodec import jpeg_encode
+
+    jpg = jpeg_encode(8, 8, bytes(range(64)), 1, quality=92)
+    base = text_to_pdf_bytes("imgs")
+    obj = (
+        b"900 0 obj\n<< /Type /XObject /Subtype /Image /Width 8"
+        b" /Height 8 /BitsPerComponent 8 /Filter /DCTDecode"
+        b" /Length %d >>\nstream\n" % len(jpg)
+    ) + jpg + b"\nendstream\nendobj\n"
+    pdf = base.replace(b"%%EOF", obj + b"%%EOF")
+    assert pdf_extract_images(
+        encrypt_pdf(pdf, method="aes3")
+    ) == pdf_extract_images(pdf)
