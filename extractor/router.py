@@ -106,9 +106,12 @@ def route_payload(
     """Sniff + decode + convert one payload.  Never raises.
 
     Returns ``{"format", "extracted_text", "tables_count", "math_count",
-    "images_count", "error"}`` — counts are 0 for the non-DOM formats
-    (PDF/layout/text carry no table/math/image structure after
-    linearization)."""
+    "images_count", "error"}`` — table/math counts are 0 for the
+    non-DOM formats (PDF/layout/text carry no table/math structure
+    after linearization); PDF ``images_count`` counts embedded
+    ``/Subtype /Image`` XObjects (the A1/A3 statistics parity for
+    scanned documents — see ``pdf_extract_images`` for the actual
+    pixel decode)."""
     fmt = sniff_format(payload)
     out = {
         "format": fmt,
@@ -124,6 +127,14 @@ def route_payload(
         elif fmt in ("pdf", "layout_json"):
             r = parse_layout(payload)
             out["extracted_text"], out["error"] = r.text, r.error
+            if fmt == "pdf":
+                raw = (
+                    payload.encode("utf-8")
+                    if isinstance(payload, str) else bytes(payload)
+                )
+                out["images_count"] = len(
+                    re.findall(rb"/Subtype\s*/Image\b", raw)
+                )
         elif fmt == "docx":
             html = decode_docx(
                 payload.encode("utf-8") if isinstance(payload, str) else payload

@@ -163,3 +163,24 @@ def test_route_image_payloads():
     good[-5] ^= 0xFF  # corrupt a CRC
     out = route_payload(bytes(good))
     assert out["format"] == "image" and out["error"] is not None
+
+
+def test_pdf_images_count():
+    """PDF images_count = embedded /Subtype /Image XObjects (A3
+    statistics parity for scanned docs); text extraction unaffected."""
+    from extractor.jpegcodec import jpeg_encode
+    from extractor.pdf import text_to_pdf_bytes
+    from extractor.router import route_payload
+
+    base = text_to_pdf_bytes("with image")
+    assert route_payload(base)["images_count"] == 0
+    jpg = jpeg_encode(4, 4, bytes(16), 1)
+    obj = (
+        b"900 0 obj\n<< /Type /XObject /Subtype /Image /Width 4"
+        b" /Height 4 /BitsPerComponent 8 /Filter /DCTDecode"
+        b" /Length %d >>\nstream\n" % len(jpg)
+    ) + jpg + b"\nendstream\nendobj\n"
+    pdf = base.replace(b"%%EOF", obj + b"%%EOF")
+    r = route_payload(pdf)
+    assert r["images_count"] == 1 and r["error"] is None
+    assert r["extracted_text"].startswith("with image")
