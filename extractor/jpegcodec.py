@@ -18,12 +18,13 @@ Scope (honest): ENCODE — baseline sequential, 8-bit, grayscale or YCbCr
 4:4:4, Annex K quantization (IJG quality scaling) and Huffman tables,
 optional restart intervals.  DECODE — baseline, extended sequential,
 AND progressive (SOF0/SOF1/SOF2; multi-scan spectral selection +
-successive approximation with EOB runs, T.81 §G), 8-bit, 1- or
-3-component, ANY sampling factors (4:4:4, 4:2:0, 4:2:2, 4:1:1, ...),
-non-interleaved sequential multi-scan, custom DQT/DHT tables, restart
-markers, APPn/COM skipped — validated against real libjpeg-encoded
-files (both sequential and progressive).  Arithmetic coding,
-hierarchical, lossless-mode, 12-bit, and CMYK stay out of scope and
+successive approximation with EOB runs, T.81 §G), 8- and 12-bit
+precision (12-bit samples delivered scaled to the 8-bit output API),
+1- or 3-component, ANY sampling factors (4:4:4, 4:2:0, 4:2:2, 4:1:1,
+...), non-interleaved sequential multi-scan, custom DQT/DHT tables,
+restart markers, APPn/COM skipped — validated against real
+libjpeg-encoded files (both sequential and progressive).  Arithmetic
+coding, hierarchical, lossless-mode, and CMYK stay out of scope and
 raise ``NotImplementedError``; structural damage raises ``ValueError``
 — callers contain both as error rows (O4 semantics).
 """
@@ -120,6 +121,20 @@ _AC_CHROMA_VALS = (
     0xF9, 0xFA,
 )
 
+# 12-bit extended-sequential encode tables (T.81 allows DC SSSS to 15
+# and AC size nibbles to 15 at 12-bit precision, which the Annex K
+# 8-bit tables cannot express): flat canonical codes — 16 DC symbols
+# at 5 bits, 242 AC symbols (EOB + ZRL + 16 runs x 15 sizes) at 9
+# bits; Kraft sums 16/32 and 242/512, the all-ones code stays unused
+# as DHT requires.  Suboptimal but valid; the decoder reads whatever
+# DHT the file carries.
+_DC12_BITS = (0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_DC12_VALS = tuple(range(16))
+_AC12_VALS = (0x00, 0xF0) + tuple(
+    (r << 4) | s for r in range(16) for s in range(1, 16)
+)
+_AC12_BITS = (0, 0, 0, 0, 0, 0, 0, 0, 242, 0, 0, 0, 0, 0, 0, 0)
+
 # orthonormal 8-point DCT-II matrix: block spectrum = M @ block @ M.T
 _DCT_M = np.zeros((8, 8))
 for _u in range(8):
@@ -204,13 +219,21 @@ def jpeg_encode(
     channels: int = 3,
     quality: int = 90,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Write a real baseline-sequential JFIF JPEG.  *pixels* is top-down
     ``height`` rows x ``width`` px x ``channels`` bytes (RGB or gray);
     4:4:4 (no subsampling), Annex K quantization scaled to *quality*,
-    standard Huffman tables.  Deterministic."""
+    standard Huffman tables.  Deterministic.  ``precision=12`` writes
+    an extended-sequential (SOF1) 12-bit file — the 8-bit input is
+    scaled x16 into the 12-bit sample domain and custom canonical
+    Huffman tables cover the wider DC-category/AC-size range the
+    Annex K tables lack (T.81 allows DC SSSS to 15 and AC size to 14
+    at 12 bits)."""
     if channels not in (1, 3):
         raise ValueError("jpeg_encode: channels must be 1 or 3")
+    if precision not in (8, 12):
+        raise ValueError("jpeg_encode: precision must be 8 or 12")
     if len(pixels) != width * height * channels:
         raise ValueError(
             "pixel buffer is %d bytes, want %d (%dx%dx%d)"
@@ -234,13 +257,17 @@ def jpeg_encode(
         planes = [img[..., 0]]
         qtabs = [ql]
 
+    if precision == 12:
+        planes = [p * 16.0 for p in planes]
+    center = float(1 << (precision - 1))
+
     # pad to 8-multiples by edge replication, block-split, batch DCT
     bw, bh = (width + 7) // 8, (height + 7) // 8
     comp_coefs = []
     for plane, qt in zip(planes, qtabs):
         p = np.pad(
             plane, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
-        ) - 128.0
+        ) - center
         blocks = (
             p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         )
@@ -250,11 +277,29 @@ def jpeg_encode(
             np.round(spec / qmat).astype(np.int32).reshape(-1, 64)
         )
 
-    dc_tabs = [_huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)]
-    ac_tabs = [_huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if precision == 12:
+        huff_specs = [
+            (0, 0, _DC12_BITS, _DC12_VALS),
+            (1, 0, _AC12_BITS, _AC12_VALS),
+            (0, 1, _DC12_BITS, _DC12_VALS),
+            (1, 1, _AC12_BITS, _AC12_VALS),
+        ]
+    else:
+        huff_specs = [
+            (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+            (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    dc_tabs = [_huff_encode_table(huff_specs[0][2], huff_specs[0][3])]
+    ac_tabs = [_huff_encode_table(huff_specs[1][2], huff_specs[1][3])]
     if channels == 3:
-        dc_tabs.append(_huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
-        ac_tabs.append(_huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+        dc_tabs.append(
+            _huff_encode_table(huff_specs[2][2], huff_specs[2][3])
+        )
+        ac_tabs.append(
+            _huff_encode_table(huff_specs[3][2], huff_specs[3][3])
+        )
     zz = np.array(ZIGZAG)
 
     w = _BitWriter()
@@ -315,16 +360,13 @@ def jpeg_encode(
     if channels == 3:
         zz_c = bytes(int(qc[i]) for i in ZIGZAG)
         out += seg(0xFFDB, b"\x01" + zz_c)
-    sof = struct.pack(">BHHB", 8, height, width, channels)
+    sof = struct.pack(">BHHB", precision, height, width, channels)
     for ci in range(channels):
         sof += bytes((ci + 1, 0x11, 0 if ci == 0 else 1))
-    out += seg(0xFFC0, sof)
-    for cls, tid, bits, vals in (
-        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
-        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
-        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-    )[: 2 * channels if channels == 3 else 2]:
+    out += seg(0xFFC0 if precision == 8 else 0xFFC1, sof)
+    for cls, tid, bits, vals in huff_specs[
+        : 2 * channels if channels == 3 else 2
+    ]:
         out += seg(
             0xFFC4, bytes(((cls << 4) | tid,)) + bytes(bits) + bytes(vals)
         )
@@ -642,8 +684,9 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     1-component.  Baseline, extended sequential, AND progressive
     (SOF0/1/2): any sampling factors, multi-scan spectral selection +
     successive approximation, EOB runs, restart markers, custom
-    quant/Huffman tables.  Arithmetic coding / hierarchical / 12-bit
-    raise ``NotImplementedError``; structural damage ``ValueError``."""
+    quant/Huffman tables, 8- or 12-bit precision (12-bit scaled into
+    the 8-bit output).  Arithmetic coding / hierarchical raise
+    ``NotImplementedError``; structural damage ``ValueError``."""
     payload = bytes(payload)
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
@@ -706,8 +749,10 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             if frame is not None:
                 raise ValueError("multiple JPEG frames")
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError("JPEG precision %d" % prec)
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("SOF0 baseline is 8-bit only")
             if nc not in (1, 3):
                 raise NotImplementedError("JPEG with %d components" % nc)
             if width == 0 or height == 0:
@@ -721,7 +766,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, h, v, tq))
             frame = {
                 "width": width, "height": height, "comps": comps,
-                "progressive": marker == 0xC2,
+                "progressive": marker == 0xC2, "prec": prec,
             }
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
@@ -786,8 +831,10 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(
                 gh * 8, gw * 8
             )
-            + 128.0
+            + float(1 << (frame["prec"] - 1))
         )
+        if frame["prec"] > 8:  # deliver 8-bit samples (documented API)
+            plane /= float(1 << (frame["prec"] - 8))
         ry, rx = vmax // v, hmax // h
         if vmax % v or hmax % h:
             raise ValueError("non-integer JPEG sampling ratio")

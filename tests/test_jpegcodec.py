@@ -154,3 +154,50 @@ def test_roundtrip_through_multimodal_dispatch():
     w, h, body = decode_payload(jpeg_encode(8, 8, px, 3, quality=95))
     assert (w, h) == (8, 8)
     assert _err(px, body) <= 1
+
+
+def test_12bit_extended_sequential_roundtrip():
+    """precision=12 writes SOF1 with custom wide-range Huffman tables;
+    decode scales the 12-bit samples back into the 8-bit output API.
+    12-bit quantization error is SMALLER than 8-bit (finer domain)."""
+    import numpy as np
+
+    from extractor.jpegcodec import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(3)
+    for ch in (1, 3):
+        for w, h in ((8, 8), (24, 16), (17, 9)):
+            px = (rng.rand(h, w, ch) * 60 + 100).astype(
+                np.uint8
+            ).tobytes()
+            enc = jpeg_encode(w, h, px, ch, quality=95, precision=12)
+            assert b"\xff\xc1" in enc[:256]  # SOF1, not SOF0
+            got = jpeg_decode(enc)
+            assert got[:3] == (w, h, ch)
+            err = np.abs(
+                np.frombuffer(px, np.uint8).astype(int)
+                - np.frombuffer(got[3], np.uint8).astype(int)
+            ).max()
+            assert err <= 2, (ch, w, h, err)
+    # sharp edges at q100 are exact in the 12-bit domain
+    px = (np.indices((16, 16)).sum(0) % 2 * 255).astype(
+        np.uint8
+    ).tobytes()
+    enc = jpeg_encode(16, 16, px, 1, quality=100, precision=12)
+    assert jpeg_decode(enc)[3] == px
+
+
+def test_12bit_guards():
+    import pytest
+
+    from extractor.jpegcodec import jpeg_encode
+
+    with pytest.raises(ValueError, match="precision"):
+        jpeg_encode(4, 4, bytes(16), 1, precision=10)
+    # a 12-bit SOF0 is structurally invalid (baseline is 8-bit only)
+    enc = jpeg_encode(4, 4, bytes(16), 1, precision=12)
+    broken = enc.replace(b"\xff\xc1", b"\xff\xc0")
+    from extractor.jpegcodec import jpeg_decode
+
+    with pytest.raises(ValueError, match="SOF0"):
+        jpeg_decode(broken)
