@@ -22,11 +22,13 @@ successive approximation with EOB runs, T.81 §G), 8- and 12-bit
 precision (12-bit samples delivered scaled to the 8-bit output API),
 1- or 3-component, ANY sampling factors (4:4:4, 4:2:0, 4:2:2, 4:1:1,
 ...), non-interleaved sequential multi-scan, custom DQT/DHT tables,
-restart markers, APPn/COM skipped — validated against real
-libjpeg-encoded files (both sequential and progressive).  Arithmetic
-coding, hierarchical, lossless-mode, and CMYK stay out of scope and
-raise ``NotImplementedError``; structural damage raises ``ValueError``
-— callers contain both as error rows (O4 semantics).
+restart markers, 4-component CMYK/YCCK (Adobe APP14 transform +
+inverted-sample conventions, delivered as converted RGB), APPn/COM
+skipped — validated against real libjpeg-encoded files (both
+sequential and progressive).  Arithmetic coding, hierarchical, and
+lossless-mode stay out of scope and raise ``NotImplementedError``;
+structural damage raises ``ValueError`` — callers contain both as
+error rows (O4 semantics).
 """
 from __future__ import annotations
 
@@ -230,10 +232,12 @@ def jpeg_encode(
     Huffman tables cover the wider DC-category/AC-size range the
     Annex K tables lack (T.81 allows DC SSSS to 15 and AC size to 14
     at 12 bits)."""
-    if channels not in (1, 3):
-        raise ValueError("jpeg_encode: channels must be 1 or 3")
+    if channels not in (1, 3, 4):
+        raise ValueError("jpeg_encode: channels must be 1, 3 or 4")
     if precision not in (8, 12):
         raise ValueError("jpeg_encode: precision must be 8 or 12")
+    if channels == 4 and precision != 8:
+        raise ValueError("CMYK encode is 8-bit only")
     if len(pixels) != width * height * channels:
         raise ValueError(
             "pixel buffer is %d bytes, want %d (%dx%dx%d)"
@@ -253,6 +257,11 @@ def jpeg_encode(
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
         qtabs = [ql, qc, qc]
+    elif channels == 4:
+        # CMYK ink input, stored inverted per the Adobe convention
+        # (APP14 transform 0), every channel on the luma quant table
+        planes = [255.0 - img[..., i] for i in range(4)]
+        qtabs = [ql, ql, ql, ql]
     else:
         planes = [img[..., 0]]
         qtabs = [ql]
@@ -314,7 +323,7 @@ def jpeg_encode(
             rst = (rst + 1) % 8
             preds = [0] * channels
         for ci in range(channels):
-            ti = 0 if ci == 0 else 1
+            ti = 1 if channels == 3 and ci > 0 else 0
             dct, act = dc_tabs[ti], ac_tabs[ti]
             coefs = comp_coefs[ci][bi][zz]
             diff = int(coefs[0]) - preds[ci]
@@ -354,7 +363,12 @@ def jpeg_encode(
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if channels == 4:  # JFIF forbids 4 components; Adobe APP14 instead
+        out += seg(0xFFEE, b"Adobe\x00\x64\x00\x00\x00\x00\x00")
+    else:
+        out += seg(
+            0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )
     zz_l = bytes(int(ql[i]) for i in ZIGZAG)
     out += seg(0xFFDB, b"\x00" + zz_l)
     if channels == 3:
@@ -362,7 +376,9 @@ def jpeg_encode(
         out += seg(0xFFDB, b"\x01" + zz_c)
     sof = struct.pack(">BHHB", precision, height, width, channels)
     for ci in range(channels):
-        sof += bytes((ci + 1, 0x11, 0 if ci == 0 else 1))
+        sof += bytes(
+            (ci + 1, 0x11, 1 if channels == 3 and ci > 0 else 0)
+        )
     out += seg(0xFFC0 if precision == 8 else 0xFFC1, sof)
     for cls, tid, bits, vals in huff_specs[
         : 2 * channels if channels == 3 else 2
@@ -374,7 +390,7 @@ def jpeg_encode(
         out += seg(0xFFDD, struct.pack(">H", ri))
     sos = bytes((channels,))
     for ci in range(channels):
-        tid = 0 if ci == 0 else 1
+        tid = 1 if channels == 3 and ci > 0 else 0
         sos += bytes((ci + 1, (tid << 4) | tid))
     sos += b"\x00\x3f\x00"
     out += seg(0xFFDA, sos)
@@ -698,6 +714,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     geom = None
     restart = 0
     saw_scan = False
+    adobe_transform = None
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment at %d" % pos)
@@ -753,7 +770,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError("JPEG precision %d" % prec)
             if prec == 12 and marker == 0xC0:
                 raise ValueError("SOF0 baseline is 8-bit only")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError("JPEG with %d components" % nc)
             if width == 0 or height == 0:
                 raise ValueError("bad JPEG dimensions")
@@ -807,6 +824,11 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             )
             saw_scan = True
             continue
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            # transform byte: 0 = raw CMYK/RGB, 1 = YCbCr, 2 = YCCK;
+            # presence of the Adobe marker also flags the inverted
+            # CMYK sample convention (libjpeg-compatible handling)
+            adobe_transform = body[11] if len(body) >= 12 else 0
         # APPn / COM / DNL / others: skip
         pos += 2 + seglen
     if frame is None or not saw_scan:
@@ -845,10 +867,38 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return width, height, 1, out.tobytes()
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+
+    def _ycc_to_rgb(y, cb, cr):
+        cb, cr = cb - 128.0, cr - 128.0
+        return (
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        )
+
+    if len(planes) == 4:
+        # CMYK / YCCK, delivered as converted RGB.  Adobe files (APP14
+        # present) store INVERTED ink samples; YCCK (transform 2) is
+        # the YCbCr transform applied to the inverted C/M/Y channels —
+        # the libjpeg-compatible reading of both conventions.
+        if adobe_transform == 2:
+            s0, s1, s2 = _ycc_to_rgb(planes[0], planes[1], planes[2])
+        else:
+            s0, s1, s2 = planes[0], planes[1], planes[2]
+        s3 = planes[3]
+        if adobe_transform is not None:
+            ink = [255.0 - s for s in (s0, s1, s2, s3)]
+        else:
+            ink = [s0, s1, s2, s3]
+        ink_c, ink_m, ink_y, ink_k = (np.clip(p, 0, 255) for p in ink)
+        r = (255.0 - ink_c) * (255.0 - ink_k) / 255.0
+        g = (255.0 - ink_m) * (255.0 - ink_k) / 255.0
+        b = (255.0 - ink_y) * (255.0 - ink_k) / 255.0
+        rgb = np.stack([r, g, b], axis=-1)
+        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return width, height, 3, out.tobytes()
+
+    r, g, b = _ycc_to_rgb(planes[0], planes[1], planes[2])
     rgb = np.stack([r, g, b], axis=-1)
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return width, height, 3, out.tobytes()
