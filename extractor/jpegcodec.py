@@ -23,12 +23,13 @@ precision (12-bit samples delivered scaled to the 8-bit output API),
 1- or 3-component, ANY sampling factors (4:4:4, 4:2:0, 4:2:2, 4:1:1,
 ...), non-interleaved sequential multi-scan, custom DQT/DHT tables,
 restart markers, 4-component CMYK/YCCK (Adobe APP14 transform +
-inverted-sample conventions, delivered as converted RGB), APPn/COM
-skipped — validated against real libjpeg-encoded files (both
-sequential and progressive).  Arithmetic coding, hierarchical, and
-lossless-mode stay out of scope and raise ``NotImplementedError``;
-structural damage raises ``ValueError`` — callers contain both as
-error rows (O4 semantics).
+inverted-sample conventions, delivered as converted RGB), lossless
+mode (SOF3, T.81 Annex H: all 7 predictors, point transform, 2-16
+bit, bit-exact), APPn/COM skipped — validated against real
+libjpeg-encoded files (both sequential and progressive).  Arithmetic
+coding and hierarchical stay out of scope and raise
+``NotImplementedError``; structural damage raises ``ValueError`` —
+callers contain both as error rows (O4 semantics).
 """
 from __future__ import annotations
 
@@ -798,7 +799,9 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 },
                 "grid_w": {cid: mcus_x * h for cid, h, _v, _tq in comps},
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # lossless (T.81 Annex H): own sub-parser
+            return _decode_lossless(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("JPEG SOF %#x variant" % marker)
         elif marker == 0xDD:  # DRI
@@ -905,3 +908,215 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 jpeg_decode = _contained(jpeg_decode)
+
+
+# --- lossless mode (T.81 Annex H) --------------------------------------------
+
+_LL_BITS = (0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_LL_VALS = tuple(range(17))  # SSSS 0-16, flat 5-bit canonical codes
+
+
+def _ll_predict(sm, x, y, ci, sel, default):
+    """T.81 H.1.2 prediction: a = left, b = above, c = above-left;
+    first line falls back to 'a' (after the seed sample), first column
+    to 'b'.  Shifts, not divisions, per the spec text."""
+    if y == 0:
+        return default if x == 0 else sm[y][x - 1][ci]
+    if x == 0:
+        return sm[y - 1][x][ci]
+    a = sm[y][x - 1][ci]
+    b = sm[y - 1][x][ci]
+    c = sm[y - 1][x - 1][ci]
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError("bad lossless predictor %d" % sel)
+
+
+def _decode_lossless(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a lossless JPEG (SOF3): Huffman-coded prediction
+    differences, predictors 1-7, point transform, 2-16 bit precision
+    (samples above 8 bits scaled into the 8-bit output API), 1/3/4
+    components at 1x1 sampling, single interleaved scan.  Components
+    are delivered as-is (lossless mode defines no color transform);
+    4-component output is returned as 4 channels."""
+    pos = 2
+    n = len(payload)
+    htabs: dict[int, tuple] = {}
+    frame = None
+    out_planes = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:  # DHT (class 0 tables only in lossless)
+            at = 0
+            while at < len(body):
+                cls, tid = body[at] >> 4, body[at] & 0xF
+                bits = tuple(body[at + 1 : at + 17])
+                cnt = sum(bits)
+                vals = tuple(body[at + 17 : at + 17 + cnt])
+                if len(vals) != cnt:
+                    raise ValueError("truncated DHT values")
+                if cls == 0:
+                    htabs[tid] = _huff_decode_table(bits, vals)
+                at += 17 + cnt
+        elif marker == 0xC3:
+            prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if not 2 <= prec <= 16:
+                raise ValueError("bad lossless precision %d" % prec)
+            if nc not in (1, 3, 4):
+                raise NotImplementedError(
+                    "lossless JPEG with %d components" % nc
+                )
+            comps = []
+            for i in range(nc):
+                cid, hv, _tq = body[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG"
+                    )
+                comps.append(cid)
+            frame = (prec, height, width, nc, comps)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("lossless SOS before SOF3")
+            prec, height, width, nc, comps = frame
+            ns = body[0]
+            if ns != nc:
+                raise NotImplementedError(
+                    "non-interleaved lossless scan"
+                )
+            tids = [body[2 + 2 * i] >> 4 for i in range(ns)]
+            sel = body[1 + 2 * ns]  # Ss = predictor selector
+            pt = body[3 + 2 * ns] & 0xF  # Al = point transform
+            if not 1 <= sel <= 7:
+                raise ValueError("bad lossless predictor %d" % sel)
+            tabs = []
+            for t in tids:
+                if t not in htabs:
+                    raise ValueError("missing lossless DHT %d" % t)
+                tabs.append(htabs[t])
+            r = _BitReader(payload, pos + 2 + seglen)
+            default = 1 << (prec - 1 - pt)
+            sm = [
+                [[0] * nc for _ in range(width)] for _ in range(height)
+            ]
+            for y in range(height):
+                for x in range(width):
+                    for ci in range(nc):
+                        ssss = r.huff(tabs[ci])
+                        if ssss == 16:
+                            diff = 32768
+                        elif ssss:
+                            diff = _extend(r.bits(ssss), ssss)
+                        else:
+                            diff = 0
+                        pred = _ll_predict(sm, x, y, ci, sel, default)
+                        sm[y][x][ci] = (pred + diff) & 0xFFFF
+            shift = max(0, prec - 8)
+            flat = bytearray(width * height * nc)
+            i = 0
+            for y in range(height):
+                for x in range(width):
+                    for ci in range(nc):
+                        v = (sm[y][x][ci] << pt) >> shift
+                        flat[i] = 255 if v > 255 else (0 if v < 0 else v)
+                        i += 1
+            out_planes = bytes(flat)
+            break
+        pos += 2 + seglen
+    if out_planes is None:
+        raise ValueError("lossless JPEG missing SOS")
+    prec, height, width, nc, _ = frame
+    return width, height, nc, out_planes
+
+
+def jpeg_lossless_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    predictor: int = 1,
+    precision: int = 8,
+) -> bytes:
+    """Write a lossless JPEG (SOF3, T.81 Annex H): Huffman-coded
+    prediction differences under the chosen predictor (1-7), point
+    transform 0, flat canonical SSSS table.  The roundtrip fixture for
+    :func:`_decode_lossless` — decode is bit-exact, not approximate.
+    8-bit input; ``precision=12/16`` scales the input left into the
+    wider domain (still exactly invertible)."""
+    if channels not in (1, 3, 4):
+        raise ValueError("channels must be 1, 3 or 4")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    if precision not in (8, 12, 16):
+        raise ValueError("precision must be 8, 12 or 16")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    shift = precision - 8
+    sm = [
+        [
+            [
+                pixels[(y * width + x) * channels + ci] << shift
+                for ci in range(channels)
+            ]
+            for x in range(width)
+        ]
+        for y in range(height)
+    ]
+    enc_tab = _huff_encode_table(_LL_BITS, _LL_VALS)
+    w = _BitWriter()
+    default = 1 << (precision - 1)
+    for y in range(height):
+        for x in range(width):
+            for ci in range(channels):
+                pred = _ll_predict(sm, x, y, ci, predictor, default)
+                diff = (sm[y][x][ci] - pred) & 0xFFFF
+                if diff > 32768:
+                    diff -= 65536
+                if diff == 32768:
+                    code, length = enc_tab[16]
+                    w.write(code, length)
+                    continue
+                size, bits = _magnitude(diff)
+                code, length = enc_tab[size]
+                w.write(code, length)
+                if size:
+                    w.write(bits, size)
+    w.pad_to_byte()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFC4, b"\x00" + bytes(_LL_BITS) + bytes(_LL_VALS)
+    )
+    sof = struct.pack(">BHHB", precision, height, width, channels)
+    for ci in range(channels):
+        sof += bytes((ci + 1, 0x11, 0))
+    out += seg(0xFFC3, sof)
+    sos = bytes((channels,))
+    for ci in range(channels):
+        sos += bytes((ci + 1, 0x00))
+    sos += bytes((predictor, 0, 0))  # Ss = sel, Se = 0, AhAl = Pt 0
+    out += seg(0xFFDA, sos)
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -292,3 +292,42 @@ def test_bare_cmyk_no_adobe_marker():
     # encoder stored 255-0=255 = max ink when read WITHOUT inversion
     # -> black; just assert deterministic structure, not polarity
     assert len(out) == 8 * 8 * 3
+
+
+def test_lossless_jpeg_bit_exact():
+    """SOF3 lossless (T.81 Annex H): every predictor, 1/3/4 channels,
+    8/12/16-bit domains — decode must be BIT-EXACT, not approximate."""
+    import random
+
+    from extractor.jpegcodec import jpeg_decode, jpeg_lossless_encode
+
+    rng = random.Random(8)
+    for ch in (1, 3, 4):
+        for w, h in ((1, 1), (8, 5), (23, 11)):
+            px = bytes(
+                rng.randrange(256) for _ in range(w * h * ch)
+            )
+            for pred in range(1, 8):
+                enc = jpeg_lossless_encode(w, h, px, ch,
+                                           predictor=pred)
+                assert jpeg_decode(enc) == (w, h, ch, px), (
+                    ch, w, h, pred,
+                )
+    px = bytes(rng.randrange(256) for _ in range(12 * 7))
+    for prec in (12, 16):
+        enc = jpeg_lossless_encode(12, 7, px, 1, predictor=4,
+                                   precision=prec)
+        assert jpeg_decode(enc)[3] == px
+
+
+def test_lossless_jpeg_guards():
+    import pytest
+
+    from extractor.jpegcodec import jpeg_decode, jpeg_lossless_encode
+
+    with pytest.raises(ValueError, match="predictor"):
+        jpeg_lossless_encode(4, 4, bytes(16), 1, predictor=0)
+    enc = jpeg_lossless_encode(4, 4, bytes(16), 1)
+    # truncated entropy data is a contained ValueError
+    with pytest.raises(ValueError):
+        jpeg_decode(enc[:-6])
