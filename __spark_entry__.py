@@ -488,6 +488,9 @@ def _pdf_lzw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .select("doc_id", "text")
     )
+    # encode+decode twice per doc = the heaviest Python kernel in the
+    # contract; spread the starved single-split scan (guide §2.2)
+    docs = _fan_out_if_starved(spark, docs, docs)
 
     def kernel(iterator):
         for pdf in iterator:

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window
 
+from extractor.fanout import fan_out_scan
+
 N_QUERIES = 5
 TOP_K = 5
 N_PLANES = 16
@@ -42,12 +44,18 @@ def _norm(a):
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for the first N query vectors.
     Query side is tiny -> broadcast nested-loop join, no shuffle of the
-    corpus; ranking via window with deterministic tiebreak."""
+    corpus; ranking via window with deterministic tiebreak.  Scan
+    fan-out: the per-pair higher-order dot/norm math is CPU-bound and the
+    single-split embeddings table pins it to one task otherwise
+    (extractor/fanout.py; measured 3.0 s -> 0.6 s at sf1.0)."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    corpus = fan_out_scan(spark, emb, emb)
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
     cos = _dot(F.col("embedding"), F.col("q")) / (
         _norm(F.col("embedding")) * _norm(F.col("q"))
     )
@@ -253,6 +261,8 @@ def ann_topk(
     Rows-only check: ANN is approximate by construction (its accuracy gate
     is the recall test against ``cosine_topk``, not a SQL oracle)."""
     emb = _emb(spark, sf_dir)
+    # 40-table signature kernel over a starved single-split scan: fan out
+    emb = fan_out_scan(spark, emb, emb)
     if index_layout == "inline":
         assign = ann_assignments(emb)
         queries = (
@@ -698,7 +708,9 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_lex",
         F.row_number().over(Window.orderBy(F.desc("bm25_micro"), "doc_id")),
     )
-    sem = quantized_dot_ranking(_emb(spark, sf_dir))
+    emb = _emb(spark, sf_dir)
+    # the int8 quantize + dot HOFs are CPU-bound; fan out the starved scan
+    sem = quantized_dot_ranking(fan_out_scan(spark, emb, emb))
     return rrf_fuse(lex, sem)
 
 
@@ -848,8 +860,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str,
                    thr_milli: int = SEMDEDUP_THR_MILLI) -> DataFrame:
     """:func:`semdedup_core` over the planted-duplicate view — see
     :func:`planted_dup_embeddings` for why the test corpus needs
-    planting."""
-    return semdedup_core(planted_dup_embeddings(spark, sf_dir), thr_milli)
+    planting.  The planted view inherits the starved scan layout, so it
+    is fanned out before the quantize/cell/pair stages."""
+    planted = planted_dup_embeddings(spark, sf_dir)
+    planted = fan_out_scan(spark, planted, _emb(spark, sf_dir))
+    return semdedup_core(planted, thr_milli)
 
 
 CONV_MOD = 40  # vec_id → conv_id mapping, aligned with the dtr view

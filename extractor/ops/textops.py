@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from extractor.fanout import fan_out_scan
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
 
 # Marker-word lists for the n-gram/keyword language-ID heuristic.
@@ -55,8 +57,11 @@ def t10_markdown_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex token count
-    (word pieces and standalone punctuation)."""
+    (word pieces and standalone punctuation).  Scan fan-out: the
+    regexp_extract_all token pass is CPU-bound and the single-split
+    corpus otherwise pins it to one task (extractor/fanout.py)."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = fan_out_scan(spark, docs, docs)
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
@@ -81,8 +86,11 @@ def _quality_pass():
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean word length, stopword ratio,
-    punctuation density — the jusText/C4-style heuristic family."""
+    punctuation density — the jusText/C4-style heuristic family.
+    Scan fan-out: tokenize + regex passes, same rationale as
+    :func:`token_stats`."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = fan_out_scan(spark, docs, docs)
     tokens = F.split(F.trim("text"), r"\s+")
     n_tokens = F.size(tokens)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -103,6 +111,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-marker language-ID heuristic: per-language marker hit counts,
     argmax via a deterministic greatest/CASE chain."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    # tokenize + three marker-filter passes per row: fan out the scan
+    docs = fan_out_scan(spark, docs, docs)
     tokens = F.split(F.lower("text"), r"\s+")
 
     def _contains(arr):  # single-arg lambda: F.filter treats 2-arg as (x, i)
@@ -156,6 +166,8 @@ def lang_id_chargram(
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    # per-char split + bigram transform + explode: fan out the starved scan
+    docs = fan_out_scan(spark, docs, docs)
     chars = F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), "")
     bigrams = F.expr(
         "filter(transform(sequence(0, greatest(size(bgc) - 2, 0)), "
@@ -829,6 +841,8 @@ def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(
         F.col("text").isNotNull() & (F.length("text") >= 1)
     )
+    # per-char explode multiplies rows len(text)-fold; spread the scan first
+    docs = fan_out_scan(spark, docs, docs)
     chars = docs.select(
         "doc_id",
         F.explode(
