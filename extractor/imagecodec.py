@@ -370,7 +370,16 @@ def sniff_image(payload: bytes) -> str | None:
     if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
         return "webp"
     if head.startswith(b"BM"):
-        return "bmp"
+        # 'BM' alone is two ASCII letters — plain text can start with it
+        # ("BMW report..."), and since the router checks image magics
+        # before text decode a false positive turns a working text
+        # payload into an error row.  Require a plausible DIB header
+        # size at offset 14 before claiming the format.
+        if len(payload) >= 54 and int.from_bytes(
+            bytes(payload[14:18]), "little"
+        ) in (12, 40, 52, 56, 64, 108, 124):
+            return "bmp"
+        return None
     if head.startswith(b"\xff\xd8\xff"):
         return "jpeg"
     if head.startswith((b"GIF87a", b"GIF89a")):

@@ -5,8 +5,11 @@ into linear text" stage, re-expressed as a pure vectorized kernel).
 
 No PDF codec library ships in this container, so byte decoding is stdlib:
 payloads in our deterministic JSON layout format parse for real, and real
-PDF bytes with uncompressed or FlateDecode content streams decode for real
-(``extractor/pdf.py``); only non-Flate filters raise ``NotImplementedError``
+PDF bytes decode for real through ``extractor/pdf.py``'s complete
+lossless-filter family (Flate, LZW, ASCIIHex/85, RunLength, predictor
+post-steps, chains) plus RC4/AESV2/AESV3 decryption — see the
+``extractor/pdf.py`` module docstring for the authoritative decode scope;
+only the JPX/JBIG2 *image* codecs remain out of scope there
 (callers get a contained error row).  Everything downstream of decode — reading-order
 reconstruction, column detection, heading promotion, span bookkeeping, the
 Arrow batch plumbing — is real and tested.  DOCX bytes, by contrast, need

@@ -819,10 +819,10 @@ def pdf_to_text(payload: bytes) -> list[list[str]]:
     """Decode text back OUT of a PDF (the byte-decode side of the
     T1/layout axis): returns pages as lists of lines, one page per content
     stream containing a ``BT`` text block, parsed per the module-docstring
-    decoder scope (uncompressed + FlateDecode streams; ``Tj``/``'``/``\"``/
-    ``TJ`` operators; literal + hex strings).  Non-Flate filters raise
-    ``NotImplementedError`` (the remaining codec stub, same contract as
-    image decode); anything non-PDF raises ``ValueError``."""
+    decoder scope (the complete lossless filter family — Flate, LZW,
+    ASCIIHex/85, RunLength, predictors, chains — plus decryption;
+    ``Tj``/``'``/``\"``/``TJ`` operators; literal + hex strings).
+    Anything non-PDF raises ``ValueError``."""
     if payload is None:
         raise ValueError("null payload")
     payload = bytes(payload)
@@ -836,7 +836,12 @@ def pdf_to_text(payload: bytes) -> list[list[str]]:
     for dict_bytes, raw, onum, ogen, _at in _iter_streams(payload):
         if re.search(rb"/Subtype\s*/Image\b", dict_bytes):
             continue  # image XObject: no text; see pdf_extract_images
-        if crypt is not None:
+        # cross-reference streams are NEVER encrypted (ISO 32000-1
+        # §7.5.8.2) — "decrypting" one garbles it and the zlib/AES error
+        # would fail the whole document; they carry no text either way
+        if crypt is not None and not re.search(
+            rb"/Type\s*/XRef\b", dict_bytes
+        ):
             raw = decrypt_stream(crypt[0], crypt[1], onum, ogen, raw)
         body = _decode_stream(dict_bytes, raw)
         if b"BT" not in body:

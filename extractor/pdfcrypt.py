@@ -64,14 +64,45 @@ def _pad(password: bytes) -> bytes:
     return (password + _PAD)[:32]
 
 
+def _strip_cf_dict(src: bytes) -> bytes:
+    """Remove the balanced ``/CF << ... >>`` sub-dictionary from an
+    Encrypt dict body so top-level key lookups (notably /Length) cannot
+    match keys inside the crypt-filter sub-dict."""
+    i = src.find(b"/CF")
+    if i < 0:
+        return src
+    j = src.find(b"<<", i)
+    if j < 0:
+        return src
+    depth, k = 0, j
+    while k < len(src) - 1:
+        two = src[k : k + 2]
+        if two == b"<<":
+            depth += 1
+            k += 2
+            continue
+        if two == b">>":
+            depth -= 1
+            k += 2
+            if depth == 0:
+                break
+            continue
+        k += 1
+    return src[:i] + src[k:]
+
+
 def file_key(o_entry: bytes, p: int, doc_id: bytes,
              user_password: bytes = b"", revision: int = 3,
              length_bits: int = 128) -> bytes:
     """Algorithm 2: the file encryption key from the user password."""
     n = 5 if revision == 2 else length_bits // 8
+    # /P is a SIGNED 32-bit value in the spec, but some writers serialize
+    # it unsigned (e.g. 4294963392); pack('<i') would raise struct.error
+    # on those — an exception type outside the documented containment
+    # contract.  The low 32 bits are identical either way.
     h = hashlib.md5(
         _pad(user_password) + o_entry[:32]
-        + struct.pack("<i", p) + doc_id
+        + struct.pack("<I", p & 0xFFFFFFFF) + doc_id
     ).digest()
     if revision >= 3:
         for _ in range(50):
@@ -231,8 +262,18 @@ def parse_encrypt_dict(payload: bytes):
         raise ValueError("inconsistent /V %d with /R %d" % (v, r))
     if re.search(rb"/EncryptMetadata\s+false", src):
         raise NotImplementedError("EncryptMetadata false key variant")
-    lm = re.search(rb"/Length\s+(\d+)", src)
+    # /Length must come from the TOP-LEVEL Encrypt dict.  Acrobat
+    # alphabetizes keys, so in real V4 files the /CF crypt-filter
+    # sub-dictionary precedes /Length and carries its own '/Length 16'
+    # in BYTES (ISO 32000-1 Table 25) — a first-match would read that as
+    # a 16-BIT file key and every AESV2/RC4-128 document would fail to
+    # decrypt.  Strip the (nested) /CF dict before searching, and treat
+    # any sub-40 remnant as the sub-dict's byte count, falling back to
+    # the V4 de-facto default of 128 bits (40 for V1/V2 per spec).
+    lm = re.search(rb"/Length\s+(\d+)", _strip_cf_dict(src))
     length = int(lm.group(1)) if lm else 40
+    if length < 40:
+        length = 128 if v == 4 else 40
     pm = re.search(rb"/P\s+(-?\d+)", src)
     if not pm:
         raise ValueError("Encrypt dict missing /P")
