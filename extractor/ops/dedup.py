@@ -1670,6 +1670,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str,
 
     Output: ``(split_a, split_b, n_pairs, sample_pair)``."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = fan_out_scan(spark, docs, docs)
     sig = minhash_signatures(docs)
     pairs = _bucket_pairs(_banded_explode(sig), max_bucket)
     sp = train_split_assign(spark, sf_dir).select("doc_id", "split")

@@ -259,10 +259,13 @@ def ann_topk(
     recall; both layouts pass the same recall + plan gates.
 
     Rows-only check: ANN is approximate by construction (its accuracy gate
-    is the recall test against ``cosine_topk``, not a SQL oracle)."""
+    is the recall test against ``cosine_topk``, not a SQL oracle).
+
+    NOT fanned out (round-6 optimization): the streamed-spine plan gate
+    (tests/test_similarity_ann.py) certifies the corpus side reaches the
+    join with ZERO exchange — the 100 TB contract this entry exists to
+    pin — and that gate outranks the small-data single-split win."""
     emb = _emb(spark, sf_dir)
-    # 40-table signature kernel over a starved single-split scan: fan out
-    emb = fan_out_scan(spark, emb, emb)
     if index_layout == "inline":
         assign = ann_assignments(emb)
         queries = (
