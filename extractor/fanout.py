@@ -30,7 +30,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Cap on the bytes a fan-out shuffle may move (compressed, on-disk).
 # Tables needing the fix are maxPartitionBytes-bounded single splits by
@@ -77,3 +78,27 @@ def fan_out_scan(
     if key is not None:
         return df.repartition(target, key)
     return df.repartition(target)
+
+
+def post_shuffle_filter(df: DataFrame, cond: Column) -> DataFrame:
+    """Filter that STAYS where it is written instead of being pushed back
+    below an upstream exchange (opt guide §2.2: keep the expensive work in
+    the wide stage).
+
+    Catalyst's ``PushPredicateThroughNonJoin`` pushes every deterministic
+    conjunct through a repartition, which re-pins a CPU-heavy gate
+    (regex tokenization, per-char scans) to the starved single-split scan
+    stage that ``fan_out_scan`` exists to escape.  Only predicates
+    Catalyst classifies nondeterministic stay put, so the gate is wrapped
+    as ``CASE WHEN spark_partition_id() >= 0 THEN cond END``: partition
+    ids are non-negative by definition, so the value is exactly ``cond``
+    row-for-row on any data (and the guard costs nothing per row), but
+    the ``spark_partition_id()`` reference marks the single un-splittable
+    conjunct nondeterministic and anchors it at its written position.
+    (A bare always-true conjunct does NOT work: ``rand()`` bound checks
+    are constant-folded by Spark 4, and an AND is split so the
+    deterministic legs push anyway — both verified.)  Results are
+    unchanged; only the plan position moves.  When the guard in
+    ``fan_out_scan`` declined to add an exchange there is nothing to
+    push through and the barrier is a no-op wrapper."""
+    return df.where(F.when(F.spark_partition_id() >= F.lit(0), cond))

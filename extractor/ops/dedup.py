@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from extractor.fanout import fan_out_scan
+from extractor.fanout import fan_out_scan, post_shuffle_filter
 
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 hashes
@@ -823,17 +823,20 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     operations keyed the same way share one exchange)."""
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+        & (F.col("n_chars") >= 100)
+        & (F.col("n_chars") <= 50 * 1024 * 1024)
+    )
     docs = fan_out_scan(spark, docs, docs, key=F.md5("text"))
     toks = F.split(F.trim("text"), r"\s+")
     n_tokens = F.size(toks)
     mean_wl = F.length(F.regexp_replace("text", r"\s+", "")) / n_tokens
-    gated = docs.where(
-        (F.col("n_chars") >= 100)
-        & (F.col("n_chars") <= 50 * 1024 * 1024)
-        & (n_tokens >= 20)
-        & (mean_wl < 15)
-    )
+    # Cheap column gates above stay pushable into the scan; the regex
+    # gates are anchored POST-exchange so they run on every core instead
+    # of being pushed back into the single-split scan stage (the ~0.7 s
+    # residual documented in round 6's first pass).
+    gated = post_shuffle_filter(docs, (n_tokens >= 20) & (mean_wl < 15))
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     return (
         gated.withColumn("rn", F.row_number().over(w))

@@ -173,6 +173,11 @@ def lang_id_chargram(
         "filter(transform(sequence(0, greatest(size(bgc) - 2, 0)), "
         "i -> concat(bgc[i], bgc[i + 1])), x -> length(x) = 2)"
     )
+    # NOTE: the >=2-bigram gate is pushed back into the scan stage, but
+    # anchoring it post-exchange (post_shuffle_filter) measured 2.5x
+    # SLOWER for this query (4.2 s -> 10.8 s at sf0.1, repeats=3), unlike
+    # corpus_curation where the same barrier wins 3.5x: here the explode
+    # stage dominates and the scan-stage split pass is the cheaper side.
     d = docs.select("doc_id", "lang", chars.alias("bgc")).where(
         F.size("bgc") >= 2
     )

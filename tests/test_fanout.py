@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 import extractor.fanout as fanout
-from extractor.fanout import fan_out_scan
+from extractor.fanout import fan_out_scan, post_shuffle_filter
 
 
 # uses the session-scoped ``spark`` fixture from conftest.py — defining a
@@ -79,3 +79,26 @@ def test_derived_frame_keeps_filters(spark, single_file):
     df = spark.read.parquet(single_file).where(F.col("id") % 2 == 0)
     out = fan_out_scan(spark, df, df)
     assert out.count() == 500
+
+
+def test_post_shuffle_filter_stays_above_exchange(spark, single_file):
+    """The anchored gate must NOT be pushed back below the fan-out
+    exchange (the plain .where form is — that is the bug it fixes), and
+    the kept rows must be identical to the plain form."""
+    df = spark.read.parquet(single_file)
+    fanned = fan_out_scan(spark, df, df)
+    cond = F.col("id") % 3 == 0
+
+    anchored = post_shuffle_filter(fanned, cond)
+    plan = anchored._jdf.queryExecution().optimizedPlan().toString()
+    top, _, below = plan.partition("Repartition")
+    assert "Filter" in top, plan        # gate stayed post-exchange
+    assert "Filter" not in below, plan  # nothing pushed into the scan
+
+    pushed = fanned.where(cond)
+    p2 = pushed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in p2.partition("Repartition")[2], p2  # control: pushed
+
+    assert sorted(r.id for r in anchored.collect()) == sorted(
+        r.id for r in pushed.collect()
+    )
