@@ -1629,7 +1629,11 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str,
         F.col("p_name").alias("n"),
         F.expr(FUZZY_BLOCK_EXPR).alias("b"),
         F.length("p_name").alias("ln"),
-    )
+    ).where(F.col("p_partkey").isNotNull() & F.col("p_name").isNotNull())
+    # NULL-key/name rows were invisible to the old pair form (a.k != c.k
+    # and b = b are never true against NULL) but a NULL probe key would
+    # fall through when(k1 != k) below into another name's k2m — the
+    # explicit guard keeps equivalence free of any data invariant.
     # Per-name key aggregates: minimum key, and minimum key above it
     # (the argmin representative when the probe key is the minimum).
     # b/ln are functions of n, so grouping on all three keeps them

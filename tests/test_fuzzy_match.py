@@ -28,6 +28,11 @@ PARTS = [
     # length-band exclusion: same block, |len-9| > 5 vs "alpha red",
     # > 5 edits from everything it bands with
     (80, "alpha red extravagantly long"),
+    # NULL name and NULL key: both were invisible to the pair form
+    # (comparisons against NULL never hold) and must stay invisible —
+    # a NULL-key probe must not borrow another name's representative
+    (90, None),
+    (None, "alpha red"),
 ]
 
 
